@@ -1,0 +1,431 @@
+"""Core relational queries — scans, filters, joins, aggregates, windows,
+set operations (SURVEY.md §2.2-§2.7) over the star-schema tables.
+
+Each query is the Spark-first restatement of a reference operator family;
+the docstrings cite which. Scale notes inline: what shuffles, what
+broadcasts, what AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.exact_agg import davg, dsum
+from yelp_recommender_spark.operators.topk import top_k_global, top_n_per_key
+from yelp_recommender_spark.queries.registry import query
+from yelp_recommender_spark.sources.tables import load_tables
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→groupBy→multi-agg (TPC-H Q1 shape; A1/A7/P1).
+
+    Scale: single shuffle on a 2-column low-cardinality key; partial
+    (map-side) aggregation collapses each partition to ≤ |groups| rows
+    before the exchange — the dominant cost is the parquet scan, which
+    prunes to the 7 referenced columns (ReadSchema) and pushes the
+    shipdate filter down.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q02_segment_acctbal_avg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q02_segment_acctbal_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-average (A1 — the reference's user/business mean-stars shape,
+    ``/root/reference/models/content_based_model.py:354-378``)."""
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return cust.groupBy("c_mktsegment").agg(
+        davg("c_acctbal").alias("avg_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q03_top_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 25
+    """,
+)
+def q03_top_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K (W1/O1/O3). Planned as TakeOrderedAndProject — per-
+    partition top-k then a k·P driver merge, never a full sort."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    return top_k_global(
+        part.select("p_partkey", "p_name", "p_retailprice"),
+        "p_retailprice",
+        25,
+        tiebreak="p_partkey",
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q04_top_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 5
+    """,
+)
+def q04_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-N via row_number window (W2 — the reference's sorted
+    neighbor truncation, ``/root/reference/models/item_cf_model.py:309-313``).
+
+    Scale: customer is the dimension side → broadcast join (no shuffle of
+    orders on custkey); the window shuffles once on the 5-value segment
+    key — low cardinality, but each partition only keeps N rows per key.
+    """
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    joined = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return top_n_per_key(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        "o_totalprice",
+        5,
+        tiebreak="o_orderkey",
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q05_customer_ltv",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(o.total, 0.0) AS lifetime_value,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+)
+def q05_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + default fill (J9/P8 — the cold-start ``coalesce`` chain,
+    ``/root/reference/scripts/als_recommender.py:130``)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        t["customer"]
+        .select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("lifetime_value"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q06_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (T3 — replaces the reference's driver-side set difference,
+    ``/root/reference/scripts/als_recommender.py:110-115``)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q07_customer_order_segments",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_customer_order_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + aggregate."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q08_distinct_flag_status",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q08_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (T4) — hash aggregate with map-side partials."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q09_nation_pairs_same_region",
+    oracle="""
+    SELECT a.n_regionkey AS region, a.n_name AS nation1, b.n_name AS nation2
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def q09_nation_pairs_same_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta self-join with ordered-pair dedup (J1/P6 — the reference's
+    cartesian + ``x[0] < x[1]``, ``/root/reference/models/item_cf_model.py:78``).
+    The equi-key (region) keeps it a hash join, not a cartesian."""
+    nation = load_tables(spark, sf_dir, ["nation"])["nation"]
+    a, b = nation.alias("a"), nation.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_regionkey").alias("region"),
+        F.col("a.n_name").alias("nation1"),
+        F.col("b.n_name").alias("nation2"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q10_supplier_part_overlap",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS common_parts
+    FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q10_supplier_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection join (J4/T2/P4 — co-rated sets,
+    ``/root/reference/models/item_cf_model.py:79-82``).
+
+    Expressed relationally (explode → self-equi-join on the shared element
+    → groupBy pair): this is the scale-correct form — the join key is the
+    element, so Spark distributes by part rather than materializing per-id
+    sets, and the ``HAVING`` prunes pairs before they leave the aggregate.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common_parts"))
+        .filter(F.col("common_parts") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q11_revenue_per_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q11_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query (J2/J3). Scale: orders/customer/nation are all
+    dimension-sized relative to lineitem → broadcast the chain so lineitem
+    never shuffles before the final low-cardinality aggregate. (At true
+    TPC-H scale orders is fact-sized: AQE would pick sort-merge there; the
+    explicit hints stay correct because Catalyst ignores impossible ones.)
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q12_order_priority_matrix",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q12_order_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key count/sum matrix (A7)."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q13_brand_weighted_price",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST((l_quantity * l_extendedprice) AS DECIMAL(27,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS weighted_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q13_brand_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average Σw·x/Σw (A9 — the CF weighted scorer shape,
+    ``/root/reference/models/item_cf_model.py:356-366``). part is a
+    broadcast dimension."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            (
+                dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+                / dsum("l_quantity")
+            ).alias("weighted_price")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q14_symmetrized_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.n_nationkey AS id1, b.n_nationkey AS id2
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    )
+    SELECT id1, id2 FROM pairs
+    UNION ALL
+    SELECT id2 AS id1, id1 AS id2 FROM pairs
+    """,
+)
+def q14_symmetrized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-based edge symmetrization (J7 — undirected CF weights expanded
+    to both directions, ``/root/reference/scripts/predict_user_cf.py:175-185``)."""
+    nation = load_tables(spark, sf_dir, ["nation"])["nation"]
+    a, b = nation.alias("a"), nation.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("id1"), F.col("b.n_nationkey").alias("id2")
+    )
+    return pairs.union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q15_running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    """,
+)
+def q15_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit frame (beyond-reference window surface;
+    the decimal accumulator keeps the cumulative values engine-exact)."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )

@@ -1,0 +1,136 @@
+"""Event-table queries — time windows, sessionization, JSON props, exact
+dedup. These are the *batch* semantics of the streaming operators in
+:mod:`yelp_recommender_spark.streaming` (no streaming in the reference —
+SURVEY.md §2.11 — so this surface is greenfield, designed Spark-first).
+
+Timestamp parity note: events.ts is INT64 TIMESTAMP(NANOS) parquet. Spark
+reads it as raw nanos (legacy conf, see sources.tables); DuckDB truncates
+to µs. All time arithmetic therefore runs on integer epoch-microseconds
+(``ts div 1000`` vs ``epoch_us(ts)``) — exact on both engines, no float
+boundaries, timezone-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.exact_agg import davg, dsum
+from yelp_recommender_spark.queries.registry import query
+from yelp_recommender_spark.sources.tables import load_tables
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # `div` = exact integral division (a double `/` would round at 2^51)
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q16_events_hourly",
+    oracle=f"""
+    SELECT event_type,
+           epoch_us(ts) // {HOUR_US} AS hour_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type, hour_bucket
+    """,
+)
+def q16_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (batch analog of streaming
+    ``groupBy(window(ts, '1 hour'))``); bucket = epoch-hour, engine/TZ
+    neutral. One shuffle on a low-cardinality composite key with map-side
+    partials."""
+    return (
+        _events_us(spark, sf_dir)
+        .withColumn("hour_bucket", F.expr(f"ts_us div {HOUR_US}"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q17_events_props_extract",
+    oracle="""
+    SELECT CAST(REGEXP_EXTRACT(props, '"k":\\s*(\\d+)', 1) AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY k_bucket
+    """,
+)
+def q17_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (F16 analog — the reference JSON-decodes
+    per record in Python; here a JVM regexp over the string column)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .withColumn(
+            "k_bucket",
+            (F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int") % 10),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q18_user_sessions",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min flag + sum (batch form of streaming
+    ``session_window``). One shuffle on user_id; the window and the
+    aggregate reuse the same partitioning — no second exchange."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q19_events_dedup_exact",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_raw,
+           COUNT(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q19_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-key dedup counts (T4/T5)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("user_id").alias("n_unique_users"),
+    )

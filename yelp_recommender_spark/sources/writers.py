@@ -1,0 +1,47 @@
+"""Sinks (SURVEY.md §2.1 S5-S8).
+
+The reference writes predictions with a driver-side loop
+(``/root/reference/models/content_based_model.py:534-539``) and model
+artifacts through executor-side ``open(file, 'a')`` appends that race
+under parallelism (``/root/reference/models/content_based_model.py:404-418``).
+Both are replaced by distributed writers: ``df.write.json`` for the
+JSON-lines contracts, Parquet for all model state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_json_lines(df: DataFrame, path: str, coalesce: int | None = None) -> None:
+    """JSON-lines sink (S5). ``coalesce=1`` reproduces the reference's
+    single-file output contract for small results; leave None at scale."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, str] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Parquet sink (S7/S8 successor). ``bucket_by=(n, col)`` writes a
+    bucketed table so later joins/aggs on ``col`` skip the shuffle —
+    the scale path for model weight tables reused across queries."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by is not None:
+        n, col = bucket_by
+        writer.bucketBy(n, col).sortBy(col).saveAsTable(table_name or "bucketed_out")
+        return
+    writer.parquet(path)
+
+
+def write_predictions(df: DataFrame, path: str) -> None:
+    """Prediction sink contract: JSON-lines {user_id, business_id, stars[,
+    decision]} (``/root/reference/scripts/evaluate.py:5-7``)."""
+    cols = [c for c in ("user_id", "business_id", "stars", "decision") if c in df.columns]
+    write_json_lines(df.select(*cols), path)
