@@ -1,2 +1,304 @@
-"""Text-analysis queries over the documents table — TF-IDF family (A2-A5)
-plus LLM-pipeline text ops. Filled in as operators land."""
+"""Text-analysis queries over the documents table.
+
+Covers the reference's tokenize → DF/TF → TF-IDF pipeline (SURVEY.md §2.4
+A2-A5, §2.8 F1-F3; ``/root/reference/models/content_based_model.py:46-180``)
+restated as DataFrame aggregations, plus the LLM-data-pipeline text
+operators the north star adds: token counting, language-ID heuristic,
+quality scoring, document fingerprinting, n-gram extraction.
+
+Oracle parity: the canonical tokenizer (lower → non-alphanumeric to space →
+split → drop empties) is expressed identically in Spark Column algebra
+(:func:`yelp_recommender_spark.functions.text.tokens_col`) and in the
+DuckDB SQL fragment :data:`DUCK_TOKS`. All ratios are int/int IEEE divides
+(bit-identical across engines); tfidf is rounded to 6 digits before any
+ordering so ties resolve identically.
+
+Scale notes: every query here is explode → hash-aggregate with map-side
+partials; the token dimension tables (DF, vocab) are broadcast back. No
+driver collection anywhere, so the same plans run at 100 TB — the explode
+multiplies rows ~100× but the first partial aggregate collapses them
+before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.text import tokens_col
+from yelp_recommender_spark.operators.tfidf import document_frequency, tfidf
+from yelp_recommender_spark.operators.topk import top_k_global
+from yelp_recommender_spark.queries.registry import query
+from yelp_recommender_spark.sources.tables import load_tables
+
+# DuckDB twin of functions.text.tokens_col — keep in sync.
+DUCK_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' '), t -> t != '')"
+)
+
+# Tiny deterministic English-marker list for the language-ID heuristic.
+EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.withColumn("toks", tokens_col("text"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q20_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE len(array_to_string(toks, '')) / len(toks) END
+               AS avg_token_len
+    FROM t
+    """,
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (LLM-pipeline op; whitespace tokenizer).
+
+    Scale: narrow map-only plan — no shuffle at all; the tokenizer is a
+    codegen'd JVM expression, ~scan-speed.
+    """
+    d = _docs_tokens(spark, sf_dir)
+    n = F.size("toks")
+    total_len = F.aggregate(
+        "toks", F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(total_len / n)
+        .alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q21_term_doc_frequency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({DUCK_TOKS}) AS token FROM documents
+    )
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS total_tf
+    FROM toks GROUP BY token
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def q21_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + corpus term frequency with the reference's
+    rare-term prune (A2 + P3, ``content_based_model.py:108-127,168``)."""
+    d = _docs_tokens(spark, sf_dir)
+    long = d.select("doc_id", F.explode("toks").alias("token"))
+    return (
+        long.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .filter(F.col("df") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q22_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({DUCK_TOKS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token,
+           ROUND(MAX(tf * log2(n_docs / df)), 6) AS max_tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    GROUP BY token
+    ORDER BY max_tfidf DESC, token ASC
+    LIMIT 50
+    """,
+)
+def q22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K vocabulary by max TF-IDF (A3-A5 + W1,
+    ``content_based_model.py:146-176``) with deterministic tie-breaks.
+
+    Scale: two hash aggregates + a broadcast of the vocabulary-sized DF
+    table + TakeOrderedAndProject — never a full sort.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_docs = docs.count()
+    long = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    )
+    scored = tfidf(long, n_docs=n_docs)
+    per_term = scored.groupBy("token").agg(
+        F.round(F.max("tfidf"), 6).alias("max_tfidf")
+    )
+    return top_k_global(per_term, "max_tfidf", 50, tiebreak="token")
+
+
+# --------------------------------------------------------------------------
+_MARKERS_SQL = ", ".join(f"'{m}'" for m in EN_MARKERS)
+
+
+@query(
+    "q23_language_id",
+    oracle=f"""
+    WITH t AS (SELECT lang, {DUCK_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT lang,
+               CASE WHEN len(toks) > 0 AND
+                         len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                         / len(toks) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM t
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM scored GROUP BY lang, predicted
+    """,
+)
+def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (LLM-pipeline op): English-marker token ratio
+    ≥ 5% → 'en'. Confusion-matrix output against the labeled ``lang``.
+
+    A production engine would swap the marker list for per-language n-gram
+    profiles — same plan shape (per-row expression + one aggregate).
+    """
+    d = _docs_tokens(spark, sf_dir)
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n = F.size("toks")
+    hits = F.size(F.filter("toks", lambda t: F.array_contains(markers, t)))
+    predicted = F.when(
+        (n > 0) & (hits / n >= 0.05), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        d.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q24_doc_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {DUCK_TOKS} AS toks,
+               length(text) AS len_text,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CASE WHEN len_text = 0 THEN 0.0
+                      ELSE n_alpha / len_text END, 6) AS alpha_ratio,
+           ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(list_filter(toks, x -> x IN ({_MARKERS_SQL})))
+                           / len(toks) END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0
+                      ELSE 0.5 END
+                 * (CASE WHEN len_text = 0 THEN 0.0
+                         ELSE n_alpha / len_text END), 6) AS quality_score
+    FROM t
+    """,
+)
+def q24_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (LLM-pipeline op): alpha ratio,
+    stopword ratio, length-gated composite score. Pure per-row expressions
+    — map-only, scan-bound at any scale."""
+    d = _docs_tokens(spark, sf_dir)
+    len_text = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    n = F.size("toks")
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    hits = F.size(F.filter("toks", lambda t: F.array_contains(markers, t)))
+    alpha_ratio = F.when(len_text == 0, F.lit(0.0)).otherwise(n_alpha / len_text)
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+    len_gate = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_gate * alpha_ratio, 6).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q25_doc_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               md5(array_to_string(list_sort(list_distinct({DUCK_TOKS})), ' '))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_unique_fingerprints
+    FROM t GROUP BY source
+    """,
+)
+def q25_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (LLM-pipeline op): md5 of the sorted
+    distinct-token bag — order-insensitive near-identity for shuffled
+    duplicates. md5 is bit-identical across engines (hex of UTF-8)."""
+    d = _docs_tokens(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("toks"))))
+    return (
+        d.withColumn("fingerprint", fp)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique_fingerprints"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q26_top_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 30
+    """,
+)
+def q26_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top n-gram extraction (LLM-pipeline op; UDTF-shaped explode —
+    SURVEY.md §2.10). Bigrams via zip_with on shifted slices — JVM-side,
+    no UDF."""
+    d = _docs_tokens(spark, sf_dir)
+    n = F.size("toks")
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    counted = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_k_global(counted, "n", 30, tiebreak="bigram")
