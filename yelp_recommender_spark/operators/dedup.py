@@ -1,0 +1,264 @@
+"""Deduplication operators (LLM-data-pipeline surface; generalization of
+the reference's MinHash+LSH machinery, ``/root/reference/utils/minhash.py``
++ ``/root/reference/utils/lsh.py`` — reimagined, not ported).
+
+Two hash families are provided:
+
+- **portable** (md5-based): bit-identical in Spark and DuckDB/any ANSI
+  engine, used by the oracle-checked queries. MinHash permutation *i* is
+  ``min(md5(i || '|' || shingle))`` — the min over lexicographic hex
+  strings is a valid uniform min-hash because md5 is uniform on its hex
+  representation, and string order = byte order in both engines.
+- **fast** (xxhash64-based, Spark-only): same shapes at ~10× less CPU for
+  production use (``F.xxhash64`` is a codegen'd JVM intrinsic).
+
+Everything is Column algebra over arrays — per-row expressions, no UDF, no
+shuffle until the explicit candidate join. Scale notes on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+def token_shingles(tokens: Column | str, k: int = 3) -> Column:
+    """Distinct k-gram token shingles (array<string>), space-joined.
+
+    1-based ``element_at`` so the same index arithmetic reads naturally in
+    the SQL oracle. Docs with < k tokens yield an empty array (Spark's
+    ``sequence(1, n)`` with n < 1 would count *down* — guarded)."""
+    t = _c(tokens)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash
+# --------------------------------------------------------------------------
+def minhash_signature(shingles: Column | str, n_hashes: int = 16) -> Column:
+    """Portable MinHash signature: array of ``n_hashes`` hex-string minima.
+
+    sig[i] = min over shingles of md5(i || '|' || shingle). O(n_hashes ×
+    n_shingles) md5 calls per row — per-row CPU only, embarrassingly
+    parallel, no shuffle. For large corpora prefer
+    :func:`minhash_signature_fast`."""
+    sh = _c(shingles)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+            )
+        ),
+    )
+
+
+def minhash_signature_fast(shingles: Column | str, n_hashes: int = 64) -> Column:
+    """Spark-only MinHash via seeded xxhash64 (array<bigint>): the
+    production path — one 64-bit hash per (seed, shingle), JVM intrinsic."""
+    sh = _c(shingles)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column | str, bands: int, rows: int) -> Column:
+    """Band keys for LSH bucketing: band j → md5(j || '#' || sig-slice).
+
+    The band index is baked into the key, so a single equality join on the
+    key cannot collide across bands. Returns array<string> of length
+    ``bands``."""
+    sig = _c(signature)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(
+            F.concat(
+                j.cast("string"),
+                F.lit("#"),
+                F.concat_ws("|", F.slice(sig, j * rows + 1, rows)),
+            )
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash16(tokens_distinct: Column | str) -> Column:
+    """16-bit SimHash over a distinct-token array, as BIGINT.
+
+    Bit j of a token's md5 is extracted from the hex nibble (portable
+    integer arithmetic, identical in any engine with ``strpos``/``substr``).
+    Bit j of the SimHash is 1 iff strictly more than half the tokens have
+    bit j set (2·hits > n — deterministic tie-break: ties → 0).
+
+    md5 is computed once per token (hash array), then 16 bit-counts reuse
+    it. Per-row expression; no shuffle."""
+    toks = _c(tokens_distinct)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    n = F.size(toks)
+
+    def bit_of(h: Column, j: int) -> Column:
+        nibble = (
+            F.instr(
+                F.lit("0123456789abcdef"), F.substring(h, j // 4 + 1, 1)
+            )
+            - 1
+        )
+        return (nibble / (2 ** (3 - j % 4))).cast("int") % 2
+
+    def hits_at(j: int) -> Column:
+        # single-arg lambda: a 2-arg lambda would receive the array index
+        # as its second parameter (PySpark higher-order-function arity)
+        return F.size(F.filter(hashes, lambda h: bit_of(h, j) == 1))
+
+    acc = F.lit(0).cast("bigint")
+    for j in range(16):
+        acc = acc + F.when(2 * hits_at(j) > n, F.lit(2**j)).otherwise(F.lit(0))
+    return acc
+
+
+# --------------------------------------------------------------------------
+# pair generation / verification
+# --------------------------------------------------------------------------
+def jaccard_verify_pairs(
+    candidates: DataFrame,
+    features: DataFrame,
+    id_col: str = "doc_id",
+    feat_col: str = "shingles",
+    left: str = "d1",
+    right: str = "d2",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Join candidate pairs back to their shingle sets and keep pairs with
+    true Jaccard ≥ threshold. Returns (d1, d2, jaccard rounded 6).
+
+    Scale: ``features`` is re-joined twice; at 100 TB both joins shuffle on
+    the id — acceptable because candidates ≪ corpus after LSH pruning."""
+    f1 = features.select(
+        F.col(id_col).alias(left), F.col(feat_col).alias("_s1")
+    )
+    f2 = features.select(
+        F.col(id_col).alias(right), F.col(feat_col).alias("_s2")
+    )
+    inter = F.size(F.array_intersect("_s1", "_s2"))
+    union = F.size("_s1") + F.size("_s2") - inter
+    return (
+        candidates.join(f1, left)
+        .join(f2, right)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(left, right, "jaccard")
+    )
+
+
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking —
+    no cartesian product (SURVEY §7 risk register: pair-generation blowup).
+
+    explode(shingles) → self-equi-join on the shingle → groupBy(pair)
+    count common → jaccard from per-doc set sizes. Distributes by shingle,
+    so the work is Σ freq(s)² over shingles — bounded for natural text;
+    a stopword-shingle frequency cap would bound it adversarially."""
+    ex = docs.select(id_col, F.explode(shingle_col).alias("s"))
+    sizes = docs.select(
+        F.col(id_col), F.size(shingle_col).alias("n")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    fast: bool = False,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with true Jaccard.
+
+    shingles → signature → band keys → explode → self-join on band key →
+    distinct candidate pairs → verify. With b bands of r rows the
+    candidate-recall curve is 1-(1-j^r)^b (the reference tabulates the
+    same trade-off at ``/root/reference/utils/lsh.py:7-21``).
+
+    Scale: the only shuffles are the band-key self-join (keys are md5
+    strings — uniformly distributed, no skew) and the verify joins on
+    doc id. Nothing collects to the driver."""
+    rows = n_hashes // bands
+    sig_fn = minhash_signature_fast if fast else minhash_signature
+    with_keys = docs.select(
+        id_col,
+        shingle_col,
+        F.explode(
+            lsh_band_keys(sig_fn(shingle_col, n_hashes), bands, rows)
+        ).alias("bk"),
+    )
+    lhs = with_keys.select(F.col(id_col).alias("d1"), "bk")
+    rhs = with_keys.select(F.col(id_col).alias("d2"), "bk")
+    candidates = (
+        lhs.join(rhs, (lhs.bk == rhs.bk) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return jaccard_verify_pairs(
+        candidates,
+        docs.select(id_col, shingle_col),
+        id_col=id_col,
+        feat_col=shingle_col,
+        threshold=threshold,
+    )

@@ -1,2 +1,207 @@
-"""Deduplication queries over the documents table. Filled in as operators
-land."""
+"""Deduplication queries (LLM-data-pipeline surface): exact keep-first,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+The MinHash/LSH family generalizes the reference's hand-rolled user-CF
+candidate machinery (``/root/reference/utils/minhash.py:7-30``,
+``/root/reference/utils/lsh.py:23-40``) from ratings-shingles to text
+shingles; the hash family here is the *portable* md5 construction
+(:mod:`yelp_recommender_spark.operators.dedup`) so a DuckDB oracle
+reproduces every signature bit-for-bit. Production would flip
+``fast=True`` (xxhash64) — same plan shape, ~10× less hashing CPU.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.exact_agg import dsum
+from yelp_recommender_spark.functions.text import tokens_col
+from yelp_recommender_spark.operators.ann import cosine_pairs_above
+from yelp_recommender_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash16,
+    token_shingles,
+)
+from yelp_recommender_spark.queries.registry import query
+from yelp_recommender_spark.queries.text import DUCK_TOKS
+from yelp_recommender_spark.sources.tables import load_tables
+
+# DuckDB twins of operators.dedup — keep in sync.
+DUCK_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+DUCK_MINHASH16 = (
+    "list_transform(range(0, 16), i -> list_min(list_transform(sh,"
+    " s -> md5(CAST(i AS VARCHAR) || '|' || s))))"
+)
+DUCK_BANDS8 = (
+    "list_transform(range(0, 8), j -> md5(CAST(j AS VARCHAR) || '#' ||"
+    " array_to_string(sig[j * 2 + 1 : j * 2 + 2], '|')))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id", token_shingles(tokens_col("text"), k=3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q30_dedup_keep_first",
+    oracle="""
+    WITH kept AS (
+        SELECT event_type, value FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY epoch_us(ts), event_id) = 1
+    )
+    SELECT event_type, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value_kept
+    FROM kept GROUP BY event_type
+    """,
+)
+def q30_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with keep-first-canonical semantics: one row per
+    (user, event_type), earliest (ts, event_id) wins.
+
+    ``dropDuplicates`` keeps an *arbitrary* row — non-deterministic under
+    retries/partitioning, so the engine's canonical dedup is the
+    row_number window (deterministic at any scale). One shuffle on the
+    dedup key; the aggregate reuses nothing — low-cardinality regroup."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    kept = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dsum("value").alias("value_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q31_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(c / (s1.n + s2.n - c), 6) AS jaccard
+    FROM common
+    JOIN sz s1 ON d1 = s1.doc_id
+    JOIN sz s2 ON d2 = s2.doc_id
+    WHERE c / (s1.n + s2.n - c) >= 0.8
+    """,
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs via shared-shingle blocking —
+    never a cartesian product (J4/P4 reimagined for text; SURVEY §7 risk
+    register: pair blowup). Work ∝ Σ freq(shingle)², distributed on the
+    shingle key."""
+    return blocked_jaccard_pairs(
+        _doc_shingles(spark, sf_dir), threshold=0.8
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q32_minhash_lsh_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
+    sigs AS (SELECT doc_id, sh, {DUCK_MINHASH16} AS sig FROM shs),
+    bands AS (SELECT doc_id, unnest({DUCK_BANDS8}) AS bk FROM sigs),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(len(list_intersect(x.sh, y.sh))
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                 6) AS jaccard
+    FROM cand
+    JOIN shs x ON d1 = x.doc_id
+    JOIN shs y ON d2 = y.doc_id
+    WHERE len(list_intersect(x.sh, y.sh))
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    """,
+)
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands × 2 rows) near-dup candidates, verified
+    with exact Jaccard ≥ 0.8 (M3/M4 generalized; recall at j=0.99 is
+    1-(1-j²)^8 ≈ 1). The md5 signature construction is bit-identical in
+    the oracle — the candidate sets match exactly, not just the verified
+    output."""
+    return minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir),
+        n_hashes=16,
+        bands=8,
+        threshold=0.8,
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q33_simhash_docs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({DUCK_TOKS}) AS dt FROM documents
+    ),
+    h AS (
+        SELECT doc_id, len(dt) AS n,
+               list_transform(dt, t -> md5(t)) AS hs
+        FROM t
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN 2 * len(list_filter(hs, h ->
+                        ((strpos('0123456789abcdef',
+                                 substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                         // (8 >> CAST(j % 4 AS INT))) % 2 = 1)) > n
+                    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
+               AS simhash
+    FROM h
+    """,
+)
+def q33_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over the distinct-token bag — the
+    third dedup family (near-dups differ in few bits; exact dups collide).
+    Pure per-row expression, map-only at any scale."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id",
+        simhash16(F.array_distinct(tokens_col("text"))).alias("simhash"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q34_embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q34_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all id1<id2 with cos ≥ 0.4).
+
+    Spark side: broadcast-index + Arrow-batch numpy matmul
+    (:func:`~yelp_recommender_spark.operators.ann.cosine_pairs_above`) —
+    float64 BLAS, ~1000× the throughput of per-row expression cosines.
+    The threshold is far from any rounding boundary of real pairs."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return cosine_pairs_above(emb, threshold=0.4)
