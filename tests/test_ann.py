@@ -1,0 +1,97 @@
+"""Unit tests for the ANN operators in their design regime.
+
+q42's recall on the synthetic embeddings table is the worst case (its
+most-similar pairs are at cos≈0.45, where any sign-LSH family is weak);
+here we verify the operators on data with genuine near-duplicates
+(cos ≥ 0.99), where SRP-LSH must find essentially everything, and that
+the brute-force top-k matches an independent numpy computation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+DIM = 32
+N_BASE = 40
+COPIES = 3  # near-dup copies per base vector
+
+
+@pytest.fixture(scope="module")
+def neardup_df(spark):  # noqa: F811
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N_BASE, DIM))
+    rows = []
+    vid = 0
+    for i in range(N_BASE):
+        for _ in range(COPIES):
+            noisy = base[i] + 0.01 * rng.standard_normal(DIM)
+            rows.append((vid, i, [float(x) for x in noisy]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, base int, embedding array<double>")
+
+
+def _true_pairs(df):
+    from yelp_recommender_spark.operators.ann import cosine_pairs_above
+
+    return {
+        (r.id1, r.id2)
+        for r in cosine_pairs_above(df, threshold=0.99).collect()
+    }
+
+
+def test_neardup_truth_is_the_planted_copies(neardup_df):
+    truth = _true_pairs(neardup_df)
+    # every planted (same-base) pair is a near-dup; no cross-base pairs
+    planted = {
+        (a, b)
+        for a in range(N_BASE * COPIES)
+        for b in range(a + 1, N_BASE * COPIES)
+        if a // COPIES == b // COPIES
+    }
+    assert truth == planted
+
+
+def test_srp_lsh_recall_high_in_neardup_regime(neardup_df):
+    from yelp_recommender_spark.operators.ann import lsh_bucket_candidates
+
+    truth = _true_pairs(neardup_df)
+    cand = {
+        (r.id1, r.id2)
+        for r in lsh_bucket_candidates(
+            neardup_df, n_planes=8, dim=DIM, n_tables=6
+        ).collect()
+    }
+    n_all_pairs = (N_BASE * COPIES) * (N_BASE * COPIES - 1) // 2
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.95, f"recall {recall} on cos>=0.99 pairs"
+    # and it actually prunes: candidates must be far below all-pairs
+    assert len(cand) < 0.2 * n_all_pairs, f"{len(cand)} of {n_all_pairs}"
+
+
+def test_cosine_topk_matches_numpy(neardup_df, spark):  # noqa: F811
+    from yelp_recommender_spark.operators.ann import cosine_topk
+
+    rows = neardup_df.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+
+    probes = neardup_df.filter("vec_id < 5")
+    got = cosine_topk(probes, neardup_df, k=3).collect()
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, neigh in by_query.items():
+        s = sims[q].copy()
+        ids = np.arange(len(s))
+        mask = ids != q
+        order = np.lexsort((ids[mask], -s[mask]))
+        expect = [(int(ids[mask][i]), float(s[mask][i])) for i in order[:3]]
+        gotten = [
+            (r.neighbor_id, r.cos)
+            for r in sorted(neigh, key=lambda r: r.rank)
+        ]
+        assert gotten == expect, f"query {q}: {gotten} != {expect}"

@@ -1,2 +1,144 @@
-"""Similarity-search queries over the embeddings table. Filled in as
-operators land."""
+"""Similarity-search queries over the embeddings table (LLM-data-pipeline
+surface; successor to the reference's driver-side sklearn k-NN over ALS
+item factors, ``/root/reference/scripts/als_recommender.py:139-153``).
+
+- q40: exact top-k cosine (brute force, broadcast index + Arrow matmul)
+- q41: per-label centroids — the vector-average aggregate (A11,
+  ``/root/reference/models/extended_content_model.py:156-169``) restated
+  as posexplode + groupBy(label, dim)
+- q42: LSH(SRP)-bucketed ANN candidates scored against the exact result —
+  the beyond-broadcast scale path, reported as recall (rows-only: the
+  hyperplanes come from a seeded numpy RNG, not expressible in SQL)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.similarity import cosine_arrays
+from yelp_recommender_spark.operators.ann import (
+    cosine_pairs_above,
+    cosine_topk,
+    lsh_bucket_candidates,
+)
+from yelp_recommender_spark.queries.registry import query
+from yelp_recommender_spark.sources.tables import load_tables
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q40_knn_cosine_topk",
+    oracle="""
+    WITH probes AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+        SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 6) AS cos
+        FROM probes p JOIN embeddings e ON p.vec_id != e.vec_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def q40_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for probe vectors (every 10th id).
+
+    Scale: index side broadcast once (8·N·dim bytes); query side streams
+    through float64 matmul + argpartition — O(N) per query, no shuffle.
+    Ranks break ties on neighbor id after 6-digit rounding, so the window
+    oracle selects the identical neighbor set."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    return cosine_topk(probes, emb, k=10)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q41_label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'i': i, 'v': embedding[CAST(i AS INT)]})) AS u
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(u['i'] AS INT) - 1 AS dim_idx,
+           ROUND(CAST(SUM(CAST(CAST(u['v'] AS DOUBLE) AS DECIMAL(27,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM ex GROUP BY label, u['i']
+    """,
+)
+def q41_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label (A11 — per-user profile
+    averaging in the reference, here as posexplode + hash aggregate).
+
+    Scale: explode multiplies rows ×dim, but partial aggregation collapses
+    to |labels|·dim before the single shuffle. For wide embeddings a
+    Summarizer.mean over VectorUDT is the alternative; explode keeps the
+    result relational and oracle-checkable."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v")
+    )
+    return (
+        ex.groupBy("label", "dim_idx")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(27,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query("q42_ann_lsh_recall")  # rows-only: seeded-RNG hyperplanes not SQL-able
+def q42_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH candidate generation scored against exact truth.
+
+    Ground truth: all pairs with cos ≥ 0.4 (exact, via the broadcast-index
+    matmul). Candidates: pairs sharing a sign-random-projection bucket in
+    ≥1 of 12 tables (6 planes each). Output: one row with candidate count,
+    truth count, hits, and recall — the quality dial for the
+    beyond-broadcast ANN path.
+
+    Honesty note: SRP-LSH's collision gap is steep only for cos ≳ 0.9
+    (see tests/test_ann.py, where recall ≈ 1 on genuine near-dups); this
+    table's most-similar pairs sit at ~0.45, so the recall here is the
+    *worst-case* dial reading, kept as a regression metric.
+
+    Scale: the candidate join shuffles on (table, bucket) — no broadcast,
+    no driver state; exactly the plan you'd run at 100 TB, here compared
+    against truth that is only computable at test scale."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    truth = cosine_pairs_above(emb, threshold=0.4).select("id1", "id2")
+    cand = lsh_bucket_candidates(
+        emb, n_planes=6, dim=64, n_tables=12
+    )
+    hits = truth.join(cand, ["id1", "id2"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hit") / F.col("n_true")
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
