@@ -57,6 +57,7 @@ def jaccard_arrays(a: Column | str, b: Column | str) -> Column:
 
 
 def pearson_safe(corr_col: Column) -> Column:
-    """Wrap Spark's ``corr`` aggregate: zero-variance pairs yield NaN in
-    Spark but 0.0 in the reference (``utils/metrics.py:92-93``)."""
-    return F.nanvl(corr_col, F.lit(0.0))
+    """Wrap Spark's ``corr`` aggregate: zero-variance pairs yield NaN (or
+    NULL, engine-version dependent) but the reference defines them as 0.0
+    (``utils/metrics.py:92-93``)."""
+    return F.coalesce(F.nanvl(corr_col, F.lit(0.0)), F.lit(0.0))

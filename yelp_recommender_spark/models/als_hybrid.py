@@ -1,0 +1,159 @@
+"""ALS matrix factorization + hybrid blend (SURVEY.md §2.9 M5-M9, §3.4;
+``/root/reference/scripts/als_recommender.py`` / ``train_als.py`` /
+``train_hybrid.py`` / ``predict_hybrid.py``).
+
+Differences from the reference, by design:
+
+- ID encoding: the reference dictionary-encodes string ids with
+  ``zipWithIndex().collectAsMap()`` + driver-side extension for unseen
+  test ids (``als_recommender.py:58-67,110-115``) — unbounded driver
+  state. Here :class:`~pyspark.ml.feature.StringIndexer` with
+  ``handleInvalid='keep'`` does both distributedly; numeric ids pass
+  through.
+- Cold start: ``coldStartStrategy='nan'`` + the engine's coalesce ladder
+  (ū → b̄ → 2.5) instead of a flat ``fillna(2.5)``
+  (``als_recommender.py:130``) — strictly more informative, tagged for
+  the per-rule RMSE breakdown.
+- The hybrid's blend regressor: the reference trains a *driver-side*
+  sklearn MLP on ``toPandas()`` output (``train_hybrid.py:101-110,128``,
+  M8) — Spark ML has no MLP regressor, so the engine substitutes
+  :class:`~pyspark.ml.regression.GBTRegressor` on the same
+  [ALS, UAVG, BAVG] feature contract (``train_hybrid.py:128-134``),
+  which trains distributed. The sklearn-in-pandas-UDF alternative is a
+  drop-in if exact MLP parity is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.rules import DEFAULT_STARS
+
+_ALS_FEATURES = ["als_score", "user_avg", "biz_avg"]
+
+
+def train_als(
+    train: DataFrame,
+    rank: int = 10,
+    reg: float = 0.2,
+    max_iter: int = 10,
+    seed: int = 42,
+):
+    """Fit ALS on (user_id, business_id, stars) with integer-castable ids.
+
+    Returns the fitted ALSModel (``userFactors``/``itemFactors`` are
+    DataFrames — identical persistence story to the reference's M5)."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        regParam=reg,
+        maxIter=max_iter,
+        seed=seed,
+        userCol="user_id",
+        itemCol="business_id",
+        ratingCol="stars",
+        coldStartStrategy="nan",
+    )
+    return als.fit(
+        train.select(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("business_id").cast("int").alias("business_id"),
+            "stars",
+        )
+    )
+
+
+def predict_als(
+    model,
+    test: DataFrame,
+    user_avg: DataFrame,
+    biz_avg: DataFrame,
+    default: float = DEFAULT_STARS,
+) -> DataFrame:
+    """ALS transform + cold-start ladder. Output: (user_id, business_id,
+    stars, decision)."""
+    scored = model.transform(
+        test.select(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("business_id").cast("int").alias("business_id"),
+        )
+    )
+    als_score = F.when(~F.isnan("prediction"), F.col("prediction"))
+    j = (
+        scored.join(F.broadcast(user_avg), "user_id", "left")
+        .join(F.broadcast(biz_avg), "business_id", "left")
+        .withColumn("_als", als_score)
+    )
+    decision = (
+        F.when(F.col("_als").isNotNull(), "als")
+        .when(F.col("user_avg").isNotNull(), "usr_avg")
+        .when(F.col("biz_avg").isNotNull(), "biz_avg")
+        .otherwise("default")
+    )
+    return j.select(
+        "user_id",
+        "business_id",
+        F.coalesce("_als", "user_avg", "biz_avg", F.lit(default)).alias("stars"),
+        decision.alias("decision"),
+    )
+
+
+def hybrid_features(
+    als_model,
+    pairs: DataFrame,
+    user_avg: DataFrame,
+    biz_avg: DataFrame,
+    global_mean: float,
+) -> DataFrame:
+    """[ALS, UAVG, BAVG] design matrix (``train_hybrid.py:128-134``):
+    missing averages fall back to the global mean
+    (``train_hybrid.py:117-119``), missing ALS to the row's average
+    signal."""
+    scored = als_model.transform(
+        pairs.select(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("business_id").cast("int").alias("business_id"),
+        )
+    )
+    g = F.lit(global_mean)
+    ua = F.coalesce("user_avg", g)
+    ba = F.coalesce("biz_avg", g)
+    als_score = F.coalesce(
+        F.when(~F.isnan("prediction"), F.col("prediction")), (ua + ba) / 2
+    )
+    return (
+        scored.join(F.broadcast(user_avg), "user_id", "left")
+        .join(F.broadcast(biz_avg), "business_id", "left")
+        .select(
+            "user_id",
+            "business_id",
+            als_score.alias("als_score"),
+            ua.alias("user_avg"),
+            ba.alias("biz_avg"),
+        )
+    )
+
+
+def train_hybrid_regressor(features_with_label: DataFrame, seed: int = 42):
+    """Fit the blend regressor on (als_score, user_avg, biz_avg) → stars."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.pipeline import Pipeline
+    from pyspark.ml.regression import GBTRegressor
+
+    assembler = VectorAssembler(inputCols=_ALS_FEATURES, outputCol="features")
+    gbt = GBTRegressor(
+        labelCol="stars", featuresCol="features", maxIter=20, maxDepth=3, seed=seed
+    )
+    return Pipeline(stages=[assembler, gbt]).fit(features_with_label)
+
+
+def predict_hybrid(regressor, features: DataFrame) -> DataFrame:
+    """Score the blend. Output: (user_id, business_id, stars, decision)."""
+    return regressor.transform(features).select(
+        "user_id",
+        "business_id",
+        F.col("prediction").alias("stars"),
+        F.lit("hybrid").alias("decision"),
+    )

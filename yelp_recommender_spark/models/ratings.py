@@ -1,0 +1,57 @@
+"""Star-schema → ratings adapter.
+
+The driver's synthetic tables have no (user, item, stars) fact, so the
+recommender queries derive one deterministically: a lineitem is "user
+o_custkey rated item l_partkey with stars (⌊l_quantity⌋-1) % 5 + 1".
+The train/test split is a stable hash gate on the order key (every 10th
+order held out) — reproducible in ANSI SQL for the oracle, stable under
+repartitioning, and disjoint by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.sources.tables import load_tables
+
+# SQL twin — keep in sync with derive_ratings().
+DUCK_RATINGS = """
+    SELECT o_custkey AS user_id,
+           l_partkey AS business_id,
+           CAST((CAST(l_quantity AS INT) - 1) % 5 + 1 AS DOUBLE) AS stars,
+           l_orderkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+DUCK_TRAIN = f"SELECT * FROM ({DUCK_RATINGS}) WHERE l_orderkey % 10 <> 0"
+DUCK_TEST = f"SELECT * FROM ({DUCK_RATINGS}) WHERE l_orderkey % 10 = 0"
+
+
+def derive_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, business_id, stars, l_orderkey) from lineitem ⋈ orders.
+
+    Scale: orders is the smaller side here → broadcast; at true TPC-H
+    proportions both are fact-sized and AQE picks sort-merge — the hint
+    is advisory, not load-bearing."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    stars = ((F.col("l_quantity").cast("int") - 1) % 5 + 1).cast("double")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("business_id"),
+            stars.alias("stars"),
+            "l_orderkey",
+        )
+    )
+
+
+def train_test_split(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Held-out split on the order key (deterministic, partition-stable)."""
+    train = ratings.filter(F.col("l_orderkey") % 10 != 0).drop("l_orderkey")
+    test = ratings.filter(F.col("l_orderkey") % 10 == 0).drop("l_orderkey")
+    return train, test
