@@ -1,0 +1,292 @@
+"""Recommender-semantics golden tests on Yelp-shaped fixtures
+(FIXTURES.md): cold-start ladders, decision tags, duplicate handling,
+zero-variance Pearson, evaluator NaN exclusion, eval-grammar attribute
+parsing — the reference behaviors SURVEY.md §5 says our suite must pin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+from yelp_recommender_spark import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def train(spark):  # noqa: F811
+    return FX.train_reviews_df(spark)
+
+
+@pytest.fixture(scope="module")
+def avgs(train):
+    from yelp_recommender_spark.models.baseline import fit_avgs
+
+    return fit_avgs(train)
+
+
+def _by_pair(rows):
+    return {(r.user_id, r.business_id): r for r in rows}
+
+
+# ---------------------------------------------------------------- baseline
+def test_baseline_cold_start_ladder(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.baseline import predict_baseline
+
+    got = _by_pair(
+        predict_baseline(FX.test_pairs_df(spark), *avgs).collect()
+    )
+    # u1 avg = (5+3+1)/3 = 3.0 ; b1 avg = (5+4+5+3)/4 = 4.25
+    assert got[("u1", "b2")].decision == "both_avg"
+    r = got[("u1", "b_new")]
+    assert (r.decision, r.stars) == ("usr_avg", 3.0)
+    r = got[("u_new", "b1")]
+    assert (r.decision, r.stars) == ("biz_avg", 4.25)
+    r = got[("u_new", "b_new")]
+    assert (r.decision, r.stars) == ("default", 2.5)
+
+
+# ---------------------------------------------------------------- evaluator
+def test_rmse_excludes_missing_and_nan(spark):  # noqa: F811
+    from yelp_recommender_spark.models.evaluator import rmse
+
+    preds = spark.createDataFrame(
+        [
+            ("u1", "b1", 3.0),
+            ("u2", "b2", float("nan")),  # NaN → excluded (evaluate.py:93-96)
+            # (u3, b3) missing entirely → excluded
+        ],
+        "user_id string, business_id string, stars double",
+    )
+    truth = spark.createDataFrame(
+        [("u1", "b1", 5.0), ("u2", "b2", 1.0), ("u3", "b3", 4.0)],
+        "user_id string, business_id string, stars double",
+    )
+    row = rmse(preds, truth).collect()[0]
+    assert row.n_scored == 1 and row.n_missing == 2
+    assert row.rmse == 2.0  # |3-5| on the single scored pair
+
+
+def test_rmse_by_decision_breakdown(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.baseline import predict_baseline
+    from yelp_recommender_spark.models.evaluator import rmse_by_decision
+
+    preds = predict_baseline(FX.test_pairs_df(spark), *avgs)
+    rows = {r.decision: r for r in rmse_by_decision(preds, FX.test_truth_df(spark)).collect()}
+    assert set(rows) == {"both_avg", "usr_avg", "biz_avg", "default"}
+    assert rows["default"].rmse == 1.5  # pred 2.5 vs truth 1.0
+
+
+# ---------------------------------------------------------------- CF engine
+def test_corated_weights_semantics(train):
+    from yelp_recommender_spark.models.cf import corated_weights
+
+    w = {
+        (r.e1, r.e2): r
+        for r in corated_weights(
+            train, "business_id", "user_id", min_corated=2
+        ).collect()
+    }
+    # b1-b2 co-rated by u1..u4 (4 common users)
+    assert w[("b1", "b2")].n_common == 4
+    # u4's duplicate b2 ratings (3,5) dedup to mean 4.0; vectors are then
+    # b1: [5,4,5,3] b2: [3,2,5,4] over u1..u4 → hand-check pearson sign
+    assert -1.0 <= w[("b1", "b2")].pearson <= 1.0
+    # jaccard: raters(b1)={u1..u4}, raters(b2)={u1..u4} → 4/4 = 1.0
+    assert w[("b1", "b2")].jaccard == 1.0
+    # zero-variance guard: pairs involving a constant-rating vector → 0.0
+    # (b1,b3): common raters u1,u2 → b1=[5,4], b3=[1,2] → corr = -1
+    assert w[("b1", "b3")].pearson == -1.0
+
+
+def test_item_cf_predict_falls_back(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.cf import (
+        corated_weights,
+        predict_item_cf,
+        top_n_neighbors,
+    )
+
+    weights = corated_weights(train, "business_id", "user_id", min_corated=2)
+    neigh = top_n_neighbors(weights, "pearson", n=5)
+    got = _by_pair(
+        predict_item_cf(
+            FX.test_pairs_df(spark), train, neigh, *avgs
+        ).collect()
+    )
+    assert got[("u_new", "b_new")].decision == "default"
+    assert got[("u_new", "b_new")].stars == 2.5
+    # u5 rated only b4 (no neighbors of b1 rated by u5) → usr_avg 4.0
+    assert got[("u5", "b1")].decision == "usr_avg"
+    assert got[("u5", "b1")].stars == 4.0
+    # CF scored the seen/seen pair; Σw·r/Σ|w| with negative pearson
+    # weights may leave [1,5] — reference parity: no clipping
+    # (item_cf_model.py:356-366)
+    assert got[("u1", "b2")].decision == "cf"
+    assert not math.isnan(got[("u1", "b2")].stars)
+
+
+def test_user_cf_mean_centered(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.cf import (
+        corated_weights,
+        predict_user_cf,
+        top_n_neighbors,
+    )
+
+    weights = corated_weights(train, "user_id", "business_id", min_corated=2)
+    neigh = top_n_neighbors(weights, "pearson", n=5)
+    got = _by_pair(
+        predict_user_cf(FX.test_pairs_df(spark), train, neigh, *avgs).collect()
+    )
+    assert got[("u_new", "b_new")].stars == 2.5
+    assert all(r.decision in {"cf", "usr_avg", "biz_avg", "default"} for r in got.values())
+
+
+def test_lsh_candidates_cover_heavy_overlap(train):
+    from yelp_recommender_spark.models.cf import lsh_candidate_pairs
+
+    pairs = {
+        (r.e1, r.e2)
+        for r in lsh_candidate_pairs(
+            train, "business_id", "user_id", n_hashes=32, bands=16,
+            min_jaccard=0.01,
+        ).collect()
+    }
+    # b1/b2 share all four raters (jaccard 1.0) — LSH must surface them
+    assert ("b1", "b2") in pairs
+
+
+# ---------------------------------------------------------------- content
+def test_content_predict_decisions_and_range(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.content_based import (
+        fit_content,
+        predict_content,
+    )
+
+    profiles = fit_content(train, top_k=20, min_df=0, variant="onehot")
+    got = _by_pair(
+        predict_content(
+            FX.test_pairs_df(spark), profiles, *avgs, rule="geometric"
+        ).collect()
+    )
+    assert got[("u_new", "b_new")].decision == "default"
+    assert got[("u1", "b2")].decision == "cos"
+    # geometric rule stays within [min(ū,b̄), max(ū,b̄)]
+    r = got[("u1", "b2")]
+    assert 2.0 <= r.stars <= 3.5
+
+
+def test_content_continuous_variant_runs(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.content_based import (
+        fit_content,
+        predict_content,
+    )
+
+    profiles = fit_content(train, top_k=20, min_df=0, variant="continuous")
+    rows = predict_content(
+        FX.test_pairs_df(spark), profiles, *avgs, rule="linear"
+    ).collect()
+    assert len(rows) == len(FX.TEST_PAIRS)
+    assert all(not math.isnan(r.stars) for r in rows)
+
+
+# ------------------------------------------------------------ extended model
+def test_attribute_encoding_without_eval(spark):  # noqa: F811
+    from yelp_recommender_spark.models.extended_content import (
+        encode_business_features,
+    )
+
+    feats = {
+        (r.business_id, r.feature): r.value
+        for r in encode_business_features(FX.businesses_df(spark)).collect()
+    }
+    # ordinals: index+1 in the reference value lists
+    assert feats[("b1", "attr:Alcohol")] == 3.0          # 'full_bar'
+    assert feats[("b2", "attr:Alcohol")] == 2.0          # 'beer_and_wine'
+    assert feats[("b1", "attr:NoiseLevel")] == 3.0       # 'loud'
+    assert feats[("b4", "attr:NoiseLevel")] == 1.0       # 'quiet'
+    # booleans: int(v)+1
+    assert feats[("b1", "attr:GoodForKids")] == 2.0      # True
+    assert feats[("b2", "attr:GoodForKids")] == 1.0      # False
+    # nested dict grammar parsed without eval
+    assert feats[("b1", "attr:GoodForMeal_lunch")] == 2.0
+    assert feats[("b1", "attr:GoodForMeal_dessert")] == 1.0
+    assert feats[("b1", "attr:Music_live")] == 2.0
+    # 'None' scalar and unknown ordinal are skipped
+    assert ("b1", "attr:OutdoorSeating") not in feats
+    assert ("b5", "attr:Alcohol") not in feats
+    # categories one-hot
+    assert feats[("b1", "cat:Mexican")] == 1.0
+    assert ("b5", "cat:") not in feats
+
+
+def test_extended_fit_predict(spark, train, avgs):  # noqa: F811
+    from yelp_recommender_spark.models.extended_content import (
+        fit_extended,
+        predict_extended,
+    )
+
+    model = fit_extended(train, FX.businesses_df(spark), top_k=20)
+    # user profile is the mean of rated-business embeddings: u1 rated
+    # b1,b2,b3 → cat:Restaurants appears in all three → mean 1.0
+    up = {
+        (r.user_id, r.feature): r.value
+        for r in model["user_profile"].collect()
+    }
+    assert up[("u1", "cat:Restaurants")] == 1.0
+    got = _by_pair(
+        predict_extended(FX.test_pairs_df(spark), model, *avgs).collect()
+    )
+    assert got[("u_new", "b_new")].stars == 2.5
+    assert got[("u1", "b2")].decision == "cos"
+
+
+def test_user_counter_encoding(spark):  # noqa: F811
+    from yelp_recommender_spark.models.extended_content import (
+        encode_user_features,
+    )
+
+    feats = {
+        (r.user_id, r.feature): r.value
+        for r in encode_user_features(FX.users_df(spark)).collect()
+    }
+    assert feats[("u1", "usr:funny")] == 10.0
+    assert ("u4", "usr:funny") not in feats  # zero rows dropped
+
+
+# ---------------------------------------------------------------- ALS/hybrid
+def test_als_and_hybrid_end_to_end(spark):  # noqa: F811
+    from yelp_recommender_spark.models.als_hybrid import (
+        hybrid_features,
+        predict_als,
+        predict_hybrid,
+        train_als,
+        train_hybrid_regressor,
+    )
+    from yelp_recommender_spark.models.baseline import fit_avgs
+
+    # numeric-id ratings (ALS needs ints)
+    train = spark.createDataFrame(
+        [(u, b, float(1 + (u * b) % 5)) for u in range(1, 9) for b in range(1, 7)],
+        "user_id int, business_id int, stars double",
+    )
+    test = spark.createDataFrame(
+        [(1, 2), (99, 1), (99, 99)], "user_id int, business_id int"
+    )
+    user_avg, biz_avg = fit_avgs(train)
+    model = train_als(train, rank=4, reg=0.1, max_iter=5)
+    got = _by_pair(predict_als(model, test, user_avg, biz_avg).collect())
+    assert got[(1, 2)].decision == "als"
+    assert got[(99, 1)].decision == "biz_avg"
+    assert got[(99, 99)].decision == "default" and got[(99, 99)].stars == 2.5
+
+    feats = hybrid_features(model, train, user_avg, biz_avg, 3.0).join(
+        train, ["user_id", "business_id"]
+    )
+    reg = train_hybrid_regressor(feats)
+    preds = predict_hybrid(
+        reg, hybrid_features(model, test, user_avg, biz_avg, 3.0)
+    ).collect()
+    assert len(preds) == 3
+    assert all(r.decision == "hybrid" for r in preds)

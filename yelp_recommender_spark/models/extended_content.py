@@ -1,0 +1,226 @@
+"""Extended content model (SURVEY.md §3.1e;
+``/root/reference/models/extended_content_model.py``) — business
+category/attribute embeddings concatenated with TF-IDF profiles, user
+profiles as the element-wise average of rated-business embeddings (A11).
+
+Two deliberate fixes over the reference:
+
+- **No ``eval``.** The reference decodes Yelp's stringified-Python-literal
+  attribute values with ``eval()`` (``extended_content_model.py:15-48``) —
+  code injection on data. Here the same grammar is parsed with Column
+  algebra: quote-stripping for ordinals, literal ``when`` chains for
+  booleans, and ``from_json`` after a Python→JSON literal rewrite for the
+  nested dicts. Unknown/None values are skipped, as the reference does.
+- **No driver dicts.** Profiles are long-form (id, feature, value) rows;
+  the per-user average (``:156-169``, a driver loop there) is an
+  explode-join-aggregate.
+
+Encoding parity with the reference (``:7-8,17,22-48``): ordinals are
+``index+1`` in their value list; booleans are ``int(v)+1`` (False→1,
+True→2) so "present but false" is distinguishable from "absent" (0 /
+missing row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# value lists from /root/reference/models/extended_content_model.py:7-8
+ALCOHOL_VALUES = ["none", "beer_and_wine", "full_bar"]
+NOISE_VALUES = ["quiet", "average", "loud", "very_loud"]
+
+BOOL_ATTRS = ["GoodForDancing", "GoodForKids", "OutdoorSeating"]
+DICT_ATTRS = ["Ambience", "GoodForMeal", "Music"]
+# engagement counters from /root/reference/models/extended_content_model.py:82-97
+USER_COUNTERS = [
+    "funny",
+    "useful",
+    "cool",
+    "compliment_cool",
+    "compliment_cute",
+    "compliment_funny",
+    "compliment_hot",
+    "compliment_list",
+    "compliment_more",
+    "compliment_note",
+    "compliment_photos",
+    "compliment_plain",
+    "compliment_profile",
+    "compliment_writer",
+]
+
+
+def _ordinal(value: Column, values: list[str]) -> Column:
+    """'full_bar' (possibly quoted) → index+1; unknown → NULL (skipped)."""
+    stripped = F.regexp_replace(value, "^'|'$", "")
+    expr = F.lit(None).cast("double")
+    for i, v in enumerate(values):
+        expr = F.when(stripped == v, F.lit(float(i + 1))).otherwise(expr)
+    return expr
+
+
+def _boolean(value: Column) -> Column:
+    """'True' → 2, 'False' → 1 (int(v)+1, reference ``:22-48``);
+    'None'/unknown → NULL."""
+    return (
+        F.when(value == "True", F.lit(2.0))
+        .when(value == "False", F.lit(1.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def _dict_entries(value: Column) -> Column:
+    """Python-literal dict string → map<string, boolean> without eval:
+    rewrite ``'`` → ``"``, ``True/False/None`` → JSON, then from_json."""
+    jsonish = F.regexp_replace(value, "'", '"')
+    jsonish = F.regexp_replace(jsonish, r"\bTrue\b", "true")
+    jsonish = F.regexp_replace(jsonish, r"\bFalse\b", "false")
+    jsonish = F.regexp_replace(jsonish, r"\bNone\b", "null")
+    return F.from_json(jsonish, T.MapType(T.StringType(), T.BooleanType()))
+
+
+def encode_business_features(
+    business: DataFrame, categories_allow: list[str] | None = None
+) -> DataFrame:
+    """(business_id, feature, value) long-form embedding rows from the
+    business dimension (categories + recognized attributes).
+
+    ``categories`` is the Yelp comma-space string (split at
+    ``extended_content_model.py:78``); an allowlist restricts the one-hot
+    space (the reference's config category list)."""
+    cats = business.select(
+        "business_id",
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col("categories"), F.lit(""))), ", ")
+        ).alias("_c"),
+    ).filter(F.col("_c") != "")
+    if categories_allow is not None:
+        cats = cats.filter(
+            F.col("_c").isin([c for c in categories_allow])
+        )
+    cat_rows = cats.select(
+        "business_id",
+        F.concat(F.lit("cat:"), F.col("_c")).alias("feature"),
+        F.lit(1.0).alias("value"),
+    )
+
+    def attr(name: str) -> Column:
+        return F.col("attributes").getItem(name)
+
+    scalar_rows = []
+    has_attrs = F.col("attributes").isNotNull()
+    base = business.filter(has_attrs)
+    for name, enc in (
+        [("Alcohol", _ordinal(attr("Alcohol"), ALCOHOL_VALUES))]
+        + [("NoiseLevel", _ordinal(attr("NoiseLevel"), NOISE_VALUES))]
+        + [(b, _boolean(attr(b))) for b in BOOL_ATTRS]
+    ):
+        scalar_rows.append(
+            base.select(
+                "business_id",
+                F.lit(f"attr:{name}").alias("feature"),
+                enc.alias("value"),
+            ).filter(F.col("value").isNotNull())
+        )
+
+    dict_rows = []
+    for name in DICT_ATTRS:
+        exploded = base.select(
+            "business_id",
+            F.explode(_dict_entries(attr(name))).alias("_k", "_v"),
+        ).filter(F.col("_v").isNotNull())
+        dict_rows.append(
+            exploded.select(
+                "business_id",
+                F.concat(F.lit(f"attr:{name}_"), F.col("_k")).alias("feature"),
+                (F.col("_v").cast("int") + 1).cast("double").alias("value"),
+            )
+        )
+
+    out = cat_rows
+    for df in scalar_rows + dict_rows:
+        out = out.unionByName(df)
+    return out
+
+
+def encode_user_features(user: DataFrame) -> DataFrame:
+    """(user_id, feature, value) engagement-counter rows; missing columns
+    default to 0 (``.get(field, 0)``, reference ``:109``) and zero rows
+    are dropped (sparse representation)."""
+    present = [c for c in USER_COUNTERS if c in user.columns]
+    stack = F.array(
+        *[
+            F.struct(
+                F.lit(f"usr:{c}").alias("feature"),
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias("value"),
+            )
+            for c in present
+        ]
+    )
+    return (
+        user.select("user_id", F.explode(stack).alias("_s"))
+        .select("user_id", "_s.feature", "_s.value")
+        .filter(F.col("value") != 0.0)
+    )
+
+
+def fit_extended(
+    reviews: DataFrame,
+    business: DataFrame,
+    top_k: int = 200,
+    categories_allow: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Business embedding = [categories | attributes | TF-IDF] long rows
+    (``extended_content_model.py:129-137``); user profile = element-wise
+    mean of the user's rated-business embeddings (``:156-169``, A11).
+
+    Scale: the user average is explode(ratings ⋈ biz-embedding) →
+    groupBy(user, feature) avg — fully distributed; the reference held
+    every profile in a driver dict."""
+    from yelp_recommender_spark.models.content_based import fit_content
+
+    tfidf_profiles = fit_content(reviews, top_k=top_k, variant="continuous")
+    tfidf_rows = tfidf_profiles["biz_profile"].select(
+        "business_id",
+        F.concat(F.lit("tok:"), F.col("token")).alias("feature"),
+        F.col("w").alias("value"),
+    )
+    biz_embedding = encode_business_features(
+        business, categories_allow
+    ).unionByName(tfidf_rows)
+
+    user_profile = (
+        reviews.select("user_id", "business_id")
+        .distinct()
+        .join(biz_embedding, "business_id")
+        .groupBy("user_id", "feature")
+        .agg(F.avg("value").alias("value"))
+    )
+    return {"biz_embedding": biz_embedding, "user_profile": user_profile}
+
+
+def predict_extended(
+    test: DataFrame,
+    model: dict[str, DataFrame],
+    user_avg: DataFrame,
+    biz_avg: DataFrame,
+    rule: str = "geometric",
+) -> DataFrame:
+    """Cosine over the concatenated embedding space + decision rules —
+    reuses the content model's long-form cosine and rule ladder."""
+    from yelp_recommender_spark.models.content_based import (
+        predict_content,
+    )
+
+    profiles = {
+        "user_profile": model["user_profile"].select(
+            "user_id", F.col("feature").alias("token"), F.col("value").alias("w")
+        ),
+        "biz_profile": model["biz_embedding"].select(
+            "business_id", F.col("feature").alias("token"), F.col("value").alias("w")
+        ),
+        "vocab": None,
+    }
+    return predict_content(test, profiles, user_avg, biz_avg, rule=rule)
