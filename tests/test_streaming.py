@@ -1,0 +1,146 @@
+"""Streaming-vs-batch parity: each streaming op run with availableNow over
+the sf0.001 events backlog must agree with its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, spark  # noqa: F401 (fixture)
+
+
+def _batch_events(spark):  # noqa: F811
+    from yelp_recommender_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    return ev.withColumn(
+        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def test_hourly_counts_match_batch(spark):  # noqa: F811
+    from yelp_recommender_spark.streaming import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    got = run_to_memory(
+        hourly_counts_stream(read_events_stream(spark, SF_DIR)),
+        "hourly",
+        output_mode="append",
+    )
+    expect = (
+        _batch_events(spark)
+        .groupBy(F.window("event_ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+         for r in got.collect()}
+    e = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+         for r in expect.collect()}
+    # append mode emits a window only once the watermark passes its end:
+    # emitted rows must equal their batch twins exactly, and the only
+    # batch windows allowed to be missing are within the 2h+1h watermark
+    # horizon of the stream's max event time.
+    assert len(g) > 0
+    assert all(e.get(k) == v for k, v in g.items()), "emitted row != batch"
+    import datetime
+
+    max_ts = _batch_events(spark).agg(F.max("event_ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=3)
+    for k in set(e) - set(g):
+        assert k[0] >= horizon, f"window {k} missing but before horizon"
+
+
+def test_dedup_stream_one_row_per_key(spark):  # noqa: F811
+    from yelp_recommender_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    got = run_to_memory(
+        dedup_stream(read_events_stream(spark, SF_DIR)), "dedup"
+    )
+    # exactly one survivor per (user_id, event_type), covering every key
+    per_key = got.groupBy("user_id", "event_type").count()
+    assert per_key.filter("count > 1").count() == 0
+    n_keys = (
+        _batch_events(spark).select("user_id", "event_type").distinct().count()
+    )
+    assert got.count() == n_keys
+
+
+def test_sessionize_stream_matches_batch_session_count(spark):  # noqa: F811
+    from yelp_recommender_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    got = run_to_memory(
+        sessionize_stream(read_events_stream(spark, SF_DIR)), "sessions"
+    )
+    # batch twin: session_window in a batch aggregation (same semantics)
+    expect = (
+        _batch_events(spark)
+        .groupBy(F.session_window("event_ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    import datetime
+
+    g = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+    e = {
+        (
+            r.user_id,
+            r["session_window"].start,
+            r["session_window"].end,
+            r.n_events,
+        )
+        for r in expect.collect()
+    }
+    # emitted sessions must be exactly their batch twins; only sessions
+    # ending inside the watermark horizon may be withheld (append mode)
+    assert len(g) > 0 and g <= e
+    max_ts = _batch_events(spark).agg(F.max("event_ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=3)
+    for s in e - g:
+        assert s[2] >= horizon, f"session {s} missing but before horizon"
+
+
+def test_streaming_topk_foreachbatch(spark):  # noqa: F811
+    import os
+    import tempfile
+    import uuid
+
+    from yelp_recommender_spark.streaming import read_events_stream
+    from yelp_recommender_spark.streaming.ops import (
+        top_events_per_window_foreachbatch,
+    )
+
+    agg, batch_fn, results = top_events_per_window_foreachbatch(
+        read_events_stream(spark, SF_DIR), k=2
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_topk_{uuid.uuid4().hex[:8]}")
+    q = (
+        agg.writeStream.foreachBatch(batch_fn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert results, "foreachBatch never ran"
+    per_window: dict = {}
+    for r in results:
+        per_window[r.window_start] = per_window.get(r.window_start, 0) + 1
+    assert per_window and all(v <= 2 for v in per_window.values())

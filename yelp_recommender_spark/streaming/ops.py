@@ -1,0 +1,176 @@
+"""Streaming operators over the events table.
+
+Scale notes (the whole point of the streaming surface):
+
+- State stores are keyed by the aggregation/window key; watermarks bound
+  state size — without them a 100 TB/day stream accumulates unbounded
+  per-key state. Every stateful op here takes an explicit watermark.
+- ``availableNow`` runs the same incremental plan over a bounded backlog
+  (the batch-parity mode used in tests and backfills).
+- Top-k is not incrementally expressible inside a streaming aggregate
+  (rank over an update stream); the standard pattern is foreachBatch —
+  each micro-batch applies the *batch* top-k operator to the updated
+  window aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema (ts = INT64 TIMESTAMP(NANOS), read as
+# raw nanos — streaming sources require an explicit schema anyway)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with a real event-time
+    column (``event_ts`` timestamp derived from the nano epoch).
+
+    The file source requires a *directory*; the testdata table is a single
+    file, so it is staged (symlinked, read-only) into a scratch dir. On a
+    cluster this would be Kafka/Kinesis or a landing directory; the file
+    source exercises identical incremental semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), f"events_stream_{abs(hash(src))}"
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return raw.withColumn(
+        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type — the streaming
+    twin of q16. Watermark bounds the window state; late rows beyond it
+    are dropped (documented divergence from batch, which sees everything).
+    """
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) —
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded by the
+    watermark horizon (the streaming twin of q30's keep-first; within a
+    micro-batch the earliest-arriving row wins)."""
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user via ``session_window`` — the native
+    streaming form of q18's lag-based batch sessionization. Emits one row
+    per closed session: (user_id, session_start, session_end, n_events).
+    """
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def top_events_per_window_foreachbatch(
+    events: DataFrame,
+    k: int = 3,
+    watermark: str = "2 hours",
+):
+    """Streaming top-k event types per hour window: windowed counts with
+    a foreachBatch sink that applies the batch per-key top-N operator to
+    each micro-batch's updates. Returns (aggregated_stream, batch_fn);
+    caller wires ``.writeStream.foreachBatch(batch_fn)`` to a sink."""
+    from yelp_recommender_spark.operators.topk import top_n_per_key
+
+    agg = (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+    results: list = []
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        # must consume the FULL batch (state-store commit validation);
+        # the top-k result is window-count-bounded, so collecting it is
+        # the sink write, not a driver bottleneck
+        top = top_n_per_key(
+            batch_df, ["window_start"], "n", k, tiebreak="event_type"
+        )
+        results.extend(top.collect())
+
+    return agg, batch_fn, results
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the available
+    backlog (``trigger(availableNow=True)``) into an in-memory table and
+    return it as a batch DataFrame — the test/backfill harness."""
+    spark = stream_df.sparkSession
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
