@@ -44,10 +44,27 @@ DUCK_BANDS8 = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) with two load-bearing plan choices:
+
+    1. ``toks`` is materialized as its own projection before shingling —
+       passing the tokenizer *expression* into the shingle lambda would
+       re-evaluate the full regex pipeline per ``element_at`` call
+       (measured 8 ms/doc vs ~0.1 ms/doc), since common-subexpression
+       elimination does not reach into higher-order-function lambdas.
+    2. explicit ``repartition``: the documents scan is one thin parquet
+       split (file ≪ maxPartitionBytes) but the downstream per-row work
+       (shingling, MinHash) is CPU-heavy — classic cheap-scan/expensive-
+       map shape that needs a manual fan-out; at 100 TB the scan itself
+       provides the parallelism and the repartition is a no-op cost-wise.
+    """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return docs.select(
-        "doc_id", token_shingles(tokens_col("text"), k=3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par, "doc_id")
+        .withColumn("toks", tokens_col("text"))
+        .select("doc_id", token_shingles("toks", k=3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -178,9 +195,11 @@ def q33_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     third dedup family (near-dups differ in few bits; exact dups collide).
     Pure per-row expression, map-only at any scale."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return docs.select(
-        "doc_id",
-        simhash16(F.array_distinct(tokens_col("text"))).alias("simhash"),
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par, "doc_id")
+        .withColumn("dt", F.array_distinct(tokens_col("text")))
+        .select("doc_id", simhash16("dt").alias("simhash"))
     )
 
 

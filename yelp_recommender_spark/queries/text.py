@@ -42,8 +42,12 @@ EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is"]
 
 
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition: the documents file is one thin scan split but the
+    # token work downstream is CPU-bound — fan out to all cores (no-op
+    # at real scale where the scan has many splits)
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return docs.withColumn("toks", tokens_col("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").withColumn("toks", tokens_col("text"))
 
 
 # --------------------------------------------------------------------------
@@ -137,8 +141,8 @@ def q22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     n_docs = docs.count()
-    long = docs.select(
-        "doc_id", F.explode(tokens_col("text")).alias("token")
+    long = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("token")
     )
     scored = tfidf(long, n_docs=n_docs)
     per_term = scored.groupBy("token").agg(
