@@ -32,17 +32,29 @@ def _c(col: Column | str) -> Column:
 def token_shingles(tokens: Column | str, k: int = 3) -> Column:
     """Distinct k-gram token shingles (array<string>), space-joined.
 
-    1-based ``element_at`` so the same index arithmetic reads naturally in
-    the SQL oracle. Docs with < k tokens yield an empty array (Spark's
-    ``sequence(1, n)`` with n < 1 would count *down* — guarded)."""
+    Built as a ``zip_with`` chain over k shifted slices — NOT as
+    ``transform(sequence(...), i -> element_at(t, i+j))``. The lambda-free
+    shape is load-bearing: a lambda body that references an *outer
+    expression* (the token array) re-evaluates that expression per array
+    element in Spark's interpreted HOF path, and when Catalyst inlines an
+    upstream projection (CollapseProject / filter pushdown) the "token
+    array" becomes the entire tokenizer pipeline — measured ~156 tokenizer
+    evals/doc, 28 s single-threaded at sf0.1. ``zip_with`` lambdas touch
+    only their lambda variables, so the token array is evaluated exactly
+    k times per row no matter what gets inlined above it.
+
+    Docs with < k tokens yield an empty array (``slice`` with a negative
+    length would raise — guarded by the lazily-evaluated ``when``)."""
     t = _c(tokens)
     n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(k)]
-        ),
-    )
+    m = n - (k - 1)
+    grams = F.slice(t, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, j + 1, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)
     )
@@ -51,33 +63,53 @@ def token_shingles(tokens: Column | str, k: int = 3) -> Column:
 # --------------------------------------------------------------------------
 # MinHash
 # --------------------------------------------------------------------------
+def _fold_elementwise_min(per_shingle: Column, init: Column) -> Column:
+    """Fold an array-of-hash-arrays into the elementwise minimum.
+
+    Single structural reference to the input: the aggregate/zip_with
+    lambdas read only lambda variables, so even if Catalyst inlines the
+    whole shingle pipeline into ``per_shingle`` it is evaluated once per
+    row (see :func:`token_shingles` for why that matters)."""
+    return F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, h: F.least(a, h)),
+    )
+
+
 def minhash_signature(shingles: Column | str, n_hashes: int = 16) -> Column:
     """Portable MinHash signature: array of ``n_hashes`` hex-string minima.
 
-    sig[i] = min over shingles of md5(i || '|' || shingle). O(n_hashes ×
+    sig[i] = min over shingles of md5(i || '|' || shingle), computed as
+    one hash-array per shingle folded into an elementwise min (the
+    per-``i`` ``array_min`` formulation re-evaluates the shingle array
+    expression ``n_hashes`` times per row when inlined). O(n_hashes ×
     n_shingles) md5 calls per row — per-row CPU only, embarrassingly
     parallel, no shuffle. For large corpora prefer
     :func:`minhash_signature_fast`."""
     sh = _c(shingles)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
-            )
+    seq = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    per = F.transform(
+        sh,
+        lambda s: F.transform(
+            seq, lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
         ),
     )
+    # "~" (0x7e) sorts after every hex digit — identity for the min fold
+    return _fold_elementwise_min(per, F.array_repeat(F.lit("~"), n_hashes))
 
 
 def minhash_signature_fast(shingles: Column | str, n_hashes: int = 64) -> Column:
     """Spark-only MinHash via seeded xxhash64 (array<bigint>): the
-    production path — one 64-bit hash per (seed, shingle), JVM intrinsic."""
+    production path — one 64-bit hash per (seed, shingle), JVM intrinsic.
+    Same single-reference fold shape as :func:`minhash_signature`."""
     sh = _c(shingles)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i))
-        ),
+    seq = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    per = F.transform(
+        sh, lambda s: F.transform(seq, lambda i: F.xxhash64(s, i))
+    )
+    return _fold_elementwise_min(
+        per, F.array_repeat(F.lit(9223372036854775807).cast("bigint"), n_hashes)
     )
 
 
@@ -181,20 +213,47 @@ def blocked_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     threshold: float = 0.8,
+    df_cap: int = 500,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking —
     no cartesian product (SURVEY §7 risk register: pair-generation blowup).
 
-    explode(shingles) → self-equi-join on the shingle → groupBy(pair)
-    count common → jaccard from per-doc set sizes. Distributes by shingle,
-    so the work is Σ freq(s)² over shingles — bounded for natural text;
-    a stopword-shingle frequency cap would bound it adversarially."""
+    Pairs come from a self-equi-join on exploded shingles whose document
+    frequency is ≤ ``df_cap`` (standard blocking hygiene: a hot shingle
+    contributes freq² join rows, so without the cap a boilerplate corpus
+    goes quadratic at 100×; with it the join work is bounded by df_cap ×
+    total postings). The hot-shingle list is tiny by construction —
+    broadcast anti-join, no extra shuffle of the postings.
+
+    Exactness without re-joining the shingle arrays: the capped join
+    yields c_cold = |cold(A) ∩ cold(B)|, and per-doc hot-shingle counts
+    h = |shingles| − |cold shingles| bound the unseen overlap:
+    c_cold ≤ c_true ≤ c_cold + min(h1, h2). When min(h1, h2) = 0 the
+    bound is tight and the Jaccard is computed from integer columns
+    alone; only pairs with both-docs-hot ambiguity AND an upper bound
+    crossing the threshold are verified against the full arrays — a
+    vanishing fraction, so the expensive array-payload join almost never
+    runs. Pairs sharing *only* hot shingles are excluded by construction
+    (they share nothing distinctive).
+
+    Scale: shuffles on the shingle key (uniform strings) for blocking and
+    one hash-agg on the pair key; nothing collects to the driver."""
     ex = docs.select(id_col, F.explode(shingle_col).alias("s"))
-    sizes = docs.select(
-        F.col(id_col), F.size(shingle_col).alias("n")
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    cold = ex.join(F.broadcast(hot), "s", "left_anti")
+    # per-doc totals and hot counts (h = n − cold postings)
+    sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("n"))
+    cold_counts = cold.groupBy(id_col).agg(F.count(F.lit(1)).alias("nc"))
+    stats = sizes.join(cold_counts, id_col, "left").select(
+        id_col, "n", (F.col("n") - F.coalesce("nc", F.lit(0))).alias("h")
+    )
+    a = cold.alias("a")
+    b = cold.alias("b")
     common = (
         a.join(
             b,
@@ -206,18 +265,36 @@ def blocked_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
-    return (
-        common.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6),
-        )
+    s1 = stats.select(
+        F.col(id_col).alias("d1"), F.col("n").alias("n1"), F.col("h").alias("h1")
+    )
+    s2 = stats.select(
+        F.col(id_col).alias("d2"), F.col("n").alias("n2"), F.col("h").alias("h2")
+    )
+    # no broadcast hint: the per-doc stats table scales with the corpus —
+    # AQE picks broadcast when it fits, shuffle-hash otherwise
+    scored = common.join(s1, "d1").join(s2, "d2")
+    hmin = F.least("h1", "h2")
+    c_ub = F.col("c") + hmin
+    jac_exact = F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6)
+    jac_ub = c_ub / (F.col("n1") + F.col("n2") - c_ub)
+    exact = (
+        scored.filter(hmin == 0)
+        .withColumn("jaccard", jac_exact)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
+    ambiguous = scored.filter((hmin > 0) & (jac_ub >= threshold)).select(
+        "d1", "d2"
+    )
+    verified = jaccard_verify_pairs(
+        ambiguous,
+        docs.select(id_col, shingle_col),
+        id_col=id_col,
+        feat_col=shingle_col,
+        threshold=threshold,
+    )
+    return exact.unionByName(verified)
 
 
 def minhash_lsh_pairs(
@@ -238,15 +315,22 @@ def minhash_lsh_pairs(
 
     Scale: the only shuffles are the band-key self-join (keys are md5
     strings — uniformly distributed, no skew) and the verify joins on
-    doc id. Nothing collects to the driver."""
+    doc id. Nothing collects to the driver.
+
+    The signature table is persisted before banding: it is consumed by
+    both sides of the self-join, and ``lsh_band_keys`` references the
+    signature once per band inside a lambda — against the cached
+    attribute that is a cheap slice, whereas against an inlined
+    expression it would recompute the MinHash ``bands`` times per row
+    (see :func:`token_shingles` on HOF re-evaluation)."""
     rows = n_hashes // bands
     sig_fn = minhash_signature_fast if fast else minhash_signature
-    with_keys = docs.select(
+    sigs = docs.select(
+        id_col, sig_fn(shingle_col, n_hashes).alias("_sig")
+    ).persist()
+    with_keys = sigs.select(
         id_col,
-        shingle_col,
-        F.explode(
-            lsh_band_keys(sig_fn(shingle_col, n_hashes), bands, rows)
-        ).alias("bk"),
+        F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk"),
     )
     lhs = with_keys.select(F.col(id_col).alias("d1"), "bk")
     rhs = with_keys.select(F.col(id_col).alias("d2"), "bk")

@@ -56,14 +56,27 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
        (shingling, MinHash) is CPU-heavy — classic cheap-scan/expensive-
        map shape that needs a manual fan-out; at 100 TB the scan itself
        provides the parallelism and the repartition is a no-op cost-wise.
+    3. the short-doc filter is ``size(toks) >= 3`` (same predicate as the
+       oracle's ``len(toks) >= 3``), **not** ``size(shingles) > 0``:
+       Catalyst pushes the filter below the repartition into the scan
+       stage with every column reference inlined, so a predicate over
+       ``shingles`` re-runs the whole tokenizer per ``element_at`` —
+       measured 28 s single-threaded at sf0.1 vs ~0.1 s for the
+       equivalent toks-size predicate (one tokenizer eval per row).
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.repartition(par, "doc_id")
         .withColumn("toks", tokens_col("text"))
+        .filter(F.size("toks") >= 3)
         .select("doc_id", token_shingles("toks", k=3).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        # persisted: q31 consumes this 3× (join sides + sizes), q32 2×
+        # (signature + verify), and the q31/q32 plans share one cache
+        # entry within a session. MEMORY_AND_DISK default — spills, never
+        # OOMs, and is the standard pattern for a reused expensive
+        # intermediate at any scale.
+        .persist()
     )
 
 
@@ -106,27 +119,33 @@ def q30_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
     e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-    sz AS (SELECT doc_id, len(sh) AS n FROM sh),
-    common AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+    hot AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) > 500),
+    cold AS (SELECT * FROM e WHERE s NOT IN (SELECT s FROM hot)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
     )
     SELECT d1, d2,
-           ROUND(c / (s1.n + s2.n - c), 6) AS jaccard
-    FROM common
-    JOIN sz s1 ON d1 = s1.doc_id
-    JOIN sz s2 ON d2 = s2.doc_id
-    WHERE c / (s1.n + s2.n - c) >= 0.8
+           ROUND(len(list_intersect(x.sh, y.sh))
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                 6) AS jaccard
+    FROM cand
+    JOIN sh x ON d1 = x.doc_id
+    JOIN sh y ON d2 = y.doc_id
+    WHERE ROUND(len(list_intersect(x.sh, y.sh))
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                6) >= 0.8
     """,
 )
 def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-Jaccard near-dup pairs via shared-shingle blocking —
-    never a cartesian product (J4/P4 reimagined for text; SURVEY §7 risk
-    register: pair blowup). Work ∝ Σ freq(shingle)², distributed on the
-    shingle key."""
+    """Exact 3-gram-Jaccard near-dup pairs via shared-shingle blocking
+    with a hot-shingle frequency cap (df ≤ 500) — never a cartesian
+    product, and bounded even on boilerplate corpora (J4/P4 reimagined
+    for text; SURVEY §7 risk register: pair blowup). Candidates from the
+    capped blocking join, values from exact verification over the full
+    shingle sets — the oracle mirrors both steps."""
     return blocked_jaccard_pairs(
-        _doc_shingles(spark, sf_dir), threshold=0.8
+        _doc_shingles(spark, sf_dir), threshold=0.8, df_cap=500
     )
 
 
@@ -149,8 +168,9 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand
     JOIN shs x ON d1 = x.doc_id
     JOIN shs y ON d2 = y.doc_id
-    WHERE len(list_intersect(x.sh, y.sh))
-          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    WHERE ROUND(len(list_intersect(x.sh, y.sh))
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+                6) >= 0.8
     """,
 )
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,13 +200,13 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id,
-           list_sum(list_transform(range(0, 16), j ->
+           CAST(list_sum(list_transform(range(0, 16), j ->
                CASE WHEN 2 * len(list_filter(hs, h ->
                         ((strpos('0123456789abcdef',
                                  substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
                          // (8 >> CAST(j % 4 AS INT))) % 2 = 1)) > n
                     THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
-               AS simhash
+               AS BIGINT) AS simhash
     FROM h
     """,
 )
