@@ -228,13 +228,15 @@ def test_extended_fit_predict(spark, train, avgs):  # noqa: F811
     )
 
     model = fit_extended(train, FX.businesses_df(spark), top_k=20)
-    # user profile is the mean of rated-business embeddings: u1 rated
-    # b1,b2,b3 → cat:Restaurants appears in all three → mean 1.0
+    # user profile divides the element-wise sum by the rated-business
+    # count (reference average_vects): u1 rated b1,b2,b3 →
+    # cat:Restaurants in all three → 1.0; cat:Mexican only in b1 → 1/3
     up = {
         (r.user_id, r.feature): r.value
         for r in model["user_profile"].collect()
     }
     assert up[("u1", "cat:Restaurants")] == 1.0
+    assert abs(up[("u1", "cat:Mexican")] - 1.0 / 3.0) < 1e-12
     got = _by_pair(
         predict_extended(FX.test_pairs_df(spark), model, *avgs).collect()
     )

@@ -51,10 +51,15 @@ def corated_weights(
     """Pairwise similarity weights over co-rating contexts.
 
     Output: (e1, e2, n_common, pearson, cosine, jaccard) for e1 < e2 with
-    ≥ ``min_corated`` shared contexts (P4). Semantics match the reference:
+    ≥ ``min_corated`` shared contexts (P4). Semantics:
 
-    - pearson over the co-rated sub-vectors (``utils/metrics.py:72-94``),
-      zero-variance → 0.0;
+    - pearson over the co-rated sub-vectors, following the user-CF form
+      (``utils/metrics.py:72-94``), zero-variance → 0.0. Documented
+      divergence: the reference's *item*-CF runs scipy ``pearsonr`` over
+      full dense vectors including zeros for non-raters
+      (``item_cf_model.py:154-157``), so item-CF weights differ
+      numerically from that model — the co-rated form is the standard
+      CF similarity and is used here for both orientations;
     - cosine over the FULL sparse vectors (sklearn on scipy matrices,
       ``item_cf_model.py:158-161``): dot ranges over common contexts
       (zeros elsewhere), norms over each entity's full vector;

@@ -15,10 +15,15 @@ Two deliberate fixes over the reference:
   the per-user average (``:156-169``, a driver loop there) is an
   explode-join-aggregate.
 
-Encoding parity with the reference (``:7-8,17,22-48``): ordinals are
-``index+1`` in their value list; booleans are ``int(v)+1`` (False→1,
-True→2) so "present but false" is distinguishable from "absent" (0 /
-missing row).
+Encoding (documented divergence from the reference ``:7-8,17,22-48``):
+ordinals here are ``index+1`` over severity-ordered value lists
+(``none < beer_and_wine < full_bar``; ``quiet < average < loud <
+very_loud``) and booleans are ``int(v)+1`` (False→1, True→2), reserving
+0 for "absent" so a missing long-form row is distinguishable from a
+present-but-false value. The reference uses 0-based indices over
+differently-ordered lists (``['full_bar','beer_and_wine','none']``,
+``['quiet','loud','average','very_loud']``), so individual ordinal
+values differ; the feature *space* and sparsity semantics are the same.
 """
 
 from __future__ import annotations
@@ -176,9 +181,15 @@ def fit_extended(
     (``extended_content_model.py:129-137``); user profile = element-wise
     mean of the user's rated-business embeddings (``:156-169``, A11).
 
+    The per-user mean divides the element-wise *sum* by the user's
+    rated-business count — matching the reference's ``average_vects``
+    (``:156-169``), where a feature absent from a rated business
+    contributes 0 to that coordinate (a category in 1 of 3 rated
+    businesses averages to 1/3, not 1).
+
     Scale: the user average is explode(ratings ⋈ biz-embedding) →
-    groupBy(user, feature) avg — fully distributed; the reference held
-    every profile in a driver dict."""
+    groupBy(user, feature) sum ⋈ per-user count — fully distributed; the
+    reference held every profile in a driver dict."""
     from yelp_recommender_spark.models.content_based import fit_content
 
     tfidf_profiles = fit_content(reviews, top_k=top_k, variant="continuous")
@@ -191,12 +202,20 @@ def fit_extended(
         business, categories_allow
     ).unionByName(tfidf_rows)
 
+    rated = reviews.select("user_id", "business_id").distinct()
+    n_rated = rated.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n_rated")
+    )
     user_profile = (
-        reviews.select("user_id", "business_id")
-        .distinct()
-        .join(biz_embedding, "business_id")
+        rated.join(biz_embedding, "business_id")
         .groupBy("user_id", "feature")
-        .agg(F.avg("value").alias("value"))
+        .agg(F.sum("value").alias("_sum"))
+        .join(n_rated, "user_id")
+        .select(
+            "user_id",
+            "feature",
+            (F.col("_sum") / F.col("_n_rated")).alias("value"),
+        )
     )
     return {"biz_embedding": biz_embedding, "user_profile": user_profile}
 

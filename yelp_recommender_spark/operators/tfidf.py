@@ -64,7 +64,7 @@ def tfidf(
     tokens_long: DataFrame,
     id_col: str = "doc_id",
     token_col: str = "token",
-    n_docs: int | None = None,
+    n_docs: int | DataFrame | None = None,
     min_df: int = 0,
     max_norm: bool = False,
 ) -> DataFrame:
@@ -72,12 +72,28 @@ def tfidf(
 
     The df side is vocabulary-sized → broadcast to avoid shuffling the
     big (doc, token) table a second time.
-    """
+
+    ``n_docs`` may be a 1-row/1-column DataFrame (the corpus count as a
+    plan, e.g. ``docs.agg(count(*))``): it is broadcast-cross-joined in
+    as a scalar, keeping the whole computation one job instead of a
+    separate driver-side ``count()`` action before the real query."""
     if n_docs is None:
         n_docs = tokens_long.select(id_col).distinct().count()
     tf = term_frequency(tokens_long, id_col, token_col, max_norm=max_norm)
     df_tbl = document_frequency(tokens_long, id_col, token_col, min_df=min_df)
-    return tf.join(F.broadcast(df_tbl), token_col).withColumn(
+    joined = tf.join(F.broadcast(df_tbl), token_col)
+    if isinstance(n_docs, DataFrame):
+        scalar = n_docs.toDF("_n_docs")
+        return (
+            joined.join(F.broadcast(scalar))
+            .withColumn(
+                "tfidf",
+                F.col("tf")
+                * F.log2(F.col("_n_docs").cast("double") / F.col("df")),
+            )
+            .drop("_n_docs")
+        )
+    return joined.withColumn(
         "tfidf", F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df"))
     )
 

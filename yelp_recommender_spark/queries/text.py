@@ -44,10 +44,17 @@ EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is"]
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: the documents file is one thin scan split but the
     # token work downstream is CPU-bound — fan out to all cores (no-op
-    # at real scale where the scan has many splits)
+    # at real scale where the scan has many splits). Persisted: seven
+    # text queries share this exact plan within a session (q20-q26), and
+    # q22's tf/df aggregates both consume it — one tokenization pass
+    # instead of one per aggregate (MEMORY_AND_DISK: spills, never OOMs).
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par, "doc_id").withColumn("toks", tokens_col("text"))
+    return (
+        docs.repartition(par, "doc_id")
+        .withColumn("toks", tokens_col("text"))
+        .persist()
+    )
 
 
 # --------------------------------------------------------------------------
@@ -137,10 +144,12 @@ def q22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``content_based_model.py:146-176``) with deterministic tie-breaks.
 
     Scale: two hash aggregates + a broadcast of the vocabulary-sized DF
-    table + TakeOrderedAndProject — never a full sort.
+    table + TakeOrderedAndProject — never a full sort. The corpus count
+    is a broadcast scalar folded into the plan, not a separate driver
+    ``count()`` action.
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)))
     long = _docs_tokens(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("token")
     )

@@ -15,6 +15,7 @@ Scale notes (the whole point of the streaming surface):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -50,8 +51,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(src):
         stream_dir = src
     else:
+        # stable digest (not Python's per-process-randomized hash()) so
+        # reruns reuse one staging dir instead of leaking a new one each
+        digest = hashlib.md5(src.encode()).hexdigest()[:8]
         stream_dir = os.path.join(
-            tempfile.gettempdir(), f"events_stream_{abs(hash(src))}"
+            tempfile.gettempdir(), f"events_stream_{digest}"
         )
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, "events.parquet")
