@@ -7,9 +7,10 @@ Differences from the reference, by design:
 - ID encoding: the reference dictionary-encodes string ids with
   ``zipWithIndex().collectAsMap()`` + driver-side extension for unseen
   test ids (``als_recommender.py:58-67,110-115``) — unbounded driver
-  state. Here :class:`~pyspark.ml.feature.StringIndexer` with
-  ``handleInvalid='keep'`` does both distributedly; numeric ids pass
-  through.
+  state. Here :func:`train_als_indexed`/:func:`predict_als_indexed` use
+  :class:`~pyspark.ml.feature.StringIndexer` with
+  ``handleInvalid='keep'`` for both; :func:`train_als` is the fast path
+  for already-numeric ids (int cast, no indexer).
 - Cold start: ``coldStartStrategy='nan'`` + the engine's coalesce ladder
   (ū → b̄ → 2.5) instead of a flat ``fillna(2.5)``
   (``als_recommender.py:130``) — strictly more informative, tagged for
@@ -62,6 +63,125 @@ def train_als(
             F.col("business_id").cast("int").alias("business_id"),
             "stars",
         )
+    )
+
+
+def fit_id_indexers(
+    train: DataFrame, user_col: str = "user_id", item_col: str = "business_id"
+):
+    """Dictionary-encode string ids for ALS (W3) — the reference does this
+    driver-side with ``zipWithIndex().collectAsMap()`` plus a manual
+    extension for unseen test ids
+    (``/root/reference/scripts/als_recommender.py:58-67,110-115``). Here
+    :class:`~pyspark.ml.feature.StringIndexer` with
+    ``handleInvalid='keep'`` covers both: training ids get dense indices,
+    and any id first seen at predict time maps to the reserved extra
+    bucket, which has no trained factor → NaN prediction → the cold-start
+    ladder. (The reference gives each unseen id its *own* new index; all
+    of them predict NaN either way, so collapsing them into one bucket is
+    behavior-identical — documented divergence.)
+
+    Returns (user_indexer_model, item_indexer_model), both MLWritable for
+    :mod:`~yelp_recommender_spark.models.persistence`."""
+    from pyspark.ml.feature import StringIndexer
+
+    src = train.select(
+        F.col(user_col).cast("string").alias("_u_str"),
+        F.col(item_col).cast("string").alias("_b_str"),
+    )
+    ui = StringIndexer(
+        inputCol="_u_str", outputCol="_u_idx", handleInvalid="keep"
+    ).fit(src)
+    bi = StringIndexer(
+        inputCol="_b_str", outputCol="_b_idx", handleInvalid="keep"
+    ).fit(src)
+    return ui, bi
+
+
+def _encode_ids(
+    df: DataFrame,
+    ui,
+    bi,
+    user_col: str = "user_id",
+    item_col: str = "business_id",
+) -> DataFrame:
+    enc = df.withColumn("_u_str", F.col(user_col).cast("string")).withColumn(
+        "_b_str", F.col(item_col).cast("string")
+    )
+    enc = bi.transform(ui.transform(enc))
+    return (
+        enc.withColumn("_u_idx", F.col("_u_idx").cast("int"))
+        .withColumn("_b_idx", F.col("_b_idx").cast("int"))
+        .drop("_u_str", "_b_str")
+    )
+
+
+def train_als_indexed(
+    train: DataFrame,
+    rank: int = 10,
+    reg: float = 0.2,
+    max_iter: int = 10,
+    seed: int = 42,
+    user_col: str = "user_id",
+    item_col: str = "business_id",
+) -> dict:
+    """ALS over arbitrary (string or numeric) ids: fit the id indexers on
+    train, fit ALS on the encoded indices. Returns a persistable bundle
+    {user_indexer, item_indexer, als} (all MLWritable)."""
+    from pyspark.ml.recommendation import ALS
+
+    ui, bi = fit_id_indexers(train, user_col, item_col)
+    enc = _encode_ids(train, ui, bi, user_col, item_col)
+    als = ALS(
+        rank=rank,
+        regParam=reg,
+        maxIter=max_iter,
+        seed=seed,
+        userCol="_u_idx",
+        itemCol="_b_idx",
+        ratingCol="stars",
+        coldStartStrategy="nan",
+    ).fit(enc.select("_u_idx", "_b_idx", "stars"))
+    return {"user_indexer": ui, "item_indexer": bi, "als": als}
+
+
+def predict_als_indexed(
+    bundle: dict,
+    test: DataFrame,
+    user_avg: DataFrame,
+    biz_avg: DataFrame,
+    default: float = DEFAULT_STARS,
+    user_col: str = "user_id",
+    item_col: str = "business_id",
+) -> DataFrame:
+    """ALS transform through the id indexers + cold-start ladder; output
+    keeps the ORIGINAL id columns (the averages join on them), matching
+    :func:`predict_als`'s (user_id, business_id, stars, decision)."""
+    enc = _encode_ids(
+        test.select(user_col, item_col),
+        bundle["user_indexer"],
+        bundle["item_indexer"],
+        user_col,
+        item_col,
+    )
+    scored = bundle["als"].transform(enc)
+    als_score = F.when(~F.isnan("prediction"), F.col("prediction"))
+    j = (
+        scored.join(F.broadcast(user_avg), user_col, "left")
+        .join(F.broadcast(biz_avg), item_col, "left")
+        .withColumn("_als", als_score)
+    )
+    decision = (
+        F.when(F.col("_als").isNotNull(), "als")
+        .when(F.col("user_avg").isNotNull(), "usr_avg")
+        .when(F.col("biz_avg").isNotNull(), "biz_avg")
+        .otherwise("default")
+    )
+    return j.select(
+        user_col,
+        item_col,
+        F.coalesce("_als", "user_avg", "biz_avg", F.lit(default)).alias("stars"),
+        decision.alias("decision"),
     )
 
 
