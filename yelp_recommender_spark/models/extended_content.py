@@ -176,10 +176,23 @@ def fit_extended(
     business: DataFrame,
     top_k: int = 200,
     categories_allow: list[str] | None = None,
+    with_text: bool = True,
+    normalize: bool = True,
 ) -> dict[str, DataFrame]:
     """Business embedding = [categories | attributes | TF-IDF] long rows
     (``extended_content_model.py:129-137``); user profile = element-wise
     mean of the user's rated-business embeddings (``:156-169``, A11).
+
+    ``with_text=False`` drops the TF-IDF block (categories + attributes
+    only — every weight is then a small integer, so the profile sums are
+    exact in any summation order). ``normalize=False`` keeps the raw
+    element-wise sums instead of dividing by the rated-business count:
+    cosine similarity is invariant to uniformly scaling one vector, so
+    downstream predictions are mathematically identical, and with
+    ``with_text=False`` the weights stay integers — the
+    oracle-reproducibility property the q58 catalog entry relies on
+    (non-integer weights would hit engine-specific rounding when cast to
+    DECIMAL inside the dot/norm aggregates).
 
     The per-user mean divides the element-wise *sum* by the user's
     rated-business count — matching the reference's ``average_vects``
@@ -190,33 +203,35 @@ def fit_extended(
     Scale: the user average is explode(ratings ⋈ biz-embedding) →
     groupBy(user, feature) sum ⋈ per-user count — fully distributed; the
     reference held every profile in a driver dict."""
-    from yelp_recommender_spark.models.content_based import fit_content
+    biz_embedding = encode_business_features(business, categories_allow)
+    if with_text:
+        from yelp_recommender_spark.models.content_based import fit_content
 
-    tfidf_profiles = fit_content(reviews, top_k=top_k, variant="continuous")
-    tfidf_rows = tfidf_profiles["biz_profile"].select(
-        "business_id",
-        F.concat(F.lit("tok:"), F.col("token")).alias("feature"),
-        F.col("w").alias("value"),
-    )
-    biz_embedding = encode_business_features(
-        business, categories_allow
-    ).unionByName(tfidf_rows)
+        tfidf_profiles = fit_content(reviews, top_k=top_k, variant="continuous")
+        tfidf_rows = tfidf_profiles["biz_profile"].select(
+            "business_id",
+            F.concat(F.lit("tok:"), F.col("token")).alias("feature"),
+            F.col("w").alias("value"),
+        )
+        biz_embedding = biz_embedding.unionByName(tfidf_rows)
 
     rated = reviews.select("user_id", "business_id").distinct()
-    n_rated = rated.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("_n_rated")
-    )
-    user_profile = (
-        rated.join(biz_embedding, "business_id")
-        .groupBy("user_id", "feature")
-        .agg(F.sum("value").alias("_sum"))
-        .join(n_rated, "user_id")
-        .select(
+    sums = rated.join(biz_embedding, "business_id").groupBy(
+        "user_id", "feature"
+    ).agg(F.sum("value").alias("_sum"))
+    if not normalize:
+        user_profile = sums.select(
+            "user_id", "feature", F.col("_sum").alias("value")
+        )
+    else:
+        n_rated = rated.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("_n_rated")
+        )
+        user_profile = sums.join(n_rated, "user_id").select(
             "user_id",
             "feature",
             (F.col("_sum") / F.col("_n_rated")).alias("value"),
         )
-    )
     return {"biz_embedding": biz_embedding, "user_profile": user_profile}
 
 

@@ -465,3 +465,149 @@ def q57_hybrid_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         model, _test_pairs(test), user_avg, biz_avg, gmean
     )
     return predict_hybrid(reg, feats_test)
+
+
+# --------------------------------------------------------------------------
+# q58: extended content model (F4/F5/F6 + A11) — the business dimension is
+# synthesized deterministically from `part` in the exact Yelp attribute
+# string grammar, so the Spark side exercises the real no-eval parsers
+# (quote-stripped ordinals, True/False booleans, {'k': bool} dicts) while
+# the oracle, knowing the synthesis rule, states each encoded value
+# directly. Weights stay small integers (with_text=False, normalize=False;
+# cosine is scale-invariant — see fit_extended) so every decimal cast in
+# the dot/norm aggregates is exact in both engines.
+_DUCK_EXT = f"""
+    biz AS (SELECT p_partkey AS business_id, p_brand, p_type, p_size
+            FROM part),
+    feats AS (
+        SELECT business_id, 'cat:' || p_brand AS feature,
+               CAST(1.0 AS DOUBLE) AS value FROM biz
+        UNION ALL SELECT business_id, 'cat:' || p_type,
+               CAST(1.0 AS DOUBLE) FROM biz
+        UNION ALL SELECT business_id, 'attr:Alcohol',
+               CAST(p_size % 3 + 1 AS DOUBLE) FROM biz
+        UNION ALL SELECT business_id, 'attr:GoodForKids',
+               CAST(CASE WHEN p_size % 2 = 0 THEN 2 ELSE 1 END AS DOUBLE)
+               FROM biz
+        UNION ALL SELECT business_id, 'attr:NoiseLevel',
+               CAST(p_size % 4 + 1 AS DOUBLE) FROM biz
+        UNION ALL SELECT business_id, 'attr:Music_dj',
+               CAST(CASE WHEN p_size % 2 = 0 THEN 2 ELSE 1 END AS DOUBLE)
+               FROM biz
+        UNION ALL SELECT business_id, 'attr:Music_live',
+               CAST(2.0 AS DOUBLE) FROM biz
+    ),
+    rated AS (SELECT DISTINCT user_id, business_id FROM train),
+    uprof AS (
+        SELECT r.user_id, f.feature, SUM(f.value) AS w
+        FROM rated r JOIN feats f USING (business_id)
+        GROUP BY 1, 2
+    ),
+    unorm AS (
+        SELECT user_id,
+               SQRT(CAST(SUM(CAST(w * w AS DECIMAL(27,12))) AS DOUBLE)) AS nu
+        FROM uprof GROUP BY 1
+    ),
+    bnorm AS (
+        SELECT business_id,
+               SQRT(CAST(SUM(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE))
+                   AS nb
+        FROM feats GROUP BY 1
+    ),
+    tp AS (SELECT DISTINCT user_id, business_id FROM test),
+    dots AS (
+        SELECT tp.user_id, tp.business_id,
+               CAST(SUM(CAST(u.w * f.value AS DECIMAL(27,12))) AS DOUBLE)
+                   AS dot
+        FROM tp
+        JOIN uprof u USING (user_id)
+        JOIN feats f ON f.business_id = tp.business_id
+                    AND f.feature = u.feature
+        GROUP BY 1, 2
+    ),
+    cosines AS (
+        SELECT tp.user_id, tp.business_id,
+               ROUND(CASE WHEN dot IS NULL OR nu IS NULL OR nb IS NULL
+                            OR nu = 0 OR nb = 0 THEN 0.0
+                          ELSE dot / (nu * nb) END, 6) AS cos
+        FROM tp
+        LEFT JOIN dots USING (user_id, business_id)
+        LEFT JOIN unorm USING (user_id)
+        LEFT JOIN bnorm USING (business_id)
+    )
+"""
+
+
+@query(
+    "q58_extended_content_predict",
+    oracle=f"""
+    WITH {DUCK_AVGS}, {_DUCK_EXT}
+    SELECT c.user_id, c.business_id,
+           COALESCE(
+               CASE WHEN user_avg IS NOT NULL AND biz_avg IS NOT NULL
+                    THEN cos * user_avg + (1.0 - cos) * biz_avg END,
+               user_avg, biz_avg, 2.5) AS stars,
+           CASE WHEN user_avg IS NOT NULL AND biz_avg IS NOT NULL THEN 'cos'
+                WHEN user_avg IS NOT NULL THEN 'usr_avg'
+                WHEN biz_avg IS NOT NULL THEN 'biz_avg'
+                ELSE 'default' END AS decision
+    FROM cosines c
+    LEFT JOIN user_avg USING (user_id)
+    LEFT JOIN biz_avg USING (business_id)
+    """,
+)
+def q58_extended_content_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended content model (§3.1e): category one-hots + no-eval
+    attribute encodings (ordinal index+1, boolean int+1, nested-dict
+    booleans) → element-wise-sum user profiles → long-form cosine →
+    geometric rule + cold-start ladder. The attribute strings are
+    synthesized from `part` in Yelp's literal grammar, so the q58 path
+    runs the same parsers real Yelp data would."""
+    from yelp_recommender_spark.models.extended_content import (
+        ALCOHOL_VALUES,
+        NOISE_VALUES,
+        fit_extended,
+        predict_extended,
+    )
+
+    train, test = train_test_split(derive_ratings(spark, sf_dir))
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    alcohol_vals = F.array(*[F.lit(v) for v in ALCOHOL_VALUES])
+    noise_vals = F.array(*[F.lit(v) for v in NOISE_VALUES])
+    q = F.lit("'")
+    dj = F.when(F.col("p_size") % 2 == 0, F.lit("True")).otherwise(
+        F.lit("False")
+    )
+    business = part.select(
+        F.col("p_partkey").alias("business_id"),
+        F.concat_ws(", ", "p_brand", "p_type").alias("categories"),
+        F.create_map(
+            F.lit("Alcohol"),
+            F.concat(
+                q,
+                F.element_at(
+                    alcohol_vals, (F.col("p_size") % 3 + 1).cast("int")
+                ),
+                q,
+            ),
+            F.lit("GoodForKids"),
+            dj,
+            F.lit("NoiseLevel"),
+            F.concat(
+                q,
+                F.element_at(
+                    noise_vals, (F.col("p_size") % 4 + 1).cast("int")
+                ),
+                q,
+            ),
+            F.lit("Music"),
+            F.concat(F.lit("{'dj': "), dj, F.lit(", 'live': True}")),
+        ).alias("attributes"),
+    )
+    model = fit_extended(
+        train, business, with_text=False, normalize=False
+    )
+    user_avg, biz_avg = fit_avgs(train)
+    return predict_extended(
+        _test_pairs(test), model, user_avg, biz_avg, rule="geometric"
+    )
