@@ -95,3 +95,46 @@ def test_cosine_topk_matches_numpy(neardup_df, spark):  # noqa: F811
             for r in sorted(neigh, key=lambda r: r.rank)
         ]
         assert gotten == expect, f"query {q}: {gotten} != {expect}"
+
+
+def test_similarity_planner_routes_by_cardinality(neardup_df):
+    """cosine_pairs_above_auto: broadcast path under the limit, LSH +
+    exact re-score over it — with identical verified output on genuine
+    near-dups (the LSH regime)."""
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above,
+        cosine_pairs_above_auto,
+        cosine_pairs_above_lsh,
+    )
+
+    brute = sorted(
+        map(tuple, cosine_pairs_above(neardup_df, threshold=0.99).collect())
+    )
+    # limit above the table size -> exact broadcast path
+    via_broadcast = sorted(
+        map(
+            tuple,
+            cosine_pairs_above_auto(
+                neardup_df, threshold=0.99, broadcast_limit=10**6
+            ).collect(),
+        )
+    )
+    assert via_broadcast == brute
+    # limit below the table size -> LSH path, same verified output
+    via_lsh = sorted(
+        map(
+            tuple,
+            cosine_pairs_above_auto(
+                neardup_df, threshold=0.99, broadcast_limit=10
+            ).collect(),
+        )
+    )
+    assert via_lsh == brute
+    # and the LSH operator called directly agrees too
+    direct_lsh = sorted(
+        map(
+            tuple,
+            cosine_pairs_above_lsh(neardup_df, threshold=0.99).collect(),
+        )
+    )
+    assert direct_lsh == brute

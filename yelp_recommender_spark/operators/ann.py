@@ -228,3 +228,79 @@ def lsh_bucket_candidates(
         .select("id1", "id2")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# planner: broadcast-matmul vs LSH by index cardinality (SURVEY §4 item 1)
+# --------------------------------------------------------------------------
+# ~5M rows × 64-dim float64 ≈ 2.5 GB broadcast — the practical ceiling for
+# a comfortable executor-resident index; beyond it the plan must shuffle.
+DEFAULT_BROADCAST_INDEX_LIMIT = 5_000_000
+
+
+def cosine_pairs_above_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Beyond-broadcast near-dup pairs: SRP-LSH candidates re-scored with
+    the exact array cosine, filtered at the threshold. Same output
+    contract as :func:`cosine_pairs_above` (id1 < id2, cos rounded 6);
+    recall < 1 is possible for pairs barely above the threshold — the
+    collision probability (1-θ/π)^n_planes amplified over ``n_tables``
+    tables is ≈ 1 only for genuinely-close vectors, which is the regime
+    this operator is for.
+
+    Scale: candidates shuffle on (table, bucket); the re-score joins the
+    vector table twice on id. No broadcast, no driver state."""
+    from yelp_recommender_spark.functions.similarity import cosine_arrays
+
+    dim = len(df.select(vec_col).head()[0])
+    cand = lsh_bucket_candidates(
+        df, id_col, vec_col, n_planes=n_planes, dim=dim,
+        n_tables=n_tables, seed=seed,
+    )
+    v1 = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).cast("array<double>").alias("_v1"),
+    )
+    v2 = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).cast("array<double>").alias("_v2"),
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cos", F.round(cosine_arrays("_v1", "_v2"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
+def cosine_pairs_above_auto(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    broadcast_limit: int = DEFAULT_BROADCAST_INDEX_LIMIT,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cardinality-based similarity-join planner: broadcast-index matmul
+    (:func:`cosine_pairs_above`, exact) while the index fits an executor
+    (≤ ``broadcast_limit`` rows), SRP-LSH + exact re-score
+    (:func:`cosine_pairs_above_lsh`) beyond it. The count() that drives
+    the decision is a column-pruned scan — the same cardinality probe a
+    cost-based optimizer would issue."""
+    n = df.count()
+    if n <= broadcast_limit:
+        return cosine_pairs_above(df, id_col, vec_col, threshold)
+    return cosine_pairs_above_lsh(
+        df, id_col, vec_col, threshold,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )

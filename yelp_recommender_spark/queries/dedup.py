@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from yelp_recommender_spark.functions.exact_agg import dsum
 from yelp_recommender_spark.functions.text import tokens_col
-from yelp_recommender_spark.operators.ann import cosine_pairs_above
+from yelp_recommender_spark.operators.ann import cosine_pairs_above_auto
 from yelp_recommender_spark.operators.dedup import (
     blocked_jaccard_pairs,
     minhash_lsh_pairs,
@@ -238,9 +238,11 @@ def q33_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (all id1<id2 with cos ≥ 0.4).
 
-    Spark side: broadcast-index + Arrow-batch numpy matmul
-    (:func:`~yelp_recommender_spark.operators.ann.cosine_pairs_above`) —
-    float64 BLAS, ~1000× the throughput of per-row expression cosines.
-    The threshold is far from any rounding boundary of real pairs."""
+    Routed through the cardinality-based similarity-join planner
+    (:func:`~yelp_recommender_spark.operators.ann.cosine_pairs_above_auto`):
+    broadcast-index + Arrow-batch float64 matmul while the index fits an
+    executor, SRP-LSH + exact re-score beyond ~5M vectors. At test scale
+    the planner picks the exact broadcast path, so the oracle check stays
+    exhaustive; the LSH fallback is pinned by tests/test_ann.py."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return cosine_pairs_above(emb, threshold=0.4)
+    return cosine_pairs_above_auto(emb, threshold=0.4)
