@@ -1,0 +1,279 @@
+"""Config-driven train/predict lifecycle — the engine's counterpart to
+the reference's ``train.py`` / ``predict.py`` / ``config/config.py:10-32``
+entry points.
+
+Config is a JSON file with the same role as the reference's per-model
+configs (``/root/reference/config/config_base.json`` etc.):
+
+    {
+      "model": "baseline|content|extended|item_cf|user_cf|als|hybrid",
+      "training_data": "/path/reviews.json",     # JSON-lines reviews
+      "business_data": "/path/business.json",    # extended model only
+      "model_dir": "/path/weights/base_model",   # save/load root
+      "params": {"top_k": 200, "min_corated": 2, "k_neighbors": 10,
+                 "rank": 10, "reg": 0.2, "max_iter": 10}
+    }
+
+``train`` fits the configured family and persists everything predict
+needs (including the average tables for the cold-start ladder, and — for
+the CF families — the deduplicated rating table the scorer joins
+against, matching the reference's saved utility matrix). ``predict``
+reloads the directory in a fresh session, scores a JSON-lines test-pair
+file, and writes the reference's prediction contract
+{user_id, business_id, stars, decision} via the distributed JSON sink.
+
+Usage:
+
+    python -m yelp_recommender_spark.cli train   --config cfg.json
+    python -m yelp_recommender_spark.cli predict --config cfg.json \
+        --test-file test.json --output preds.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yelp_recommender_spark.models.persistence import load_model, save_model
+from yelp_recommender_spark.sources.readers import read_json
+from yelp_recommender_spark.sources.writers import write_predictions
+
+REVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("business_id", T.StringType()),
+        T.StructField("stars", T.DoubleType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("business_id", T.StringType()),
+    ]
+)
+BUSINESS_SCHEMA = T.StructType(
+    [
+        T.StructField("business_id", T.StringType()),
+        T.StructField("categories", T.StringType()),
+        T.StructField(
+            "attributes", T.MapType(T.StringType(), T.StringType())
+        ),
+    ]
+)
+
+MODELS = ("baseline", "content", "extended", "item_cf", "user_cf", "als", "hybrid")
+
+
+def load_config(path: str) -> dict:
+    with open(path) as fh:
+        cfg = json.load(fh)
+    if cfg.get("model") not in MODELS:
+        raise ValueError(f"config 'model' must be one of {MODELS}")
+    for key in ("training_data", "model_dir"):
+        if key not in cfg:
+            raise ValueError(f"config missing '{key}'")
+    cfg.setdefault("params", {})
+    return cfg
+
+
+# --------------------------------------------------------------------------
+def train(spark: SparkSession, cfg: dict) -> None:
+    """Fit the configured model family and persist it to model_dir."""
+    from yelp_recommender_spark.models.baseline import fit_avgs
+
+    p = cfg["params"]
+    reviews = read_json(spark, cfg["training_data"], REVIEW_SCHEMA)
+    user_avg, biz_avg = fit_avgs(reviews)
+    tables: dict[str, DataFrame] = {"user_avg": user_avg, "biz_avg": biz_avg}
+    ml: dict = {}
+    model = cfg["model"]
+
+    if model == "baseline":
+        pass
+    elif model == "content":
+        from yelp_recommender_spark.models.content_based import fit_content
+
+        prof = fit_content(
+            reviews,
+            top_k=int(p.get("top_k", 200)),
+            min_df=int(p.get("min_df", 1)),
+            variant=p.get("variant", "onehot"),
+        )
+        tables |= {k: v for k, v in prof.items() if v is not None}
+    elif model == "extended":
+        from yelp_recommender_spark.models.extended_content import fit_extended
+
+        if "business_data" not in cfg:
+            raise ValueError("extended model requires 'business_data'")
+        business = read_json(spark, cfg["business_data"], BUSINESS_SCHEMA)
+        ext = fit_extended(
+            reviews, business, top_k=int(p.get("top_k", 200))
+        )
+        tables |= ext
+    elif model in ("item_cf", "user_cf"):
+        from yelp_recommender_spark.models.cf import (
+            corated_weights,
+            dedup_ratings,
+            top_n_neighbors,
+        )
+
+        entity, context = (
+            ("business_id", "user_id")
+            if model == "item_cf"
+            else ("user_id", "business_id")
+        )
+        weights = corated_weights(
+            reviews,
+            entity,
+            context,
+            min_corated=int(p.get("min_corated", 2)),
+        )
+        tables["neighbors"] = top_n_neighbors(
+            weights, p.get("metric", "pearson"), n=int(p.get("k_neighbors", 10))
+        )
+        # the scorer joins the rating table at predict time — persist the
+        # deduplicated form (the reference's saved utility matrix)
+        tables["ratings"] = dedup_ratings(reviews, entity, context)
+    elif model == "als":
+        from yelp_recommender_spark.models.als_hybrid import train_als_indexed
+
+        ml |= train_als_indexed(
+            reviews,
+            rank=int(p.get("rank", 10)),
+            reg=float(p.get("reg", 0.2)),
+            max_iter=int(p.get("max_iter", 10)),
+        )
+    elif model == "hybrid":
+        from yelp_recommender_spark.models.als_hybrid import (
+            hybrid_features_indexed,
+            train_als_indexed,
+            train_hybrid_regressor,
+        )
+
+        bundle = train_als_indexed(
+            reviews,
+            rank=int(p.get("rank", 10)),
+            reg=float(p.get("reg", 0.2)),
+            max_iter=int(p.get("max_iter", 1)),
+        )
+        gmean = float(reviews.agg(F.avg("stars").alias("g")).head()["g"])
+        feats = hybrid_features_indexed(
+            bundle,
+            reviews.select("user_id", "business_id"),
+            user_avg,
+            biz_avg,
+            gmean,
+        ).join(
+            reviews.select("user_id", "business_id", "stars").distinct(),
+            ["user_id", "business_id"],
+        )
+        ml |= bundle
+        ml["blend"] = train_hybrid_regressor(feats)
+        tables["global_mean"] = spark.createDataFrame(
+            [(gmean,)], "global_mean double"
+        )
+    save_model(cfg["model_dir"], tables=tables, ml=ml)
+
+
+def predict(
+    spark: SparkSession, cfg: dict, test_file: str, output: str
+) -> DataFrame:
+    """Reload model_dir, score the test pairs, write the prediction
+    contract to ``output``; returns the prediction DataFrame."""
+    m = load_model(spark, cfg["model_dir"])
+    test = read_json(spark, test_file, PAIR_SCHEMA).select(
+        "user_id", "business_id"
+    ).distinct()
+    user_avg, biz_avg = m["user_avg"], m["biz_avg"]
+    model = cfg["model"]
+
+    if model == "baseline":
+        from yelp_recommender_spark.models.baseline import predict_baseline
+
+        preds = predict_baseline(test, user_avg, biz_avg)
+    elif model == "content":
+        from yelp_recommender_spark.models.content_based import predict_content
+
+        profiles = {
+            "vocab": m.get("vocab"),
+            "biz_profile": m["biz_profile"],
+            "user_profile": m["user_profile"],
+        }
+        preds = predict_content(test, profiles, user_avg, biz_avg)
+    elif model == "extended":
+        from yelp_recommender_spark.models.extended_content import (
+            predict_extended,
+        )
+
+        preds = predict_extended(
+            test,
+            {
+                "biz_embedding": m["biz_embedding"],
+                "user_profile": m["user_profile"],
+            },
+            user_avg,
+            biz_avg,
+        )
+    elif model == "item_cf":
+        from yelp_recommender_spark.models.cf import predict_item_cf
+
+        preds = predict_item_cf(
+            test, m["ratings"], m["neighbors"], user_avg, biz_avg
+        )
+    elif model == "user_cf":
+        from yelp_recommender_spark.models.cf import predict_user_cf
+
+        preds = predict_user_cf(
+            test, m["ratings"], m["neighbors"], user_avg, biz_avg
+        )
+    elif model == "als":
+        from yelp_recommender_spark.models.als_hybrid import (
+            predict_als_indexed,
+        )
+
+        preds = predict_als_indexed(m, test, user_avg, biz_avg)
+    elif model == "hybrid":
+        from yelp_recommender_spark.models.als_hybrid import (
+            hybrid_features_indexed,
+            predict_hybrid,
+        )
+
+        gmean = float(m["global_mean"].head()["global_mean"])
+        feats = hybrid_features_indexed(m, test, user_avg, biz_avg, gmean)
+        preds = predict_hybrid(m["blend"], feats)
+    else:  # pragma: no cover - load_config guards
+        raise ValueError(model)
+
+    write_predictions(preds, output)
+    return preds
+
+
+# --------------------------------------------------------------------------
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="yelp_recommender_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    tr = sub.add_parser("train")
+    tr.add_argument("--config", required=True)
+    pr = sub.add_parser("predict")
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--test-file", required=True)
+    pr.add_argument("--output", required=True)
+    args = ap.parse_args(argv)
+
+    from yelp_recommender_spark.session import get_spark
+
+    cfg = load_config(args.config)
+    spark = get_spark(app_name=f"yelp_recommender_{cfg['model']}")
+    if args.cmd == "train":
+        train(spark, cfg)
+    else:
+        predict(spark, cfg, args.test_file, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -256,6 +256,41 @@ def hybrid_features(
     )
 
 
+def hybrid_features_indexed(
+    bundle: dict,
+    pairs: DataFrame,
+    user_avg: DataFrame,
+    biz_avg: DataFrame,
+    global_mean: float,
+    user_col: str = "user_id",
+    item_col: str = "business_id",
+) -> DataFrame:
+    """[ALS, UAVG, BAVG] design matrix for arbitrary (string or numeric)
+    ids: ALS scores flow through the bundle's indexers while the average
+    joins stay on the ORIGINAL id columns (``hybrid_features`` int-casts
+    ids, which only works when ALS indices and avg keys coincide)."""
+    enc = _encode_ids(pairs, bundle["user_indexer"], bundle["item_indexer"],
+                      user_col, item_col)
+    scored = bundle["als"].transform(enc)
+    g = F.lit(global_mean)
+    ua = F.coalesce("user_avg", g)
+    ba = F.coalesce("biz_avg", g)
+    als_score = F.coalesce(
+        F.when(~F.isnan("prediction"), F.col("prediction")), (ua + ba) / 2
+    )
+    return (
+        scored.join(F.broadcast(user_avg), user_col, "left")
+        .join(F.broadcast(biz_avg), item_col, "left")
+        .select(
+            user_col,
+            item_col,
+            als_score.alias("als_score"),
+            ua.alias("user_avg"),
+            ba.alias("biz_avg"),
+        )
+    )
+
+
 def train_hybrid_regressor(features_with_label: DataFrame, seed: int = 42):
     """Fit the blend regressor on (als_score, user_avg, biz_avg) → stars."""
     from pyspark.ml.feature import VectorAssembler
