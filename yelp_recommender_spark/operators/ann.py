@@ -162,32 +162,77 @@ def cosine_topk(
 # --------------------------------------------------------------------------
 # LSH (sign random projection) — the beyond-broadcast scale path
 # --------------------------------------------------------------------------
-def srp_bucket(
-    vec_col: str,
+def _srp_planes(
+    n_planes: int, dim: int, n_tables: int, seed: int
+) -> np.ndarray:
+    """Stacked hyperplane matrix, (n_tables·n_planes, dim) float64.
+
+    Table ``t`` uses ``default_rng(seed + t)`` — per-table seeds so
+    adding tables never perturbs existing bucket assignments."""
+    return np.concatenate(
+        [
+            np.random.default_rng(seed + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def srp_bucket_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 4,
     seed: int = 42,
-) -> "F.Column":
-    """Sign-random-projection bucket id (0..2^n_planes-1) as a Column.
+) -> DataFrame:
+    """(id, bucket) rows — ``n_tables`` per input row, bucket key
+    ``"{table}#{bucket_id}"`` where bucket_id packs the sign bits of the
+    ``n_planes`` projections (bit ``p`` set iff dot(vec, plane_p) ≥ 0).
 
-    Hyperplanes are deterministic pseudo-randoms derived from (seed,
-    plane, dim) via a hash — identical on every executor with no
-    broadcast at all. Two vectors land in the same bucket iff they agree
-    on the sign of all ``n_planes`` projections; P(collision) =
-    (1 - θ/π)^n_planes.
-    """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    acc = F.lit(0)
-    for p in range(n_planes):
-        coeffs = F.array(*[F.lit(float(x)) for x in planes[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), coeffs, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return acc
+    All n_tables × n_planes projections are computed as ONE float64
+    matmul per Arrow batch against a broadcast (n_tables·n_planes, dim)
+    plane matrix — vectorized, JVM→Arrow→numpy, no per-row expression
+    trees. (Round-2 shipped this as interpreted ``F.aggregate(zip_with)``
+    higher-order functions, ~n_tables·n_planes·dim interpreted ops per
+    row; this is the same math at batch granularity.)
+
+    Scale: map-only — no shuffle, no driver state beyond the tiny plane
+    broadcast (n_tables·n_planes·dim·8 bytes)."""
+    spark = df.sparkSession
+    planes = _srp_planes(n_planes, dim, n_tables, seed)
+    b = spark.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("bucket", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = b.value  # (n_tables·n_planes, dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, dim)
+            signs = (q @ P.T) >= 0.0  # (B, n_tables·n_planes)
+            bits = signs.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # (B, n_tables)
+            out_ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables), len(pdf))
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "bucket": [
+                        f"{t}#{v}"
+                        for t, v in zip(tables, buckets.ravel())
+                    ],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def lsh_bucket_candidates(
@@ -205,21 +250,8 @@ def lsh_bucket_candidates(
 
     Scale: no broadcast index — both sides shuffle on (table, bucket).
     Feed the result to an exact re-scorer (cosine on joined vectors)."""
-    keyed = df.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{t}#"),
-                        srp_bucket(vec_col, n_planes, dim, seed + t).cast(
-                            "string"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bucket"),
+    keyed = srp_bucket_assignments(
+        df, id_col, vec_col, n_planes, dim, n_tables, seed
     )
     a = keyed.select(F.col(id_col).alias("id1"), "bucket")
     b = keyed.select(F.col(id_col).alias("id2"), "bucket")
