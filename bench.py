@@ -38,6 +38,11 @@ def main() -> None:
     # warm the JVM + parquet footer cache once so per-query numbers measure
     # execution, not first-touch JIT.
     QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
+    # warm the Python worker pool: the first Arrow-batched query otherwise
+    # pays daemon spawn + numpy/pandas import across all cores (measured
+    # ~15 s on local[32]) — harness overhead, not plan cost.
+    ncpu = spark.sparkContext.defaultParallelism
+    spark.range(0, ncpu, 1, ncpu).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

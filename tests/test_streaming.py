@@ -9,12 +9,11 @@ from tests.conftest import SF_DIR, spark  # noqa: F401 (fixture)
 
 
 def _batch_events(spark):  # noqa: F811
+    from yelp_recommender_spark.functions.eventtime import epoch_us
     from yelp_recommender_spark.sources.tables import load_tables
 
     ev = load_tables(spark, SF_DIR, ["events"])["events"]
-    return ev.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return ev.withColumn("event_ts", F.timestamp_micros(epoch_us(ev, "ts")))
 
 
 def test_hourly_counts_match_batch(spark):  # noqa: F811

@@ -91,7 +91,13 @@ def synthesize_media(
 ) -> DataFrame:
     """Deterministic fake media table matching MEDIA_SCHEMA (test input;
     a real pipeline reads payloads from object storage via
-    ``spark.read.format('binaryFile')``)."""
+    ``spark.read.format('binaryFile')``, where
+    ``spark.sql.files.maxPartitionBytes`` sizes partitions to the data).
+
+    Partition count is sized to the row count (≥16 rows per partition)
+    rather than ``defaultParallelism``: a 64-row fixture sliced 32 ways
+    spawns 32 Python workers for 2 rows each — pure cold-start overhead
+    (measured 17 s vs 3 s at first touch on local[32])."""
     rows = []
     for i in range(n):
         if kind == "image":
@@ -109,7 +115,8 @@ def synthesize_media(
         else:
             raise ValueError(kind)
         rows.append((i, kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    n_parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts)
 
 
 # --------------------------------------------------------------------------
@@ -129,17 +136,24 @@ def extract_image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
     fn for CLIP/ResNet inference inside the same batch loop)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar zip, not iterrows: images are variable-size so the
+        # decode is per-row, but per-row work is pure numpy (mean +
+        # bincount); no pandas row objects are materialized.
         for pdf in batches:
             ids, feats = [], []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            for mid, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
                 img = _fake_decode_image(
-                    bytes(row["payload"]), m["width"], m["height"], m["channels"]
+                    bytes(payload), m["width"], m["height"], m["channels"]
                 )
                 means = img.reshape(-1, img.shape[2]).mean(axis=0) / 255.0
-                hist, _ = np.histogram(img, bins=n_bins, range=(0, 255))
+                hist = np.bincount(
+                    (img.ravel().astype(np.int64) * n_bins) // 256,
+                    minlength=n_bins,
+                ).astype(np.float64)
                 hist = hist / hist.sum()
-                ids.append(row["media_id"])
+                ids.append(mid)
                 feats.append(np.concatenate([means, hist]).tolist())
             yield pd.DataFrame({"media_id": ids, "features": feats})
 
@@ -156,18 +170,19 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            for mid, knd, payload, m in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
                 img = _fake_decode_image(
-                    bytes(row["payload"]), m["width"], m["height"], m["channels"]
+                    bytes(payload), m["width"], m["height"], m["channels"]
                 )
                 ys = (np.arange(out_h) * m["height"] // out_h).astype(int)
                 xs = (np.arange(out_w) * m["width"] // out_w).astype(int)
                 resized = img[np.ix_(ys, xs)]
                 out_rows.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": mid,
+                        "kind": knd,
                         "payload": bytearray(resized.tobytes()),
                         "meta": {
                             "width": out_w,
@@ -200,12 +215,13 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, payloads = [], [], []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            for mid, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
                 frame_bytes = m["width"] * m["height"] * m["channels"]
-                raw = bytes(row["payload"])
+                raw = bytes(payload)
                 for k in range(0, int(m["n_frames"]), every_n):
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(k)
                     payloads.append(
                         bytearray(raw[k * frame_bytes : (k + 1) * frame_bytes])
@@ -235,13 +251,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
-                n = len(bytes(row["payload"])) // 2
-                wave = _fake_decode_audio(bytes(row["payload"]), n)
+            for mid, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload)
+                n = len(raw) // 2
+                wave = _fake_decode_audio(raw, n)
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "rms": float(np.sqrt((wave**2).mean())),
                         "zero_crossings": int(
                             (np.diff(np.signbit(wave)) != 0).sum()

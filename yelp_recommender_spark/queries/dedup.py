@@ -102,8 +102,9 @@ def q30_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries/partitioning, so the engine's canonical dedup is the
     row_number window (deterministic at any scale). One shuffle on the
     dedup key; the aggregate reuses nothing — low-cardinality regroup."""
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
-    ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    from yelp_recommender_spark.functions.eventtime import with_ts_us
+
+    ev = with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
     w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
     kept = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return kept.groupBy("event_type").agg(

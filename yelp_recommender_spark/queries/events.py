@@ -3,11 +3,12 @@ dedup. These are the *batch* semantics of the streaming operators in
 :mod:`yelp_recommender_spark.streaming` (no streaming in the reference —
 SURVEY.md §2.11 — so this surface is greenfield, designed Spark-first).
 
-Timestamp parity note: events.ts is INT64 TIMESTAMP(NANOS) parquet. Spark
-reads it as raw nanos (legacy conf, see sources.tables); DuckDB truncates
+Timestamp parity note: events.ts is INT64 TIMESTAMP(NANOS) parquet; the
+representation Spark surfaces is version-dependent (raw-nanos LONG under
+the legacy conf, TIMESTAMP_NTZ natively on 4.1+) while DuckDB truncates
 to µs. All time arithmetic therefore runs on integer epoch-microseconds
-(``ts div 1000`` vs ``epoch_us(ts)``) — exact on both engines, no float
-boundaries, timezone-free.
+derived by :func:`~yelp_recommender_spark.functions.eventtime.epoch_us`
+— exact on both engines, no float boundaries, timezone-free.
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from yelp_recommender_spark.functions.eventtime import with_ts_us
 from yelp_recommender_spark.functions.exact_agg import davg, dsum
 from yelp_recommender_spark.queries.registry import query
 from yelp_recommender_spark.sources.tables import load_tables
@@ -24,9 +26,7 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
-    # `div` = exact integral division (a double `/` would round at 2^51)
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    return with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
 
 
 # --------------------------------------------------------------------------

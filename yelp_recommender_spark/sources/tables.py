@@ -17,11 +17,15 @@ def load_tables(
     Parquet is self-describing, so no schema is imposed — Catalyst still
     prunes columns and pushes predicates into the scan.
     """
-    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's reader
-    # rejects; read it as raw nanos (runtime-settable legacy conf) and let
-    # consumers derive epoch-micros (`ts_us`) — DuckDB truncates ns→µs on
-    # read, so µs is also the exact-parity granularity for the oracle.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet carries INT64 TIMESTAMP(NANOS). Spark <4.1 rejects it
+    # unless this legacy conf surfaces it as raw-nanos LONG; Spark 4.1+
+    # ignores the conf and reads TIMESTAMP_NTZ natively (µs, truncated
+    # like DuckDB). Consumers never assume either: they derive epoch-µs
+    # via functions.eventtime.epoch_us, which dispatches on the type.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed entirely in some future version — fine
     out: dict[str, DataFrame] = {}
     for name in names or TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -24,12 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema (ts = INT64 TIMESTAMP(NANOS), read as
-# raw nanos — streaming sources require an explicit schema anyway)
+# events.parquet physical schema (streaming sources require an explicit
+# schema). ts is INT64 TIMESTAMP(NANOS): declared TIMESTAMP_NTZ — the
+# type Spark 4.1+ reads it as natively. NEVER declare it LongType: 4.1+
+# would silently fill µs (its internal representation) where the legacy
+# nanosAsLong conf used to yield ns — a 1000× unit change.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -46,7 +49,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file, so it is staged (symlinked, read-only) into a scratch dir. On a
     cluster this would be Kafka/Kinesis or a landing directory; the file
     source exercises identical incremental semantics."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         stream_dir = src
@@ -66,9 +68,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    return raw.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # event_ts: epoch-based TIMESTAMP for watermarks/windows (tz-neutral —
+    # window boundaries are epoch arithmetic); derived via the
+    # representation-agnostic epoch-µs contract.
+    from yelp_recommender_spark.functions.eventtime import epoch_us
+
+    return raw.withColumn("event_ts", F.timestamp_micros(epoch_us(raw, "ts")))
 
 
 def hourly_counts_stream(
