@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import spark  # noqa: F401 (fixture)
 
@@ -95,6 +96,114 @@ def test_cosine_topk_matches_numpy(neardup_df, spark):  # noqa: F811
             for r in sorted(neigh, key=lambda r: r.rank)
         ]
         assert gotten == expect, f"query {q}: {gotten} != {expect}"
+
+
+def test_srp_params_for_recall_algebra():
+    """Derived (n_planes, n_tables) must actually reach the target
+    worst-case recall, across the threshold range, and honor the table
+    budget."""
+    from yelp_recommender_spark.operators.ann import (
+        srp_expected_recall,
+        srp_params_for_recall,
+    )
+
+    for threshold in (0.2, 0.4, 0.6, 0.8, 0.95, 0.99):
+        k, t = srp_params_for_recall(threshold, target_recall=0.95)
+        assert t <= 64
+        assert srp_expected_recall(threshold, k, t) >= 0.95, (
+            f"threshold={threshold}: ({k},{t}) gives "
+            f"{srp_expected_recall(threshold, k, t)}"
+        )
+    # lower thresholds need fewer planes / more tables — monotone shape
+    k_low, _ = srp_params_for_recall(0.2)
+    k_high, _ = srp_params_for_recall(0.95)
+    assert k_low <= k_high
+
+
+@pytest.fixture(scope="module")
+def random_df(spark):  # noqa: F811
+    """Unstructured gaussian vectors — pairs land at all cosines, many
+    hovering just above/below 0.4: the regime where a fixed lossy LSH
+    config silently dropped ~half the promised pairs (VERDICT r3 #1)."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((150, 16))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(150)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_recall_at_threshold_04(random_df):
+    """The r3 scale-killer: auto-planner's LSH fallback at threshold 0.4
+    must now reach >=0.95 recall vs the exact path (params derived from
+    the threshold, not the old fixed n_planes=6/n_tables=12)."""
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above,
+        cosine_pairs_above_auto,
+    )
+
+    exact = {
+        (r.id1, r.id2)
+        for r in cosine_pairs_above(random_df, threshold=0.4).collect()
+    }
+    assert len(exact) > 100  # the fixture really exercises the regime
+    via_lsh = {
+        (r.id1, r.id2)
+        for r in cosine_pairs_above_auto(
+            random_df, threshold=0.4, broadcast_limit=0
+        ).collect()
+    }
+    assert via_lsh <= exact  # re-score makes false positives impossible
+    recall = len(via_lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall} at threshold 0.4"
+
+
+def test_lsh_empty_and_null_input_guard(spark):  # noqa: F811
+    """ADVICE r2 #3: cosine_pairs_above_lsh crashed on empty input
+    (head()[0] TypeError); must return an empty typed result instead."""
+    from yelp_recommender_spark.operators.ann import cosine_pairs_above_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = cosine_pairs_above_lsh(empty, threshold=0.4)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["id1", "id2", "cos"]
+
+    null_first = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    assert cosine_pairs_above_lsh(null_first, threshold=0.4).collect() == []
+
+
+def test_planner_uses_plan_stats_not_count(spark, monkeypatch):  # noqa: F811
+    """Stats-based planner probe (VERDICT r3 #7): a plan that carries a
+    Catalyst row count must route WITHOUT running a count() job."""
+    from pyspark.sql import DataFrame
+
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above_auto,
+        estimated_row_count,
+    )
+
+    # CBO propagates rowCount through projections (production deployments
+    # pair this with ANALYZE TABLE); build the plan fresh under it
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        df = spark.range(3).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("double"), F.lit(1.0)).alias(
+                "embedding"
+            ),
+        )
+        est = estimated_row_count(df)
+        assert est == 3
+
+        def _no_count(self):
+            raise AssertionError("count() job issued despite plan stats")
+
+        monkeypatch.setattr(DataFrame, "count", _no_count)
+        # must not raise: the probe answers the cardinality question
+        cosine_pairs_above_auto(df, threshold=0.9, broadcast_limit=10)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
 
 
 def test_similarity_planner_routes_by_cardinality(neardup_df):

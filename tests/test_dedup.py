@@ -1,0 +1,93 @@
+"""Unit tests for the blocked-Jaccard operator's edge semantics
+(ADVICE r2 #2 boundary rounding, #5 df_cap exclusion visibility).
+Oracle-level coverage lives in test_queries_vs_oracle.py (q30-q35)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+
+@pytest.fixture(scope="module")
+def boundary_docs(spark):  # noqa: F811
+    """Pair (A=1, B=2) engineered onto the rounding boundary of the
+    ambiguous (both-docs-hot) path:
+
+    - shingle H is in 4 docs (df > cap=2 → hot); c1..c5 shared by A,B
+      only (df=2 → cold, joinable); u* unique (df=1 → cold).
+    - A: H + c1..c5 + uA (7); B: H + c1..c5 + uB1,uB2 (8).
+    - cold overlap c=5, h1=h2=1 → hmin=1 → ambiguous path;
+      jac_ub = (5+1)/(7+8-6) = 2/3 exactly; true jaccard = 6/9 = 2/3.
+
+    At threshold 0.666667: 2/3 < 0.666667 unrounded (the old prefilter
+    dropped the pair) but ROUND(2/3, 6) = 0.666667 passes — matching the
+    verify step and the oracle convention.
+    """
+    H, c = "hot", [f"c{i}" for i in range(5)]
+    rows = [
+        (1, [H] + c + ["uA"]),
+        (2, [H] + c + ["uB1", "uB2"]),
+        (3, [H, "uC1", "uC2"]),
+        (4, [H, "uD1", "uD2"]),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+
+def test_jac_ub_prefilter_rounds_like_the_verify_step(boundary_docs):
+    from yelp_recommender_spark.operators.dedup import blocked_jaccard_pairs
+
+    got = blocked_jaccard_pairs(
+        boundary_docs, threshold=0.666667, df_cap=2
+    ).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in got] == [(1, 2, 0.666667)]
+
+
+def test_blocking_exclusions_measures_the_blind_spot(spark):  # noqa: F811
+    """Docs 3/4 share ONLY the hot shingle — invisible to blocking; the
+    stats row must say so instead of staying silent (ADVICE r2 #5)."""
+    from yelp_recommender_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+        blocking_exclusions,
+    )
+
+    rows = [
+        (1, ["hot", "a1", "a2"]),
+        (2, ["hot", "a1", "a2"]),
+        (3, ["hot"]),
+        (4, ["hot"]),
+        (5, ["hot"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    stats = blocking_exclusions(docs, df_cap=2).head()
+    assert stats.hot_shingles == 1
+    assert stats.fully_hot_docs == 3  # docs 3,4,5: all shingles hot
+
+    # the blocked join indeed cannot see the (3,4)/(3,5)/(4,5) pairs —
+    # that's exactly the signal the stats surface
+    pairs = {
+        (r.d1, r.d2)
+        for r in blocked_jaccard_pairs(docs, threshold=0.5, df_cap=2).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_log_exclusions_warns_on_fully_hot_docs(spark, caplog):  # noqa: F811
+    import logging
+
+    from yelp_recommender_spark.operators.dedup import blocked_jaccard_pairs
+
+    rows = [
+        (1, ["hot", "x"]),
+        (2, ["hot", "x"]),
+        (3, ["hot"]),
+        (4, ["hot"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    with caplog.at_level(
+        logging.WARNING, logger="yelp_recommender_spark.operators.dedup"
+    ):
+        blocked_jaccard_pairs(
+            docs, threshold=0.5, df_cap=2, log_exclusions=True
+        ).collect()
+    assert any("invisible" in r.message for r in caplog.records)

@@ -292,3 +292,29 @@ def test_als_and_hybrid_end_to_end(spark):  # noqa: F811
     ).collect()
     assert len(preds) == 3
     assert all(r.decision == "hybrid" for r in preds)
+
+
+def test_hybrid_labels_deduplicated(spark):  # noqa: F811
+    """ADVICE r2 #4: a (user, biz) pair rated twice with DIFFERENT stars
+    must contribute ONE label row (mean), not two conflicting rows —
+    same composition the q57/cli hybrid train paths now use."""
+    from yelp_recommender_spark.models.als_hybrid import (
+        hybrid_features,
+        train_als,
+    )
+    from yelp_recommender_spark.models.baseline import fit_avgs
+    from yelp_recommender_spark.models.cf import dedup_ratings
+
+    train = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 1, 5.0), (1, 2, 4.0), (2, 1, 2.0), (2, 2, 3.0)],
+        "user_id int, business_id int, stars double",
+    )
+    user_avg, biz_avg = fit_avgs(train)
+    model = train_als(train, rank=2, reg=0.1, max_iter=1)
+    feats = hybrid_features(
+        model, train.select("user_id", "business_id"), user_avg, biz_avg, 3.0
+    ).join(dedup_ratings(train, "business_id", "user_id"),
+           ["user_id", "business_id"])
+    rows = {(r.user_id, r.business_id): r.stars for r in feats.collect()}
+    assert len(rows) == 4  # 4 distinct pairs, not 5 label rows
+    assert rows[(1, 1)] == 3.0  # mean of the conflicting 1.0 / 5.0

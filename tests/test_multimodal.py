@@ -28,6 +28,37 @@ def test_image_features_deterministic_and_shaped(spark):  # noqa: F811
     assert by_id == again
 
 
+def test_image_features_exact_values(spark):  # noqa: F811
+    """Pin the documented binning semantics (ADVICE r3: the r3 bincount
+    form is bin = v * n_bins // 256, each bin exactly 256/n_bins wide —
+    an intentional change from np.histogram(range=(0,255))). An
+    independent numpy recomputation must agree bit-for-bit."""
+    from yelp_recommender_spark.multimodal import (
+        _fake_decode_image,
+        extract_image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=4, kind="image")
+    got = {
+        r.media_id: r.features
+        for r in extract_image_features(media, n_bins=8).collect()
+    }
+    for row in media.collect():
+        img = _fake_decode_image(
+            bytes(row.payload),
+            row.meta.width,
+            row.meta.height,
+            row.meta.channels,
+        )
+        means = img.reshape(-1, img.shape[2]).mean(axis=0) / 255.0
+        counts = np.zeros(8)
+        for v in img.ravel():
+            counts[int(v) * 8 // 256] += 1
+        expect = np.concatenate([means, counts / counts.sum()])
+        assert got[row.media_id] == expect.tolist()
+
+
 def test_resize_images_contract(spark):  # noqa: F811
     from yelp_recommender_spark.multimodal import resize_images, synthesize_media
 

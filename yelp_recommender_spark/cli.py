@@ -154,6 +154,7 @@ def train(spark: SparkSession, cfg: dict) -> None:
             train_als_indexed,
             train_hybrid_regressor,
         )
+        from yelp_recommender_spark.models.cf import dedup_ratings
 
         bundle = train_als_indexed(
             reviews,
@@ -169,7 +170,10 @@ def train(spark: SparkSession, cfg: dict) -> None:
             biz_avg,
             gmean,
         ).join(
-            reviews.select("user_id", "business_id", "stars").distinct(),
+            # one label per (user, biz): mean stars — a pair rated twice
+            # with different stars must not train against two conflicting
+            # label rows (ADVICE r2 #4)
+            dedup_ratings(reviews, "business_id", "user_id"),
             ["user_id", "business_id"],
         )
         ml |= bundle

@@ -24,7 +24,10 @@ arithmetic therefore runs on integer epoch-µs derived by :func:`epoch_us`:
   happens, so a non-UTC ``spark.sql.session.timeZone`` (the driver may
   use one) cannot shift values, and DST gaps/ambiguities in the session
   zone cannot corrupt them.
-- TIMESTAMP (tz-aware, defensive) → ``unix_micros``.
+- TIMESTAMP (tz-aware, defensive) → cast back to TIMESTAMP_NTZ (which
+  reverses the session-zone interpretation the reader applied) and reuse
+  the wall-clock arithmetic — identical epoch values under any session
+  timezone.
 """
 
 from __future__ import annotations
@@ -53,7 +56,15 @@ def epoch_us(df: DataFrame, col: str = "ts") -> Column:
     if isinstance(dtype, T.TimestampNTZType):
         return F.expr(_NTZ_EPOCH_US.format(c=col))
     if isinstance(dtype, T.TimestampType):
-        return F.expr(f"unix_micros({col})")
+        # Defensive branch: a tz-aware TIMESTAMP here means the NTZ
+        # parquet column was read under session-local interpretation
+        # (e.g. spark.sql.parquet.inferTimestampNTZ.enabled=false).
+        # Casting back to TIMESTAMP_NTZ reverses exactly that
+        # session-zone shift, recovering the file's wall-clock, and the
+        # timezone-free arithmetic then applies. A bare unix_micros()
+        # would bake the session offset into epoch values and silently
+        # diverge from the oracle under any non-UTC session timezone.
+        return F.expr(_NTZ_EPOCH_US.format(c=f"cast({col} as timestamp_ntz)"))
     raise TypeError(
         f"column {col!r} has unsupported event-time type {dtype}; "
         "expected LONG (raw nanos), TIMESTAMP_NTZ, or TIMESTAMP"

@@ -133,7 +133,15 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 def extract_image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
     """(media_id, features): per-channel means + an n_bins intensity
     histogram — the plumbing for a real embedding model (swap the feature
-    fn for CLIP/ResNet inference inside the same batch loop)."""
+    fn for CLIP/ResNet inference inside the same batch loop).
+
+    Histogram binning is the integer partition ``bin = v * n_bins // 256``:
+    every bin covers exactly ``256 / n_bins`` byte values. This is an
+    INTENTIONAL semantic change from the r2 ``np.histogram(range=(0,255))``
+    implementation (bin width 255/n_bins with a right-inclusive last bin
+    — uneven coverage of byte 255); features computed before r3 differ at
+    bin boundaries. The integer form is exact, faster, and the one to
+    keep — pinned by tests/test_multimodal.py."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # columnar zip, not iterrows: images are variable-size so the

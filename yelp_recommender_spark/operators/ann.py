@@ -25,6 +25,8 @@ partitionings (summation-order error ~1e-15 ≪ 5e-7).
 
 from __future__ import annotations
 
+import logging
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 
 def _normalized_index(
@@ -162,6 +166,56 @@ def cosine_topk(
 # --------------------------------------------------------------------------
 # LSH (sign random projection) — the beyond-broadcast scale path
 # --------------------------------------------------------------------------
+def srp_collision_prob(cos_sim: float) -> float:
+    """P[one random hyperplane does NOT separate two vectors with the
+    given cosine] = 1 − θ/π (Goemans–Williamson / Charikar SimHash)."""
+    c = max(-1.0, min(1.0, float(cos_sim)))
+    return 1.0 - math.acos(c) / math.pi
+
+
+def srp_expected_recall(
+    threshold: float, n_planes: int, n_tables: int
+) -> float:
+    """Worst-case recall of OR-amplified SRP-LSH for a pair at exactly
+    ``cos = threshold``: 1 − (1 − p^n_planes)^n_tables with
+    p = 1 − arccos(threshold)/π. Pairs above the threshold collide with
+    strictly higher probability, so this lower-bounds recall over the
+    whole promised set."""
+    p = srp_collision_prob(threshold) ** n_planes
+    return 1.0 - (1.0 - p) ** n_tables
+
+
+def srp_params_for_recall(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_tables: int = 64,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) so a pair at ``cos = threshold`` is
+    found with probability ≥ ``target_recall``.
+
+    The 1 − (1 − p^k)^t ≥ r algebra is closed-form in t:
+    ``t ≥ log(1 − r) / log(1 − p^k)``. More planes → more selective
+    buckets (less join work) but more tables needed; we pick the LARGEST
+    k whose required t fits ``max_tables``, i.e. the most selective
+    buckets within the table budget. If even one plane can't reach the
+    target within ``max_tables`` (threshold near −1), return
+    (1, max_tables) best-effort — callers can read the achieved bound
+    back via :func:`srp_expected_recall`."""
+    r = min(float(target_recall), 0.9999)  # r=1 needs infinite tables
+    p = srp_collision_prob(threshold)
+    for n_planes in range(max_planes, 0, -1):
+        pk = p**n_planes
+        if pk >= 1.0:  # threshold ≈ 1: every table collides
+            return n_planes, 1
+        if pk <= 0.0:
+            continue
+        n_tables = max(1, math.ceil(math.log(1.0 - r) / math.log(1.0 - pk)))
+        if n_tables <= max_tables:
+            return n_planes, n_tables
+    return 1, max_tables
+
+
 def _srp_planes(
     n_planes: int, dim: int, n_tables: int, seed: int
 ) -> np.ndarray:
@@ -275,23 +329,50 @@ def cosine_pairs_above_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_planes: int = 6,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Beyond-broadcast near-dup pairs: SRP-LSH candidates re-scored with
     the exact array cosine, filtered at the threshold. Same output
-    contract as :func:`cosine_pairs_above` (id1 < id2, cos rounded 6);
-    recall < 1 is possible for pairs barely above the threshold — the
-    collision probability (1-θ/π)^n_planes amplified over ``n_tables``
-    tables is ≈ 1 only for genuinely-close vectors, which is the regime
-    this operator is for.
+    contract as :func:`cosine_pairs_above` (id1 < id2, cos rounded 6).
+
+    Recall contract: when ``n_planes``/``n_tables`` are not given they
+    are DERIVED from the threshold via :func:`srp_params_for_recall` so a
+    pair at exactly ``cos = threshold`` is found with probability ≥
+    ``target_recall`` (pairs further above collide more often, so this
+    bounds the whole promised set). Explicit params are honored verbatim,
+    but the achieved worst-case recall is logged either way so a lossy
+    configuration is never silent.
 
     Scale: candidates shuffle on (table, bucket); the re-score joins the
     vector table twice on id. No broadcast, no driver state."""
     from yelp_recommender_spark.functions.similarity import cosine_arrays
 
-    dim = len(df.select(vec_col).head()[0])
+    if n_planes is None or n_tables is None:
+        n_planes, n_tables = srp_params_for_recall(threshold, target_recall)
+    expected = srp_expected_recall(threshold, n_planes, n_tables)
+    logger.info(
+        "SRP-LSH: threshold=%.3f n_planes=%d n_tables=%d "
+        "worst-case recall=%.4f",
+        threshold, n_planes, n_tables, expected,
+    )
+    if expected < target_recall:
+        logger.warning(
+            "SRP-LSH config (n_planes=%d, n_tables=%d) reaches only "
+            "%.3f worst-case recall at threshold %.3f (target %.3f) — "
+            "pairs near the threshold may be missed",
+            n_planes, n_tables, expected, threshold, target_recall,
+        )
+
+    head = df.select(vec_col).head(1)
+    if not head or head[0][0] is None:
+        # empty input (or null first vector): the contract result is empty
+        return df.sparkSession.createDataFrame(
+            [], "id1 bigint, id2 bigint, cos double"
+        )
+    dim = len(head[0][0])
     cand = lsh_bucket_candidates(
         df, id_col, vec_col, n_planes=n_planes, dim=dim,
         n_tables=n_tables, seed=seed,
@@ -313,26 +394,55 @@ def cosine_pairs_above_lsh(
     )
 
 
+def estimated_row_count(df: DataFrame) -> int | None:
+    """Catalyst's own cardinality estimate for the optimized plan, or
+    ``None`` when the plan doesn't carry a row count (no ANALYZE stats,
+    no known-cardinality leaf). Reading plan statistics costs no job —
+    it's the same number a cost-based optimizer would consult before
+    choosing a join strategy."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:  # py4j / private-API drift — fall back to count()
+        logger.debug("plan-stats probe failed", exc_info=True)
+    return None
+
+
 def cosine_pairs_above_auto(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     broadcast_limit: int = DEFAULT_BROADCAST_INDEX_LIMIT,
-    n_planes: int = 6,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Cardinality-based similarity-join planner: broadcast-index matmul
     (:func:`cosine_pairs_above`, exact) while the index fits an executor
     (≤ ``broadcast_limit`` rows), SRP-LSH + exact re-score
-    (:func:`cosine_pairs_above_lsh`) beyond it. The count() that drives
-    the decision is a column-pruned scan — the same cardinality probe a
-    cost-based optimizer would issue."""
-    n = df.count()
+    (:func:`cosine_pairs_above_lsh`) beyond it.
+
+    Cardinality comes from Catalyst plan statistics when available
+    (:func:`estimated_row_count` — free, no job) and only falls back to a
+    column-pruned ``count()`` scan when the plan carries no row count.
+
+    The LSH fallback derives (n_planes, n_tables) from the threshold so
+    worst-case recall ≥ ``target_recall`` — the planner switch changes
+    cost, not the result contract, beyond the stated recall bound."""
+    n = estimated_row_count(df)
+    if n is None:
+        n = df.count()
     if n <= broadcast_limit:
         return cosine_pairs_above(df, id_col, vec_col, threshold)
+    logger.info(
+        "cosine_pairs_above_auto: %d rows > broadcast_limit=%d — "
+        "routing to SRP-LSH", n, broadcast_limit,
+    )
     return cosine_pairs_above_lsh(
         df, id_col, vec_col, threshold,
         n_planes=n_planes, n_tables=n_tables, seed=seed,
+        target_recall=target_recall,
     )

@@ -18,8 +18,12 @@ shuffle until the explicit candidate join. Scale notes on each function.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _c(col: Column | str) -> Column:
@@ -208,12 +212,50 @@ def jaccard_verify_pairs(
     )
 
 
+def blocking_exclusions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    df_cap: int = 500,
+) -> DataFrame:
+    """How much signal the ``df_cap`` in :func:`blocked_jaccard_pairs`
+    drops — the cap's blind spot made measurable instead of silent
+    (ADVICE r2 #5). One row:
+
+    - ``hot_shingles``: shingles with document frequency > df_cap,
+      excluded from blocking;
+    - ``fully_hot_docs``: documents ALL of whose shingles are hot — these
+      are invisible to the blocked join (a pair of boilerplate-only docs
+      can never be emitted). Non-zero here means raise the cap or route
+      those docs through :func:`minhash_lsh_pairs`.
+
+    Scale: two hash-aggs over the exploded postings; the hot list is tiny
+    by construction (broadcast anti-join)."""
+    ex = docs.select(id_col, F.explode(shingle_col).alias("s"))
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    cold_ids = (
+        ex.join(F.broadcast(hot), "s", "left_anti").select(id_col).distinct()
+    )
+    fully_hot = docs.filter(F.size(shingle_col) > 0).join(
+        cold_ids, id_col, "left_anti"
+    )
+    return hot.agg(F.count(F.lit(1)).alias("hot_shingles")).crossJoin(
+        fully_hot.agg(F.count(F.lit(1)).alias("fully_hot_docs"))
+    )
+
+
 def blocked_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     threshold: float = 0.8,
     df_cap: int = 500,
+    log_exclusions: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking —
     no cartesian product (SURVEY §7 risk register: pair-generation blowup).
@@ -237,7 +279,27 @@ def blocked_jaccard_pairs(
     (they share nothing distinctive).
 
     Scale: shuffles on the shingle key (uniform strings) for blocking and
-    one hash-agg on the pair key; nothing collects to the driver."""
+    one hash-agg on the pair key; nothing collects to the driver.
+
+    The cap's blind spot (docs whose entire overlap is hot shingles) is
+    measurable via :func:`blocking_exclusions`; with
+    ``log_exclusions=True`` the operator runs that small aggregate
+    eagerly and warns when any document is fully hot."""
+    if log_exclusions:
+        row = blocking_exclusions(docs, id_col, shingle_col, df_cap).head()
+        if row.fully_hot_docs > 0:
+            logger.warning(
+                "blocked_jaccard_pairs df_cap=%d: %d hot shingles; "
+                "%d documents have ONLY hot shingles and are invisible "
+                "to blocking — raise df_cap or use minhash_lsh_pairs",
+                df_cap, row.hot_shingles, row.fully_hot_docs,
+            )
+        else:
+            logger.info(
+                "blocked_jaccard_pairs df_cap=%d: %d hot shingles "
+                "excluded, 0 fully-hot documents",
+                df_cap, row.hot_shingles,
+            )
     ex = docs.select(id_col, F.explode(shingle_col).alias("s"))
     hot = (
         ex.groupBy("s")
@@ -284,9 +346,12 @@ def blocked_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
-    ambiguous = scored.filter((hmin > 0) & (jac_ub >= threshold)).select(
-        "d1", "d2"
-    )
+    # round the upper bound like every other comparison (and the oracle):
+    # unrounded, a pair with true Jaccard in [threshold−5e-7, threshold)
+    # — which ROUND(...,6) admits — could be pre-filtered out here
+    ambiguous = scored.filter(
+        (hmin > 0) & (F.round(jac_ub, 6) >= threshold)
+    ).select("d1", "d2")
     verified = jaccard_verify_pairs(
         ambiguous,
         docs.select(id_col, shingle_col),

@@ -20,6 +20,7 @@ from yelp_recommender_spark.functions.text import tokens_col
 from yelp_recommender_spark.operators.ann import cosine_pairs_above_auto
 from yelp_recommender_spark.operators.dedup import (
     blocked_jaccard_pairs,
+    blocking_exclusions,
     minhash_lsh_pairs,
     simhash16,
     token_shingles,
@@ -148,6 +149,33 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_jaccard_pairs(
         _doc_shingles(spark, sf_dir), threshold=0.8, df_cap=500
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q35_blocking_exclusions",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    hot AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) > 10),
+    cold_ids AS (
+        SELECT DISTINCT doc_id FROM e WHERE s NOT IN (SELECT s FROM hot)
+    )
+    SELECT (SELECT COUNT(*) FROM hot) AS hot_shingles,
+           (SELECT COUNT(*) FROM sh
+            WHERE len(sh) > 0
+              AND doc_id NOT IN (SELECT doc_id FROM cold_ids))
+               AS fully_hot_docs
+    """,
+)
+def q35_blocking_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df_cap blind-spot made measurable (ADVICE r2 #5): how many
+    shingles the blocking cap excludes and how many documents become
+    invisible to the q31 blocked join because ALL their shingles are hot.
+    Cap 10 here (vs q31's production 500) so the measurement is exercised
+    at test scale — the oracle mirrors the same cap."""
+    return blocking_exclusions(_doc_shingles(spark, sf_dir), df_cap=10)
 
 
 # --------------------------------------------------------------------------

@@ -40,6 +40,46 @@ def q59_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n_events", "total_value")
 
 
+@query("q61_streaming_sessions")  # rows-only: append-mode frontier
+def q61_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (``session_window``, 30-min
+    gap) run as a real streaming query — gates the STATEFUL merging
+    window op, not just tumbling counts (VERDICT r3 #8). Append mode
+    emits each session once it can no longer grow (watermark passes its
+    end + gap); boundaries are pure event-time arithmetic, so the emitted
+    set is deterministic for a fixed backlog. Batch-parity values are
+    pinned by ``tests/test_streaming.py``."""
+    from yelp_recommender_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    out = run_to_memory(stream, "q61_sessions", output_mode="append")
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@query("q62_streaming_dedup")  # rows-only: stateful dedup emission set
+def q62_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` — one
+    row per (user_id, event_type) seen within the watermark horizon.
+    Only the dedup KEY columns are returned: which physical row the
+    state store keeps (its ts/value payload) is an arrival-order detail,
+    but the emitted key set is deterministic for a fixed backlog."""
+    from yelp_recommender_spark.streaming.ops import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = dedup_stream(read_events_stream(spark, sf_dir)).select(
+        "user_id", "event_type"
+    )
+    out = run_to_memory(stream, "q62_dedup", output_mode="append")
+    return out.select("user_id", "event_type")
+
+
 @query("q60_multimodal_image_features")  # rows-only: byte-level fake codec
 def q60_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: a deterministic 64-image media

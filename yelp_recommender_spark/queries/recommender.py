@@ -25,6 +25,7 @@ from yelp_recommender_spark.models.als_hybrid import (
 from yelp_recommender_spark.models.baseline import fit_avgs, predict_baseline
 from yelp_recommender_spark.models.cf import (
     corated_weights,
+    dedup_ratings,
     predict_item_cf,
     predict_user_cf,
     top_n_neighbors,
@@ -456,9 +457,12 @@ def q57_hybrid_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.agg(F.avg("stars").alias("g")).collect()[0]["g"]
     )
     model = train_als(train, rank=8, reg=0.2, max_iter=1)
+    # one label per (user, biz): mean stars via dedup_ratings — a pair
+    # rated twice with different stars must not yield two conflicting
+    # label rows (ADVICE r2 #4; .distinct() only removed exact dups)
     feats_train = hybrid_features(
         model, train.select("user_id", "business_id"), user_avg, biz_avg, gmean
-    ).join(train.select("user_id", "business_id", "stars").distinct(),
+    ).join(dedup_ratings(train, "business_id", "user_id"),
            ["user_id", "business_id"])
     reg = train_hybrid_regressor(feats_train)
     feats_test = hybrid_features(

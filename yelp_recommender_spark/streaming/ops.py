@@ -26,9 +26,9 @@ from pyspark.sql import types as T
 
 # events.parquet physical schema (streaming sources require an explicit
 # schema). ts is INT64 TIMESTAMP(NANOS): declared TIMESTAMP_NTZ — the
-# type Spark 4.1+ reads it as natively. NEVER declare it LongType: 4.1+
-# would silently fill µs (its internal representation) where the legacy
-# nanosAsLong conf used to yield ns — a 1000× unit change.
+# type Spark 4.1+ reads it as natively. NEVER declare it LongType on
+# 4.1+: it would silently fill µs (the internal representation) where
+# the legacy nanosAsLong conf used to yield ns — a 1000× unit change.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -39,6 +39,27 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Declared streaming schema chosen at RUNTIME by probing how a batch
+    read surfaces the ts column (ADVICE r3: a hard TIMESTAMP_NTZ schema
+    is 4.1-only — pre-4.1 scans reject NANOS or, under the legacy conf,
+    surface LONG raw nanos). The probe reads only the parquet footer (no
+    job); downstream code goes through :func:`epoch_us`, which already
+    dispatches on the observed type, so both representations flow through
+    identically."""
+    from yelp_recommender_spark.sources.tables import load_tables
+
+    ts_type = (
+        load_tables(spark, sf_dir, ["events"])["events"].schema["ts"].dataType
+    )
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +85,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(src, link)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
