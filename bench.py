@@ -58,6 +58,13 @@ def main() -> None:
         if ok:
             timings[name] = round(time.perf_counter() - start, 4)
 
+    # release every registry-tracked cache (token/shingle/signature
+    # tables) — the run is the pipeline boundary; without this the
+    # session cache grows monotonically across repeated runs
+    from yelp_recommender_spark.cache import clear_caches
+
+    clear_caches()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

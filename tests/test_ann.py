@@ -206,6 +206,23 @@ def test_planner_uses_plan_stats_not_count(spark, monkeypatch):  # noqa: F811
         spark.conf.set("spark.sql.cbo.enabled", prev)
 
 
+def test_q42_catalog_recall_meets_derived_bound(spark):  # noqa: F811
+    """The q42 catalog entry now derives its SRP params from the 0.4
+    threshold: the analytic worst-case bound must be >= 0.95 (the r3
+    fixed 6x12 config gave ~0.54) and the measured recall must sit at
+    the bound up to per-pair sampling noise (deterministic: seed 42)."""
+    from tests.conftest import SF_DIR
+    from yelp_recommender_spark.queries.similarity import q42_ann_lsh_recall
+
+    row = q42_ann_lsh_recall(spark, SF_DIR).head()
+    assert row.expected_recall_bound >= 0.95
+    assert row.n_true > 0
+    # 66 truth pairs at sf0.001, most hovering at the 0.4 threshold where
+    # per-pair success is exactly the bound: allow binomial noise
+    assert row.recall >= 0.93, row
+    assert row.n_hit <= row.n_true
+
+
 def test_similarity_planner_routes_by_cardinality(neardup_df):
     """cosine_pairs_above_auto: broadcast path under the limit, LSH +
     exact re-score over it — with identical verified output on genuine

@@ -99,3 +99,94 @@ def test_cli_config_validation(tmp_path):
     bad.write_text(json.dumps({"model": "nope"}))
     with pytest.raises(ValueError):
         cli.load_config(str(bad))
+
+
+def test_cli_als_grid_lifecycle(spark, data_files, tmp_path):  # noqa: F811
+    """params.grid runs the reference's ranks × regs sweep; the persisted
+    model is the best-by-validation-RMSE pick and the sweep lands in the
+    als_grid table with exactly one best row. Uses a dense synthetic
+    ratings file (every user rates every business) so validation pairs
+    are warm — the 13-review shared fixture leaves them all cold, which
+    the grid correctly rejects with an error."""
+    from yelp_recommender_spark import cli
+    from yelp_recommender_spark.models.persistence import load_model
+
+    _, test, _ = data_files
+    root = str(tmp_path)
+    reviews = f"{root}/dense_reviews.json"
+    with open(reviews, "w") as fh:
+        for u in range(20):
+            for b in range(8):
+                fh.write(
+                    json.dumps(
+                        {
+                            "user_id": f"u{u}",
+                            "business_id": f"b{b}",
+                            "stars": float(1 + (u * 7 + b * 3) % 5),
+                            "text": "t",
+                        }
+                    )
+                    + "\n"
+                )
+    cfg = {
+        "model": "als",
+        "training_data": reviews,
+        "model_dir": f"{root}/als_model",
+        "params": {
+            "max_iter": 3,
+            "grid": {"ranks": [2, 4], "regs": [0.1, 0.3]},
+        },
+    }
+    cfg_path = f"{root}/als_grid_cfg.json"
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    loaded = cli.load_config(cfg_path)
+    cli.train(spark, loaded)
+    preds = cli.predict(spark, loaded, test, f"{root}/als_grid_preds")
+    rows = {(r.user_id, r.business_id): r for r in preds.collect()}
+    assert rows[("u_new", "b_new")].decision == "default"
+    m = load_model(spark, f"{root}/als_model")
+    grid = m["als_grid"].collect()
+    assert len(grid) == 4
+    assert {(r.rank, r.reg) for r in grid} == {
+        (2, 0.1), (2, 0.3), (4, 0.1), (4, 0.3)
+    }
+    best = [r for r in grid if r.best]
+    assert len(best) == 1
+    scored = [r for r in grid if r.val_rmse is not None]
+    assert best[0].val_rmse == min(r.val_rmse for r in scored)
+
+
+def test_cli_evaluate_roundtrip(spark, data_files, capsys):  # noqa: F811
+    """train → predict → evaluate: the third lifecycle leg (reference
+    scripts/evaluate.py) reports overall RMSE with missing/NaN pairs
+    excluded-but-counted, plus the per-decision breakdown."""
+    from yelp_recommender_spark import cli
+
+    reviews, test, root = data_files
+    _run_lifecycle(spark, data_files, "baseline")
+    truth = f"{root}/truth.json"
+    with open(truth, "w") as fh:
+        for u, b, s in FX.TEST_TRUTH:
+            fh.write(
+                json.dumps({"user_id": u, "business_id": b, "stars": s}) + "\n"
+            )
+        # a truth pair with no prediction: counted, not silently dropped
+        fh.write(
+            json.dumps(
+                {"user_id": "u_gone", "business_id": "b_gone", "stars": 3.0}
+            )
+            + "\n"
+        )
+    result = cli.evaluate(spark, f"{root}/baseline_preds", truth)
+    out_line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out_line) == result
+    assert result["n_scored"] == len(FX.TEST_TRUTH)
+    assert result["n_missing"] == 1
+    assert result["rmse"] is not None
+    assert set(result["by_decision"]) <= {
+        "both_avg", "usr_avg", "biz_avg", "default"
+    }
+    assert sum(d["n"] for d in result["by_decision"].values()) == len(
+        FX.TEST_TRUTH
+    )

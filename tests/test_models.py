@@ -294,6 +294,94 @@ def test_als_and_hybrid_end_to_end(spark):  # noqa: F811
     assert all(r.decision == "hybrid" for r in preds)
 
 
+def test_als_grid_picks_best_config(spark):  # noqa: F811
+    """Grid search must sweep every (rank, reg) combo and select the one
+    with minimal validation RMSE — a crushing regParam (5.0 shrinks all
+    factors to ~0, predicting ~0 stars) can never win over a sane one."""
+    from yelp_recommender_spark.models.als_hybrid import (
+        train_als_grid,
+        val_split,
+    )
+
+    ratings = spark.createDataFrame(
+        [
+            (u, b, float(1 + (u * 7 + b * 3) % 5))
+            for u in range(1, 21)
+            for b in range(1, 13)
+        ],
+        "user_id int, business_id int, stars double",
+    )
+    tr, val = val_split(ratings)
+    # the deterministic hash gate actually splits, disjointly
+    assert 0 < val.count() < ratings.count()
+    assert tr.count() + val.count() == ratings.count()
+
+    got = train_als_grid(
+        ratings, ranks=(2, 4), regs=(0.05, 5.0), max_iter=5
+    )
+    assert len(got["selection"]) == 4
+    assert {(r["rank"], r["reg"]) for r in got["selection"]} == {
+        (2, 0.05), (2, 5.0), (4, 0.05), (4, 5.0)
+    }
+    assert got["reg"] == 0.05
+    scored = [r for r in got["selection"] if r["val_rmse"] is not None]
+    assert got["val_rmse"] == min(r["val_rmse"] for r in scored)
+    # the returned model is the winning fit, usable directly
+    assert got["model"].rank == got["rank"]
+
+
+def test_top_n_neighbors_mean_mode(spark):  # noqa: F811
+    """A12: weight_col='mean' ranks by (pearson+cosine+jaccard)/3
+    (reference item_cf_model.py:178-180)."""
+    from yelp_recommender_spark.models.cf import top_n_neighbors
+
+    weights = spark.createDataFrame(
+        [
+            ("a", "b", 3, 1.0, 0.2, 0.3),   # mean = 0.5
+            ("a", "c", 3, 0.1, 0.9, 0.8),   # mean = 0.6 → better for a
+        ],
+        "e1 string, e2 string, n_common int, pearson double,"
+        " cosine double, jaccard double",
+    )
+    by_pearson = {
+        r.e2: r.w
+        for r in top_n_neighbors(weights, "pearson", n=1)
+        .filter("e1 = 'a'")
+        .collect()
+    }
+    assert by_pearson == {"b": 1.0}
+    by_mean = {
+        r.e2: r.w
+        for r in top_n_neighbors(weights, "mean", n=1)
+        .filter("e1 = 'a'")
+        .collect()
+    }
+    assert by_mean == {"c": 0.6}
+
+
+def test_describe_stats(spark):  # noqa: F811
+    """A13: RDD .stats()-style diagnostics — count/mean/population
+    stddev/min/max per numeric column, NaN excluded, one job."""
+    from yelp_recommender_spark.models.evaluator import describe_stats
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 10, "x"),
+            (2.0, 20, "y"),
+            (3.0, 30, "z"),
+            (float("nan"), 40, "w"),
+        ],
+        "v double, k int, s string",
+    )
+    got = {r.column: r for r in describe_stats(df).collect()}
+    assert set(got) == {"v", "k"}  # string column skipped
+    assert (got["v"].n, got["v"].mean, got["v"].min, got["v"].max) == (
+        3, 2.0, 1.0, 3.0,
+    )
+    assert got["v"].stddev == round((2 / 3) ** 0.5, 6)  # population stdev
+    assert (got["k"].n, got["k"].mean) == (4, 25.0)
+
+
 def test_hybrid_labels_deduplicated(spark):  # noqa: F811
     """ADVICE r2 #4: a (user, biz) pair rated twice with DIFFERENT stars
     must contribute ONE label row (mean), not two conflicting rows —

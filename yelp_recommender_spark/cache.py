@@ -1,0 +1,44 @@
+"""Session-scoped cache registry (cache hygiene, VERDICT r3 #6).
+
+``persist()`` without a matching ``unpersist()`` accumulates entries in
+the session's cache manager for the life of the process. The engine's
+shared intermediates (the document token table, the shingle table, LSH
+signature tables) are deliberately cached ACROSS queries — q31/q32/q35
+share one shingle build, q20-q26 one tokenization — so unpersisting
+inside each query would defeat the reuse. Instead every engine cache is
+registered here and :func:`clear_caches` releases them all at a pipeline
+boundary: ``bench.py`` clears per run; a long-lived session clears
+whenever the underlying corpus changes.
+
+Spark's CacheManager dedupes by canonicalized plan, so re-running the
+same query re-registers a handle but does NOT grow executor storage; the
+registry still tracks every handle so one clear call frees everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_REGISTRY: list[DataFrame] = []
+
+
+def register_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` + enrollment in the session registry."""
+    df = df.persist() if storage_level is None else df.persist(storage_level)
+    _REGISTRY.append(df)
+    return df
+
+
+def clear_caches() -> int:
+    """Unpersist every registered cache; returns how many were released.
+    Safe to call with a stopped session (errors are swallowed — the JVM
+    cache died with the session anyway)."""
+    n = 0
+    while _REGISTRY:
+        df = _REGISTRY.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n

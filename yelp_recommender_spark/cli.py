@@ -27,6 +27,12 @@ Usage:
     python -m yelp_recommender_spark.cli train   --config cfg.json
     python -m yelp_recommender_spark.cli predict --config cfg.json \
         --test-file test.json --output preds.json
+    python -m yelp_recommender_spark.cli evaluate \
+        --predictions preds.json --truth truth.json
+
+ALS accepts ``params.grid = {"ranks": [...], "regs": [...]}`` to run the
+reference's hyperparameter sweep and persist the best-by-validation-RMSE
+model (plus the sweep results as the ``als_grid`` table).
 """
 
 from __future__ import annotations
@@ -54,6 +60,14 @@ PAIR_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.StringType()),
         T.StructField("business_id", T.StringType()),
+    ]
+)
+PRED_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("business_id", T.StringType()),
+        T.StructField("stars", T.DoubleType()),
+        T.StructField("decision", T.StringType()),
     ]
 )
 BUSINESS_SCHEMA = T.StructType(
@@ -140,14 +154,53 @@ def train(spark: SparkSession, cfg: dict) -> None:
         # deduplicated form (the reference's saved utility matrix)
         tables["ratings"] = dedup_ratings(reviews, entity, context)
     elif model == "als":
-        from yelp_recommender_spark.models.als_hybrid import train_als_indexed
+        if "grid" in p:
+            # hyperparameter sweep + selection (reference
+            # scripts/train_als.py:89-106): params.grid = {"ranks":
+            # [40,50], "regs": [0.2,0.4]}; best-by-validation-RMSE model
+            # is persisted, the full sweep as the als_grid table
+            from yelp_recommender_spark.models.als_hybrid import (
+                train_als_grid_indexed,
+            )
 
-        ml |= train_als_indexed(
-            reviews,
-            rank=int(p.get("rank", 10)),
-            reg=float(p.get("reg", 0.2)),
-            max_iter=int(p.get("max_iter", 10)),
-        )
+            g = p["grid"]
+            bundle = train_als_grid_indexed(
+                reviews,
+                ranks=tuple(int(r) for r in g.get("ranks", (40, 50))),
+                regs=tuple(float(r) for r in g.get("regs", (0.2, 0.4))),
+                max_iter=int(p.get("max_iter", 18)),
+                holdout_mod=int(g.get("holdout_mod", 10)),
+            )
+            ml |= {
+                k: bundle[k] for k in ("user_indexer", "item_indexer", "als")
+            }
+            tables["als_grid"] = spark.createDataFrame(
+                [
+                    (
+                        int(r["rank"]),
+                        float(r["reg"]),
+                        r["val_rmse"],
+                        int(r["n_scored"]),
+                        int(r["n_missing"]),
+                        r["rank"] == bundle["rank"]
+                        and r["reg"] == bundle["reg"],
+                    )
+                    for r in bundle["selection"]
+                ],
+                "rank int, reg double, val_rmse double, n_scored bigint,"
+                " n_missing bigint, best boolean",
+            )
+        else:
+            from yelp_recommender_spark.models.als_hybrid import (
+                train_als_indexed,
+            )
+
+            ml |= train_als_indexed(
+                reviews,
+                rank=int(p.get("rank", 10)),
+                reg=float(p.get("reg", 0.2)),
+                max_iter=int(p.get("max_iter", 10)),
+            )
     elif model == "hybrid":
         from yelp_recommender_spark.models.als_hybrid import (
             hybrid_features_indexed,
@@ -257,6 +310,44 @@ def predict(
     return preds
 
 
+def evaluate(
+    spark: SparkSession,
+    predictions_file: str,
+    truth_file: str,
+    output: str | None = None,
+) -> dict:
+    """Third leg of the lifecycle (reference ``scripts/evaluate.py``,
+    ``README.md:53-57``: ``python scripts/evaluate.py <pred> <gt>``):
+    overall RMSE over the truth pairs — missing / NaN predictions
+    EXCLUDED from the denominator and counted (``evaluate.py:93-96``) —
+    plus the per-decision-rule breakdown (``evaluate.py:104-121``).
+
+    Prints one JSON line; optionally writes it to ``output``. Both
+    metrics are distributed aggregations (models/evaluator.py) — nothing
+    driver-side beyond the final metric rows."""
+    from yelp_recommender_spark.models.evaluator import rmse, rmse_by_decision
+
+    preds = read_json(spark, predictions_file, PRED_SCHEMA)
+    truth = read_json(spark, truth_file, REVIEW_SCHEMA)
+    overall = rmse(preds, truth).head()
+    by_dec = rmse_by_decision(preds, truth).collect()
+    result = {
+        "rmse": overall.rmse,
+        "n_scored": overall.n_scored,
+        "n_missing": overall.n_missing,
+        "by_decision": {
+            r.decision: {"n": r.n, "rmse": r.rmse}
+            for r in sorted(by_dec, key=lambda r: r.decision)
+        },
+    }
+    line = json.dumps(result, sort_keys=True)
+    print(line)
+    if output:
+        with open(output, "w") as fh:
+            fh.write(line + "\n")
+    return result
+
+
 # --------------------------------------------------------------------------
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="yelp_recommender_spark")
@@ -267,10 +358,18 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--config", required=True)
     pr.add_argument("--test-file", required=True)
     pr.add_argument("--output", required=True)
+    ev = sub.add_parser("evaluate")
+    ev.add_argument("--predictions", required=True)
+    ev.add_argument("--truth", required=True)
+    ev.add_argument("--output", default=None)
     args = ap.parse_args(argv)
 
     from yelp_recommender_spark.session import get_spark
 
+    if args.cmd == "evaluate":
+        spark = get_spark(app_name="yelp_recommender_evaluate")
+        evaluate(spark, args.predictions, args.truth, args.output)
+        return
     cfg = load_config(args.config)
     spark = get_spark(app_name=f"yelp_recommender_{cfg['model']}")
     if args.cmd == "train":

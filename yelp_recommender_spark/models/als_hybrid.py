@@ -66,6 +66,185 @@ def train_als(
     )
 
 
+def val_split(
+    ratings: DataFrame,
+    holdout_mod: int = 10,
+    user_col: str = "user_id",
+    item_col: str = "business_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic validation split for model selection: a stable hash
+    gate on (user_id, business_id) holds out ~1/``holdout_mod`` of the
+    ratings. Partition-stable and reproducible — the engine's substitute
+    for the reference's seedless ``randomSplit([0.9, 0.1])``
+    (``/root/reference/scripts/train_als.py:94``), which yields a
+    different split every run."""
+    gate = (
+        F.pmod(
+            F.xxhash64(
+                F.col(user_col).cast("string"),
+                F.col(item_col).cast("string"),
+            ),
+            F.lit(holdout_mod),
+        )
+        == 0
+    )
+    return ratings.filter(~gate), ratings.filter(gate)
+
+
+def train_als_grid(
+    ratings: DataFrame,
+    ranks: tuple[int, ...] = (40, 50),
+    regs: tuple[float, ...] = (0.2, 0.4),
+    max_iter: int = 18,
+    seed: int = 42,
+    holdout_mod: int = 10,
+) -> dict:
+    """Hyperparameter grid search + model selection, mirroring the
+    reference's ranks × regs sweep (``train_als.py:89-106``: ranks
+    {40,50} × regs {0.2,0.4}, maxIter 18, 90/10 split, RMSE pick).
+
+    Differences by design: the split is the deterministic hash gate
+    (:func:`val_split`) instead of seedless randomSplit, and validation
+    RMSE excludes cold val pairs (NaN under ``coldStartStrategy='nan'``)
+    with the exclusion COUNT recorded per config — the reference's
+    evaluator silently returns NaN for the whole config in that case.
+
+    Returns {"model": best ALSModel, "rank", "reg", "val_rmse",
+    "selection": [{rank, reg, val_rmse, n_scored, n_missing}, ...]}.
+    Ties break on grid order (ranks-major), deterministically.
+
+    Scale: models train sequentially (each ALS fit is itself a
+    distributed iterative job — running grid points concurrently on one
+    cluster just time-slices the same executors); train/val are persisted
+    across the sweep so the upstream plan runs once."""
+    from yelp_recommender_spark.models.evaluator import rmse
+
+    tr, val = val_split(ratings, holdout_mod)
+    tr, val = tr.persist(), val.persist()
+    try:
+        best, selection = None, []
+        for rank in ranks:
+            for reg in regs:
+                model = train_als(
+                    tr, rank=rank, reg=reg, max_iter=max_iter, seed=seed
+                )
+                preds = model.transform(
+                    val.select(
+                        F.col("user_id").cast("int").alias("user_id"),
+                        F.col("business_id").cast("int").alias("business_id"),
+                    )
+                ).withColumnRenamed("prediction", "stars")
+                m = rmse(preds, val).head()
+                row = {
+                    "rank": rank,
+                    "reg": reg,
+                    "val_rmse": m.rmse,
+                    "n_scored": m.n_scored,
+                    "n_missing": m.n_missing,
+                }
+                selection.append(row)
+                if (
+                    m.rmse is not None
+                    and (best is None or m.rmse < best["val_rmse"])
+                ):
+                    best = {**row, "model": model}
+        if best is None:  # every config scored zero val pairs
+            raise ValueError(
+                "ALS grid search: no config produced a validation RMSE "
+                "(all val pairs cold?) — check the split or the data"
+            )
+        return {**best, "selection": selection}
+    finally:
+        tr.unpersist()
+        val.unpersist()
+
+
+def train_als_grid_indexed(
+    train: DataFrame,
+    ranks: tuple[int, ...] = (40, 50),
+    regs: tuple[float, ...] = (0.2, 0.4),
+    max_iter: int = 18,
+    seed: int = 42,
+    holdout_mod: int = 10,
+    user_col: str = "user_id",
+    item_col: str = "business_id",
+) -> dict:
+    """Grid search over arbitrary (string or numeric) ids — the CLI's
+    path (``params.grid``). Indexers fit once on the FULL ratings table
+    (id encoding is not rating leakage; the reference extends its id maps
+    over validation ids too, ``train_als.py:72-83``), the split gates on
+    the ORIGINAL ids so it is stable however the indexers change, and the
+    encoded train/val are persisted across the sweep.
+
+    Returns the persistable bundle {user_indexer, item_indexer, als}
+    plus {"rank", "reg", "val_rmse", "selection"} describing the pick."""
+    from pyspark.ml.recommendation import ALS
+
+    from yelp_recommender_spark.models.evaluator import rmse
+
+    ui, bi = fit_id_indexers(train, user_col, item_col)
+    tr_raw, val_raw = val_split(train, holdout_mod, user_col, item_col)
+    enc_tr = (
+        _encode_ids(tr_raw, ui, bi, user_col, item_col)
+        .select("_u_idx", "_b_idx", "stars")
+        .persist()
+    )
+    enc_val = (
+        _encode_ids(val_raw, ui, bi, user_col, item_col)
+        .select("_u_idx", "_b_idx", "stars")
+        .persist()
+    )
+    as_keys = [
+        F.col("_u_idx").alias("user_id"),
+        F.col("_b_idx").alias("business_id"),
+    ]
+    try:
+        best, selection = None, []
+        for rank in ranks:
+            for reg in regs:
+                als = ALS(
+                    rank=rank,
+                    regParam=reg,
+                    maxIter=max_iter,
+                    seed=seed,
+                    userCol="_u_idx",
+                    itemCol="_b_idx",
+                    ratingCol="stars",
+                    coldStartStrategy="nan",
+                ).fit(enc_tr)
+                preds = als.transform(enc_val).select(
+                    *as_keys, F.col("prediction").alias("stars")
+                )
+                m = rmse(preds, enc_val.select(*as_keys, "stars")).head()
+                row = {
+                    "rank": rank,
+                    "reg": reg,
+                    "val_rmse": m.rmse,
+                    "n_scored": m.n_scored,
+                    "n_missing": m.n_missing,
+                }
+                selection.append(row)
+                if (
+                    m.rmse is not None
+                    and (best is None or m.rmse < best["val_rmse"])
+                ):
+                    best = {**row, "als": als}
+        if best is None:
+            raise ValueError(
+                "ALS grid search: no config produced a validation RMSE "
+                "(all val pairs cold?) — check the split or the data"
+            )
+        return {
+            "user_indexer": ui,
+            "item_indexer": bi,
+            **best,
+            "selection": selection,
+        }
+    finally:
+        enc_tr.unpersist()
+        enc_val.unpersist()
+
+
 def fit_id_indexers(
     train: DataFrame, user_col: str = "user_id", item_col: str = "business_id"
 ):

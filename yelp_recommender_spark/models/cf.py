@@ -152,12 +152,24 @@ def corated_weights(
     )
 
 
+def combined_weight() -> F.Column:
+    """A12: the reference's combined similarity —
+    (pearson + cosine + jaccard) / 3 (``item_cf_model.py:178-180``) —
+    over :func:`corated_weights` output columns, rounded to 6 like each
+    constituent metric."""
+    return F.round(
+        (F.col("pearson") + F.col("cosine") + F.col("jaccard")) / 3, 6
+    )
+
+
 def symmetrize(weights: DataFrame, weight_col: str) -> DataFrame:
     """Undirected (e1,e2,w) → both directions (J7,
-    ``predict_user_cf.py:175-185``)."""
-    fwd = weights.select("e1", "e2", F.col(weight_col).alias("w"))
+    ``predict_user_cf.py:175-185``). ``weight_col="mean"`` selects the
+    A12 combined metric (:func:`combined_weight`)."""
+    w = combined_weight() if weight_col == "mean" else F.col(weight_col)
+    fwd = weights.select("e1", "e2", w.alias("w"))
     rev = weights.select(
-        F.col("e2").alias("e1"), F.col("e1").alias("e2"), F.col(weight_col).alias("w")
+        F.col("e2").alias("e1"), F.col("e1").alias("e2"), w.alias("w")
     )
     return fwd.union(rev)
 
@@ -166,7 +178,9 @@ def top_n_neighbors(
     weights: DataFrame, weight_col: str = "pearson", n: int = 10
 ) -> DataFrame:
     """(e1, e2, w): each entity's top-N neighbors by weight (W2,
-    ``item_cf_model.py:309-313``), deterministic tie-break on neighbor id."""
+    ``item_cf_model.py:309-313``), deterministic tie-break on neighbor id.
+    ``weight_col`` is any of {pearson, cosine, jaccard} or "mean" for the
+    A12 combined (p+c+j)/3 metric."""
     return top_n_per_key(
         symmetrize(weights, weight_col), ["e1"], "w", n, tiebreak="e2"
     )

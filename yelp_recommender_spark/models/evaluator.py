@@ -17,10 +17,50 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from yelp_recommender_spark.functions.exact_agg import dsum
 
 KEYS = ["user_id", "business_id"]
+
+
+def describe_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A13: the reference's RDD ``.stats()`` diagnostic
+    (``/root/reference/scripts/als_recommender.py:165`` prints
+    count/mean/stdev/max/min of the prediction column) as one DataFrame
+    aggregation — long form, one row per numeric column:
+    (column, n, mean, stddev, min, max), floats rounded to 6.
+
+    NaNs are excluded per column (mirroring ``.stats()`` over a filtered
+    RDD); ``stddev`` is the POPULATION deviation, matching
+    ``StatCounter.stdev()`` (note ``df.describe()`` reports the sample
+    deviation). All columns aggregate in a single job — one struct per
+    column exploded from one agg row, not one scan per column."""
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    structs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        v = F.when(~F.isnan(v), v)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(v).alias("n"),
+                F.round(F.avg(v), 6).alias("mean"),
+                F.round(F.stddev_pop(v), 6).alias("stddev"),
+                F.round(F.min(v), 6).alias("min"),
+                F.round(F.max(v), 6).alias("max"),
+            )
+        )
+    return (
+        df.agg(F.array(*structs).alias("_s"))
+        .select(F.explode("_s").alias("s"))
+        .select("s.*")
+    )
 
 
 def _joined(predictions: DataFrame, truth: DataFrame, pred_col: str, true_col: str) -> DataFrame:

@@ -388,11 +388,13 @@ def minhash_lsh_pairs(
     attribute that is a cheap slice, whereas against an inlined
     expression it would recompute the MinHash ``bands`` times per row
     (see :func:`token_shingles` on HOF re-evaluation)."""
+    from yelp_recommender_spark.cache import register_persist
+
     rows = n_hashes // bands
     sig_fn = minhash_signature_fast if fast else minhash_signature
-    sigs = docs.select(
-        id_col, sig_fn(shingle_col, n_hashes).alias("_sig")
-    ).persist()
+    sigs = register_persist(
+        docs.select(id_col, sig_fn(shingle_col, n_hashes).alias("_sig"))
+    )
     with_keys = sigs.select(
         id_col,
         F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk"),

@@ -65,19 +65,20 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
        measured 28 s single-threaded at sf0.1 vs ~0.1 s for the
        equivalent toks-size predicate (one tokenizer eval per row).
     """
+    from yelp_recommender_spark.cache import register_persist
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return register_persist(
         docs.repartition(par, "doc_id")
         .withColumn("toks", tokens_col("text"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", token_shingles("toks", k=3).alias("shingles"))
-        # persisted: q31 consumes this 3× (join sides + sizes), q32 2×
-        # (signature + verify), and the q31/q32 plans share one cache
-        # entry within a session. MEMORY_AND_DISK default — spills, never
-        # OOMs, and is the standard pattern for a reused expensive
-        # intermediate at any scale.
-        .persist()
+        # persisted via the session cache registry: q31 consumes this 3×
+        # (join sides + sizes), q32 2× (signature + verify), and the
+        # q31/q32/q35 plans share one cache entry within a session.
+        # MEMORY_AND_DISK default — spills, never OOMs. clear_caches()
+        # releases it at the pipeline boundary (cache hygiene).
     )
 
 

@@ -134,3 +134,32 @@ def q19_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_raw"),
         F.countDistinct("user_id").alias("n_unique_users"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q36_describe_stats",
+    oracle="""
+    SELECT 'value' AS "column", COUNT(v) AS n,
+           ROUND(AVG(v), 6) AS mean, ROUND(stddev_pop(v), 6) AS stddev,
+           ROUND(MIN(v), 6) AS min, ROUND(MAX(v), 6) AS max
+    FROM (SELECT CAST(value AS DOUBLE) AS v FROM events
+          WHERE NOT isnan(CAST(value AS DOUBLE)))
+    UNION ALL
+    SELECT 'user_id', COUNT(v),
+           ROUND(AVG(v), 6), ROUND(stddev_pop(v), 6),
+           ROUND(MIN(v), 6), ROUND(MAX(v), 6)
+    FROM (SELECT CAST(user_id AS DOUBLE) AS v FROM events)
+    """,
+)
+def q36_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: the reference's RDD ``.stats()`` diagnostic
+    (``als_recommender.py:165``) as one distributed aggregation —
+    count/mean/population-stddev/min/max per numeric column, long form.
+    All columns aggregate in a single job (struct array exploded from one
+    agg row); round(6) absorbs the summation-order difference between
+    engines (registry float policy)."""
+    from yelp_recommender_spark.models.evaluator import describe_stats
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return describe_stats(ev, ["value", "user_id"])

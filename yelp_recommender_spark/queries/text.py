@@ -44,16 +44,18 @@ EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is"]
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: the documents file is one thin scan split but the
     # token work downstream is CPU-bound — fan out to all cores (no-op
-    # at real scale where the scan has many splits). Persisted: seven
-    # text queries share this exact plan within a session (q20-q26), and
-    # q22's tf/df aggregates both consume it — one tokenization pass
-    # instead of one per aggregate (MEMORY_AND_DISK: spills, never OOMs).
+    # at real scale where the scan has many splits). Persisted via the
+    # session cache registry: seven text queries share this exact plan
+    # within a session (q20-q26), and q22's tf/df aggregates both consume
+    # it — one tokenization pass instead of one per aggregate
+    # (MEMORY_AND_DISK: spills, never OOMs); clear_caches() releases it
+    # at the pipeline boundary (cache hygiene).
+    from yelp_recommender_spark.cache import register_persist
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.repartition(par, "doc_id")
-        .withColumn("toks", tokens_col("text"))
-        .persist()
+    return register_persist(
+        docs.repartition(par, "doc_id").withColumn("toks", tokens_col("text"))
     )
 
 
