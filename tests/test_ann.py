@@ -206,6 +206,36 @@ def test_planner_uses_plan_stats_not_count(spark, monkeypatch):  # noqa: F811
         spark.conf.set("spark.sql.cbo.enabled", prev)
 
 
+def test_ivf_topk_contract_and_recall(neardup_df):
+    """IVF top-k: same output contract as cosine_topk, high recall on
+    clustered data (the 40-base × 3-copy fixture clusters naturally, so
+    a query's true neighbors share its centroid)."""
+    from yelp_recommender_spark.operators.ann import cosine_topk, ivf_topk
+
+    probes = neardup_df.filter("vec_id < 30")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(probes, neardup_df, k=2).collect()
+    }
+    out = ivf_topk(probes, neardup_df, k=2, n_centroids=10, n_probe=3)
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank",
+    ]
+    got = out.collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        assert r.query_id != r.neighbor_id  # self-matches excluded
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # dense ranks
+        coss = [r.cos for r in sorted(rows, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True)
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
 def test_q42_catalog_recall_meets_derived_bound(spark):  # noqa: F811
     """The q42 catalog entry now derives its SRP params from the 0.4
     threshold: the analytic worst-case bound must be >= 0.95 (the r3

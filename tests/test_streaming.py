@@ -116,6 +116,38 @@ def test_sessionize_stream_matches_batch_session_count(spark):  # noqa: F811
         assert s[2] >= horizon, f"session {s} missing but before horizon"
 
 
+def test_running_totals_stateful_matches_batch(spark):  # noqa: F811
+    """applyInPandasWithState custom operator: after draining the
+    backlog, the last changelog emission per key equals the batch
+    groupBy count/sum."""
+    from yelp_recommender_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from yelp_recommender_spark.streaming.ops import running_totals_stream
+
+    got = run_to_memory(
+        running_totals_stream(read_events_stream(spark, SF_DIR)),
+        "running_totals",
+        output_mode="update",
+    )
+    # the changelog may hold several emissions per key (one per
+    # micro-batch that touched it); the LAST (max n_events) is the total
+    latest = {}
+    for r in got.collect():
+        k = (r.user_id, r.event_type)
+        if k not in latest or r.n_events > latest[k][0]:
+            latest[k] = (r.n_events, round(r.total_value, 6))
+    expect = {
+        (r.user_id, r.event_type): (r.n, round(r.s, 6))
+        for r in _batch_events(spark)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert latest == expect
+
+
 def test_streaming_topk_foreachbatch(spark):  # noqa: F811
     import os
     import tempfile

@@ -394,6 +394,158 @@ def cosine_pairs_above_lsh(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file index via KMeans coarse quantizer) — the second
+# beyond-broadcast scale path, complementary to SRP-LSH: LSH needs no
+# training and gives an analytic recall bound; IVF adapts its partitions
+# to the data distribution and scans a tunable fraction (n_probe /
+# n_centroids) of the index per query.
+# --------------------------------------------------------------------------
+def ivf_fit_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    seed: int = 42,
+):
+    """Fit a KMeans coarse quantizer on L2-NORMALIZED vectors and assign
+    every vector to its nearest centroid (on normalized vectors,
+    Euclidean NN order == cosine NN order, so the quantizer partitions
+    by the metric the queries use — spherical-kmeans-style).
+
+    Returns (assignments, centers): assignments is (id, vec, centroid_id)
+    with ``vec`` the normalized array<double>; centers is a small
+    (n_centroids, dim) numpy matrix (driver-side by construction — it IS
+    the index's routing table, a few KB).
+
+    Scale: the KMeans fit is MLlib's distributed Lloyd iteration; the
+    assignment is one model.transform (map-only). Persist the result to
+    amortize over many query batches."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("_raw"),
+    ).select(
+        id_col,
+        F.when(
+            F.aggregate("_raw", F.lit(0.0), lambda a, v: a + v * v) == 0,
+            F.col("_raw"),  # zero vector: leave as-is (cos 0 vs anything)
+        )
+        .otherwise(
+            F.transform(
+                "_raw",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        "_raw", F.lit(0.0), lambda a, v: a + v * v
+                    )
+                ),
+            )
+        )
+        .alias("vec"),
+    )
+    feat = feat.withColumn("_fv", array_to_vector("vec"))
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        featuresCol="_fv",
+        predictionCol="centroid_id",
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, "vec", "centroid_id")
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    return assigned, centers
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an inverted-file index:
+    each query probes its ``n_probe`` nearest centroids and scores only
+    the vectors assigned there — scanning ≈ n_probe/n_centroids of the
+    index instead of all of it. Output matches :func:`cosine_topk`:
+    (query_id, neighbor_id, cos, rank), self-matches excluded,
+    deterministic ties on neighbor id.
+
+    Scale: the index shuffles ONCE on centroid_id (and can stay
+    partitioned that way across query batches); each query row fans out
+    n_probe ways and joins on centroid_id — no broadcast of the index,
+    no driver state beyond the (n_centroids × dim) routing table.
+    Recall is data-dependent (no analytic bound, unlike SRP-LSH): tune
+    n_probe against a recall measurement — q43 is that dial."""
+    assigned, centers = ivf_fit_assign(
+        index, id_col, vec_col, n_centroids, seed
+    )
+    spark = queries.sparkSession
+    b = spark.sparkContext.broadcast(centers)
+    n_probe = min(n_probe, centers.shape[0])
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b.value  # (n_centroids, dim), centers of normalized data
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            qs = q / qn
+            sims = qs @ C.T  # cosine order == euclidean order (normalized)
+            top = np.argsort(-sims, axis=1)[:, :n_probe]  # (B, n_probe)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_probe),
+                    "qvec": [v for v in qs for _ in range(n_probe)],
+                    "centroid_id": top.ravel().astype(np.int32),
+                }
+            )
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probes, probe_schema
+    )
+    from yelp_recommender_spark.functions.similarity import dot_arrays
+    from yelp_recommender_spark.operators.topk import top_n_per_key
+
+    cand = (
+        probed.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        # both sides pre-normalized → cosine is the plain dot product
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dot_arrays("qvec", "vec"), 6).alias("cos"),
+        )
+        # a vector can sit in several probed lists of one query → dedup
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    return top_n_per_key(
+        cand,
+        ["query_id"],
+        "cos",
+        k,
+        tiebreak="neighbor_id",
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "cos", "rank")
+
+
 def estimated_row_count(df: DataFrame) -> int | None:
     """Catalyst's own cardinality estimate for the optimized plan, or
     ``None`` when the plan doesn't carry a row count (no ANALYZE stats,

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yelp_recommender_spark.functions.exact_agg import dsum
-from yelp_recommender_spark.functions.text import tokens_col
 from yelp_recommender_spark.operators.ann import cosine_pairs_above_auto
 from yelp_recommender_spark.operators.dedup import (
     blocked_jaccard_pairs,
@@ -45,40 +44,32 @@ DUCK_BANDS8 = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles) with two load-bearing plan choices:
+    """(doc_id, shingles), built FROM the shared token cache
+    (:func:`~yelp_recommender_spark.queries.text._docs_tokens`) — one
+    tokenization pass feeds the seven text queries AND the dedup family,
+    instead of the shingle pipeline re-tokenizing (or depending on an
+    accidental cache-plan match). Load-bearing plan choices:
 
-    1. ``toks`` is materialized as its own projection before shingling —
-       passing the tokenizer *expression* into the shingle lambda would
+    1. ``toks`` is a materialized column of the cached table — passing
+       the tokenizer *expression* into the shingle lambda would
        re-evaluate the full regex pipeline per ``element_at`` call
        (measured 8 ms/doc vs ~0.1 ms/doc), since common-subexpression
        elimination does not reach into higher-order-function lambdas.
-    2. explicit ``repartition``: the documents scan is one thin parquet
-       split (file ≪ maxPartitionBytes) but the downstream per-row work
-       (shingling, MinHash) is CPU-heavy — classic cheap-scan/expensive-
-       map shape that needs a manual fan-out; at 100 TB the scan itself
-       provides the parallelism and the repartition is a no-op cost-wise.
-    3. the short-doc filter is ``size(toks) >= 3`` (same predicate as the
-       oracle's ``len(toks) >= 3``), **not** ``size(shingles) > 0``:
-       Catalyst pushes the filter below the repartition into the scan
-       stage with every column reference inlined, so a predicate over
-       ``shingles`` re-runs the whole tokenizer per ``element_at`` —
-       measured 28 s single-threaded at sf0.1 vs ~0.1 s for the
-       equivalent toks-size predicate (one tokenizer eval per row).
+    2. the short-doc filter is ``size(toks) >= 3`` (same predicate as the
+       oracle's ``len(toks) >= 3``), **not** ``size(shingles) > 0``: a
+       predicate over ``shingles`` would re-run the shingle chain per
+       element when inlined (see 1).
+    3. persisted via the session cache registry: q31 consumes this 3×
+       (join sides + sizes), q32 2× (signature + verify), q35 2× — one
+       shingle build per session, released by clear_caches().
     """
     from yelp_recommender_spark.cache import register_persist
+    from yelp_recommender_spark.queries.text import _docs_tokens
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = _docs_tokens(spark, sf_dir)
     return register_persist(
-        docs.repartition(par, "doc_id")
-        .withColumn("toks", tokens_col("text"))
-        .filter(F.size("toks") >= 3)
+        toks.filter(F.size("toks") >= 3)
         .select("doc_id", token_shingles("toks", k=3).alias("shingles"))
-        # persisted via the session cache registry: q31 consumes this 3×
-        # (join sides + sizes), q32 2× (signature + verify), and the
-        # q31/q32/q35 plans share one cache entry within a session.
-        # MEMORY_AND_DISK default — spills, never OOMs. clear_caches()
-        # releases it at the pipeline boundary (cache hygiene).
     )
 
 
@@ -243,13 +234,13 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over the distinct-token bag — the
     third dedup family (near-dups differ in few bits; exact dups collide).
-    Pure per-row expression, map-only at any scale."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.repartition(par, "doc_id")
-        .withColumn("dt", F.array_distinct(tokens_col("text")))
-        .select("doc_id", simhash16("dt").alias("simhash"))
+    Pure per-row expression over the shared token cache — map-only at
+    any scale, no second tokenization pass."""
+    from yelp_recommender_spark.queries.text import _docs_tokens
+
+    toks = _docs_tokens(spark, sf_dir)
+    return toks.withColumn("dt", F.array_distinct("toks")).select(
+        "doc_id", simhash16("dt").alias("simhash")
     )
 
 

@@ -80,6 +80,33 @@ def q62_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+@query("q63_streaming_running_totals")  # rows-only: stateful changelog
+def q63_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-(user, event_type) running count/sum emitted as a changelog in
+    update mode. Over the bounded backlog the final emission per key
+    equals the batch aggregate — that parity is pinned by
+    ``tests/test_streaming.py``; the driver gates rows here (the
+    changelog emission set is defined by the micro-batch sequence, not a
+    relational expression)."""
+    from yelp_recommender_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        running_totals_stream,
+    )
+
+    stream = running_totals_stream(read_events_stream(spark, sf_dir))
+    out = run_to_memory(stream, "q63_totals", output_mode="update")
+    # one file = one micro-batch here, so the changelog has exactly one
+    # row per key; round for cross-run float stability
+    return out.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 @query("q60_multimodal_image_features")  # rows-only: byte-level fake codec
 def q60_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: a deterministic 64-image media

@@ -9,6 +9,9 @@ item factors, ``/root/reference/scripts/als_recommender.py:139-153``).
 - q42: LSH(SRP)-bucketed ANN candidates scored against the exact result —
   the beyond-broadcast scale path, reported as recall (rows-only: the
   hyperplanes come from a seeded numpy RNG, not expressible in SQL)
+- q43: IVF (KMeans coarse quantizer) top-k vs exact — the second
+  beyond-broadcast path; scans n_probe/n_centroids of the index per
+  query (rows-only: iterative MLlib clustering)
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from yelp_recommender_spark.functions.similarity import cosine_arrays
 from yelp_recommender_spark.operators.ann import (
     cosine_pairs_above,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_candidates,
 )
 from yelp_recommender_spark.queries.registry import query
@@ -147,5 +151,47 @@ def q42_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall"),
             F.round(F.lit(expected), 6).alias("expected_recall_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query("q43_ann_ivf_recall")  # rows-only: iterative KMeans quantizer
+def q43_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) top-k scored against the exact
+    brute-force top-k — the second beyond-broadcast ANN path, tuned by
+    n_probe / n_centroids (here 4/16 = 25% of the index scanned per
+    query). Output: one row (n_exact, n_hit, recall_at_10). Not
+    SQL-expressible (iterative MLlib clustering) — rows-only.
+
+    Honesty note: the synthetic embeddings are weakly clustered (nearest
+    neighbors sit at cos ≈ 0.45), so true neighbors scatter across
+    centroids and this dial reads ~0.5 at a 25% scan fraction — twice
+    the random-scan baseline but far from the ≥ 0.9 IVF reaches on
+    genuinely clustered data (pinned by tests/test_ann.py). IVF's recall
+    is data-dependent; SRP-LSH (q42) carries the analytic bound.
+
+    Scale: the index shuffles once on centroid_id; each query fans out
+    n_probe ways and joins on that key — no broadcast index, no driver
+    state beyond the (n_centroids × dim) routing table."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(probes, emb, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        probes, emb, k=10, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hit") / F.col("n_exact")
+                ),
+                6,
+            ).alias("recall_at_10"),
         )
     )

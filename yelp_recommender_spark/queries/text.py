@@ -55,7 +55,13 @@ def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     par = docs.sparkSession.sparkContext.defaultParallelism
     return register_persist(
-        docs.repartition(par, "doc_id").withColumn("toks", tokens_col("text"))
+        # explicit projection: the cache carries exactly what its
+        # consumers read (q24 text, q23 lang, q25 source) — an unselected
+        # column (n_chars) would ride through the repartition shuffle AND
+        # the cache at full corpus width (caught by tests/test_plans.py)
+        docs.select("doc_id", "text", "lang", "source")
+        .repartition(par, "doc_id")
+        .withColumn("toks", tokens_col("text"))
     )
 
 

@@ -15,6 +15,7 @@ from yelp_recommender_spark.streaming.ops import (
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
+    running_totals_stream,
     sessionize_stream,
     top_events_per_window_foreachbatch,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "hourly_counts_stream",
     "dedup_stream",
     "sessionize_stream",
+    "running_totals_stream",
     "top_events_per_window_foreachbatch",
     "run_to_memory",
 ]

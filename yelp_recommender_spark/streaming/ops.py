@@ -182,6 +182,70 @@ def top_events_per_window_foreachbatch(
     return agg, batch_fn, results
 
 
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState`` — the
+    escape hatch for stateful logic Spark's built-in streaming aggregates
+    can't express (here: per-(user, event_type) running count/sum emitted
+    as every micro-batch updates them, i.e. a changelog of cumulative
+    totals rather than a windowed aggregate).
+
+    State is one (n, sum) pair per key — O(keys), watermark-free by
+    design (totals never expire; a TTL variant would pass a
+    GroupStateTimeout). Arrow-batched: each key's rows arrive as pandas
+    frames, the update is two vectorized reductions.
+
+    Batch parity: after draining a bounded backlog the final emission per
+    key equals the batch ``groupBy(user_id, event_type).agg(count, sum)``
+    — pinned by tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        user_id, event_type = key
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "event_type": event_type,
+                    "n_events": n,
+                    "total_value": s,
+                }
+            ]
+        )
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
