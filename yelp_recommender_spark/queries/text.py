@@ -323,3 +323,77 @@ def q26_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return top_k_global(counted, "n", 30, tiebreak="bigram")
+
+
+# --------------------------------------------------------------------------
+# BPE-ish piece pattern: runs of letters / runs of digits / runs of other
+# non-space — the shape of a byte-pair pre-tokenizer's coarse split,
+# portable between Java regex (Spark) and RE2-ish (DuckDB).
+BPE_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+@query(
+    "q27_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_ws_tokens,
+           len({DUCK_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS n_bpe_pieces
+    FROM documents
+    """,
+)
+def q27_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (LLM-pipeline op): whitespace split,
+    the canonical lower/strip tokenizer, and a BPE-ish piece count
+    (letter runs / digit runs / punctuation runs — the coarse split a
+    byte-pair pre-tokenizer makes before merges). All per-row
+    expressions — map-only at any scale; the regex families are chosen
+    to evaluate identically in Java regex and the oracle's RE2."""
+    d = _docs_tokens(spark, sf_dir)
+    trimmed = F.trim("text")
+    n_ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return d.select(
+        "doc_id",
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PIECE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q37_stratified_sample",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                     CASE source WHEN 'src0' THEN '80'
+                                 WHEN 'src1' THEN '40'
+                                 ELSE '20' END
+           ) AS n_kept
+    FROM documents GROUP BY source
+    """,
+)
+def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (LLM-pipeline op): per-source
+    hash-gated keep rates (src0 50%, src1 25%, rest 12.5% — the corpus
+    re-balancing move). The md5-prefix gate is reproducible across runs,
+    partitionings, and engines — the oracle reproduces the EXACT kept
+    set, not just its expectation; ``df.sample`` can do neither."""
+    from yelp_recommender_spark.functions.sampling import stratified_gate
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    kept = stratified_gate(
+        "doc_id", "source", {"src0": 0x80, "src1": 0x40}, default_keep_n=0x20
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
