@@ -236,6 +236,34 @@ def test_ivf_topk_contract_and_recall(neardup_df):
     assert recall >= 0.9, f"IVF recall {recall}"
 
 
+def test_cosine_rescore_arrow_matches_column_expr(spark):  # noqa: F811
+    """The vectorized einsum re-scorer must agree with the Column-algebra
+    cosine on every pair, including the zero-norm → 0.0 convention."""
+    from yelp_recommender_spark.functions.similarity import cosine_arrays
+    from yelp_recommender_spark.operators.ann import cosine_rescore_arrow
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),
+            (3, 4, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero-norm side
+            (5, 6, [-1.0, 0.5, 2.0], [4.0, -2.0, 0.25]),
+        ],
+        "id1 long, id2 long, _v1 array<double>, _v2 array<double>",
+    )
+    got = {
+        (r.id1, r.id2): r.cos
+        for r in cosine_rescore_arrow(pairs, "_v1", "_v2").collect()
+    }
+    expect = {
+        (r.id1, r.id2): r.cos
+        for r in pairs.select(
+            "id1", "id2", F.round(cosine_arrays("_v1", "_v2"), 6).alias("cos")
+        ).collect()
+    }
+    assert got == expect
+    assert got[(3, 4)] == 0.0
+
+
 def test_q42_catalog_recall_meets_derived_bound(spark):  # noqa: F811
     """The q42 catalog entry now derives its SRP params from the 0.4
     threshold: the analytic worst-case bound must be >= 0.95 (the r3

@@ -348,8 +348,6 @@ def cosine_pairs_above_lsh(
 
     Scale: candidates shuffle on (table, bucket); the re-score joins the
     vector table twice on id. No broadcast, no driver state."""
-    from yelp_recommender_spark.functions.similarity import cosine_arrays
-
     if n_planes is None or n_tables is None:
         n_planes, n_tables = srp_params_for_recall(threshold, target_recall)
     expected = srp_expected_recall(threshold, n_planes, n_tables)
@@ -385,13 +383,49 @@ def cosine_pairs_above_lsh(
         F.col(id_col).alias("id2"),
         F.col(vec_col).cast("array<double>").alias("_v2"),
     )
+    joined = cand.join(v1, "id1").join(v2, "id2")
+    # exact re-score vectorized per Arrow batch (einsum), not the
+    # interpreted per-row HOF — same values, ~vector-width less CPU
     return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("cos", F.round(cosine_arrays("_v1", "_v2"), 6))
+        cosine_rescore_arrow(joined, "_v1", "_v2")
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
+
+
+def cosine_rescore_arrow(
+    pairs: DataFrame,
+    vec1: str,
+    vec2: str,
+    out: str = "cos",
+) -> DataFrame:
+    """Exact cosine over joined (vec1, vec2) array columns, computed as
+    one einsum per Arrow batch — the vectorized replacement for the
+    interpreted ``aggregate``/``zip_with`` HOF per candidate row (the
+    same per-row-CPU shape the r3 SRP vectorization removed from bucket
+    assignment). Passes every other column through; drops the two vector
+    columns; appends ``out`` rounded to 6. Zero-norm vectors score 0.0
+    (the engine-wide sklearn-compatible convention)."""
+    keep = [f for f in pairs.schema.fields if f.name not in (vec1, vec2)]
+    schema = T.StructType(keep + [T.StructField(out, T.DoubleType())])
+    names = [f.name for f in keep]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf[vec1]), dtype=np.float64)
+            b2 = np.array(list(pdf[vec2]), dtype=np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b2, axis=1)
+            na[na == 0.0] = 1.0
+            nb[nb == 0.0] = 1.0
+            cos = np.round(np.einsum("ij,ij->i", a, b2) / (na * nb), 6)
+            out_pdf = pdf[names].copy()
+            out_pdf[out] = cos
+            yield out_pdf
+
+    return pairs.mapInPandas(gen, schema)
 
 
 # --------------------------------------------------------------------------
@@ -519,18 +553,17 @@ def ivf_topk(
     probed = queries.select(id_col, vec_col).mapInPandas(
         probes, probe_schema
     )
-    from yelp_recommender_spark.functions.similarity import dot_arrays
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
-    cand = (
+    joined = (
         probed.join(assigned, "centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
-        # both sides pre-normalized → cosine is the plain dot product
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(dot_arrays("qvec", "vec"), 6).alias("cos"),
-        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "qvec", "vec")
+    )
+    cand = (
+        # exact score vectorized per Arrow batch (both sides are
+        # pre-normalized, so the cosine is a plain einsum dot)
+        cosine_rescore_arrow(joined, "qvec", "vec")
         # a vector can sit in several probed lists of one query → dedup
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos").alias("cos"))

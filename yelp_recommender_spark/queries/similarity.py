@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from yelp_recommender_spark.functions.similarity import cosine_arrays
 from yelp_recommender_spark.operators.ann import (
     cosine_pairs_above,
     cosine_topk,
