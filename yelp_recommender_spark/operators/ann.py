@@ -441,6 +441,7 @@ def ivf_fit_assign(
     vec_col: str = "embedding",
     n_centroids: int = 64,
     seed: int = 42,
+    max_iter: int = 8,
 ):
     """Fit a KMeans coarse quantizer on L2-NORMALIZED vectors and assign
     every vector to its nearest centroid (on normalized vectors,
@@ -484,6 +485,8 @@ def ivf_fit_assign(
     model = KMeans(
         k=n_centroids,
         seed=seed,
+        maxIter=max_iter,  # a coarse quantizer needs partitions, not
+        # convergence — recall is set by n_probe, not centroid polish
         featuresCol="_fv",
         predictionCol="centroid_id",
     ).fit(feat)
@@ -501,6 +504,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an inverted-file index:
     each query probes its ``n_probe`` nearest centroids and scores only
@@ -516,7 +520,7 @@ def ivf_topk(
     Recall is data-dependent (no analytic bound, unlike SRP-LSH): tune
     n_probe against a recall measurement — q43 is that dial."""
     assigned, centers = ivf_fit_assign(
-        index, id_col, vec_col, n_centroids, seed
+        index, id_col, vec_col, n_centroids, seed, max_iter
     )
     spark = queries.sparkSession
     b = spark.sparkContext.broadcast(centers)

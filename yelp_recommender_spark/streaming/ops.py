@@ -254,17 +254,33 @@ def run_to_memory(
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the available
     backlog (``trigger(availableNow=True)``) into an in-memory table and
-    return it as a batch DataFrame — the test/backfill harness."""
+    return it as a batch DataFrame — the test/backfill harness.
+
+    The state-store partition count is fixed by
+    ``spark.sql.shuffle.partitions`` at FIRST start for a checkpoint;
+    since this harness always starts fresh checkpoints, it pins that
+    count to the session's parallelism for the query's duration (a plain
+    200-partition session otherwise runs 200-task state stages over a
+    backlog of hundreds of rows) and restores the conf after. Results
+    are partition-count-independent; only task counts change."""
     spark = stream_df.sparkSession
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    q.awaitTermination(timeout_s)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
