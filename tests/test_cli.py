@@ -101,6 +101,24 @@ def test_cli_config_validation(tmp_path):
         cli.load_config(str(bad))
 
 
+def test_cli_content_lifecycle(spark, data_files):  # noqa: F811
+    rows = _run_lifecycle(
+        spark, data_files, "content", {"top_k": 50, "min_df": 1}
+    )
+    assert rows[("u_new", "b_new")].decision == "default"
+    # a seen pair with token overlap scores through the cosine rule
+    assert rows[("u1", "b2")].decision in ("cos", "both_avg")
+    assert all(r.stars is not None for r in rows.values())
+
+
+def test_cli_user_cf_lifecycle(spark, data_files):  # noqa: F811
+    rows = _run_lifecycle(
+        spark, data_files, "user_cf", {"min_corated": 2, "k_neighbors": 10}
+    )
+    assert rows[("u_new", "b_new")].decision == "default"
+    assert all(r.stars is not None for r in rows.values())
+
+
 def test_cli_als_grid_lifecycle(spark, data_files, tmp_path):  # noqa: F811
     """params.grid runs the reference's ranks × regs sweep; the persisted
     model is the best-by-validation-RMSE pick and the sweep lands in the

@@ -28,6 +28,20 @@ def test_image_features_deterministic_and_shaped(spark):  # noqa: F811
     assert by_id == again
 
 
+def test_q64_pipeline_finds_exactly_planted_duplicates(spark):  # noqa: F811
+    """The decode → feature → center → near-dup composition must emit
+    precisely the 8 planted byte-identical duplicate pairs at cosine 1.0
+    — raw (uncentered) cosine would return all ~2.5k pairs because the
+    fake codec's features concentrate near their mean."""
+    from yelp_recommender_spark.queries.pipeline import q64_multimodal_neardup
+    from tests.conftest import SF_DIR
+
+    rows = q64_multimodal_neardup(spark, SF_DIR).collect()
+    assert [(r.id1, r.id2, r.cos) for r in rows] == [
+        (i, i + 1000, 1.0) for i in range(8)
+    ]
+
+
 def test_image_features_exact_values(spark):  # noqa: F811
     """Pin the documented binning semantics (ADVICE r3: the r3 bincount
     form is bin = v * n_bins // 256, each bin exactly 256/n_bins wide —

@@ -107,6 +107,55 @@ def q63_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q64_multimodal_neardup")  # rows-only: byte-level fake codec
+def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end modality composition — the shape a curation pipeline
+    actually runs: image payloads (with planted byte-identical
+    duplicates) → Arrow-batched feature extraction (q60's transform) →
+    per-dimension mean-centering → embedding near-dup pairs through the
+    cardinality-based similarity planner (q34's operator).
+
+    Centering is load-bearing, not cosmetic: low-variance features
+    (every image's channel means sit near 127.5/255) make RAW cosine ≈ 1
+    for everything; subtracting the per-dimension corpus mean leaves the
+    deviations, where only true duplicates stay at cosine 1 — the
+    standard standardize-before-cosine move. The planted (i, i+1000)
+    duplicate pairs are exactly what must survive; deterministic, pinned
+    by tests/test_multimodal.py."""
+    from yelp_recommender_spark.multimodal import (
+        extract_image_features,
+        synthesize_media,
+    )
+    from yelp_recommender_spark.operators.ann import cosine_pairs_above_auto
+
+    media = synthesize_media(spark, n=64, kind="image")
+    dups = media.filter(F.col("media_id") < 8).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    feats = extract_image_features(
+        media.unionByName(dups), n_bins=8
+    ).select(
+        F.col("media_id").alias("vec_id"),
+        F.posexplode("features").alias("dim_idx", "v"),
+    )
+    mu = feats.groupBy("dim_idx").agg(F.avg("v").alias("mu"))
+    centered = (
+        feats.join(F.broadcast(mu), "dim_idx")
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_idx", (F.col("v") - F.col("mu")).alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("embedding")
+        )
+    )
+    return cosine_pairs_above_auto(centered, threshold=0.99).orderBy(
+        "id1", "id2"
+    )
+
+
 @query("q60_multimodal_image_features")  # rows-only: byte-level fake codec
 def q60_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: a deterministic 64-image media

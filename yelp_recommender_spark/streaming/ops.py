@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -283,4 +284,7 @@ def run_to_memory(
         q.awaitTermination(timeout_s)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the memory sink holds the result; the drained checkpoint is dead
+    # weight (each run creates a fresh one — they'd accumulate forever)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
