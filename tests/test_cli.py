@@ -208,3 +208,20 @@ def test_cli_evaluate_roundtrip(spark, data_files, capsys):  # noqa: F811
     assert sum(d["n"] for d in result["by_decision"].values()) == len(
         FX.TEST_TRUTH
     )
+
+
+def test_cli_evaluate_untagged_predictions(spark, tmp_path):  # noqa: F811
+    """Predictions without a decision field (external producers) must
+    evaluate cleanly, grouping under 'untagged' instead of a None key
+    that would break the JSON report."""
+    from yelp_recommender_spark import cli
+
+    preds = tmp_path / "preds.json"
+    truth = tmp_path / "truth.json"
+    with open(preds, "w") as fh:
+        fh.write(json.dumps({"user_id": "u", "business_id": "b", "stars": 4.0}) + "\n")
+    with open(truth, "w") as fh:
+        fh.write(json.dumps({"user_id": "u", "business_id": "b", "stars": 5.0}) + "\n")
+    result = cli.evaluate(spark, str(preds), str(truth))
+    assert result["rmse"] == 1.0
+    assert result["by_decision"] == {"untagged": {"n": 1, "rmse": 1.0}}

@@ -336,8 +336,11 @@ def evaluate(
         "n_scored": overall.n_scored,
         "n_missing": overall.n_missing,
         "by_decision": {
-            r.decision: {"n": r.n, "rmse": r.rmse}
-            for r in sorted(by_dec, key=lambda r: r.decision)
+            # predictions without a decision tag (older files, external
+            # producers) group under "untagged" — a None key would make
+            # the JSON line unserializable
+            (r.decision or "untagged"): {"n": r.n, "rmse": r.rmse}
+            for r in sorted(by_dec, key=lambda r: r.decision or "")
         },
     }
     line = json.dumps(result, sort_keys=True)

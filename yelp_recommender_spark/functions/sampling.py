@@ -86,3 +86,30 @@ def stratified_sample(
     return df.filter(
         stratified_gate(key, stratum, keep_by_stratum, default_keep_n)
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    n: int,
+) -> DataFrame:
+    """EXACTLY-N-per-group deterministic sample (vs the fractional gates
+    above): rank each group's rows by ``md5(key)`` — a uniform shuffle
+    that every engine reproduces — and keep the first ``n``. The
+    balanced-per-source draw a training mix needs ("5k docs from every
+    source, same 5k every run").
+
+    Scale: one shuffle on the group key (the ranking window); skewed
+    groups are bounded by AQE. Ties in md5 are broken by the key itself,
+    so the kept set is total-order deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -397,3 +397,30 @@ def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(kept, 1)).alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q38_sample_n_per_group",
+    oracle="""
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q38_sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-group deterministic sampling: 5 documents per
+    source, ranked by md5(doc_id) — the balanced training-mix draw,
+    identical rows on every run and in the oracle (full value check,
+    not a count: the EXACT kept set matches)."""
+    from yelp_recommender_spark.functions.sampling import sample_n_per_group
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return sample_n_per_group(docs, ["source"], "doc_id", 5).select(
+        "source", "doc_id"
+    )

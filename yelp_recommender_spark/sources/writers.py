@@ -28,14 +28,19 @@ def write_parquet(
     table_name: str | None = None,
 ) -> None:
     """Parquet sink (S7/S8 successor). ``bucket_by=(n, col)`` writes a
-    bucketed table so later joins/aggs on ``col`` skip the shuffle —
-    the scale path for model weight tables reused across queries."""
+    bucketed EXTERNAL table at ``path`` (registered as ``table_name`` —
+    bucket metadata lives in the catalog) so later joins/aggs on ``col``
+    skip the shuffle entirely — the scale path for model weight tables
+    reused across queries. Verified by tests/test_writers.py: a
+    bucketed-bucketed equi-join plans with zero Exchange operators."""
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by is not None:
         n, col = bucket_by
-        writer.bucketBy(n, col).sortBy(col).saveAsTable(table_name or "bucketed_out")
+        writer.option("path", path).bucketBy(n, col).sortBy(col).saveAsTable(
+            table_name or "bucketed_out"
+        )
         return
     writer.parquet(path)
 
