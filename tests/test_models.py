@@ -101,6 +101,33 @@ def test_corated_weights_semantics(train):
     assert w[("b1", "b3")].pearson == -1.0
 
 
+def test_corated_cap_bounds_hot_context_pairs(spark):  # noqa: F811
+    """cap_per_context is the skew guard for the CF self-join: a
+    power-law context (one user rating everything) contributes
+    |ratings|² pairs uncapped; with the cap its contribution is bounded
+    by cap², keeping the context's top-rated entities deterministically."""
+    from yelp_recommender_spark.models.cf import corated_weights
+
+    # one hot user rated 40 businesses; two normal users rated 2 each
+    rows = [("hot", f"b{i}", float(1 + i % 5)) for i in range(40)]
+    rows += [("u1", "b0", 4.0), ("u1", "b1", 3.0),
+             ("u2", "b0", 2.0), ("u2", "b2", 5.0)]
+    train = spark.createDataFrame(
+        rows, "user_id string, business_id string, stars double"
+    )
+    uncapped = corated_weights(train, min_corated=1).count()
+    assert uncapped >= 40 * 39 // 2  # the hot user's quadratic blowup
+    capped = corated_weights(train, min_corated=1, cap_per_context=5)
+    n_capped = capped.count()
+    assert n_capped <= 5 * 4 // 2 + 4  # bounded by cap² per context
+    # the cap keeps the TOP-rated entities: stars 5 ranks before 1
+    kept_entities = {
+        r.e1 for r in capped.collect()
+    } | {r.e2 for r in capped.collect()}
+    top_rated = {f"b{i}" for i in range(40) if (1 + i % 5) == 5}
+    assert top_rated & kept_entities, "no top-rated entity survived the cap"
+
+
 def test_item_cf_predict_falls_back(spark, train, avgs):  # noqa: F811
     from yelp_recommender_spark.models.cf import (
         corated_weights,

@@ -163,3 +163,29 @@ def q36_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return describe_stats(ev, ["value", "user_id"])
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q39_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q39_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (interpolated, R-7 — the same
+    definition as the oracle's quantile_cont): the tail-latency /
+    value-distribution diagnostic. Spark's ``percentile`` sorts within
+    the group — exact and oracle-checkable; at 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable sketches) where the
+    ±ε contract is acceptable — same plan shape, no sort."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
