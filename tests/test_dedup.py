@@ -72,6 +72,52 @@ def test_blocking_exclusions_measures_the_blind_spot(spark):  # noqa: F811
     assert pairs == {(1, 2)}
 
 
+def test_cdc_chunks_resynchronize_after_insertion(spark):  # noqa: F811
+    """The content-defined-chunking property q28 relies on: inserting
+    tokens mid-document changes only the chunk(s) containing the edit —
+    downstream chunks re-align because boundaries depend on content, not
+    position (a fixed-width chunker would shift every later chunk)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    base = [f"w{int(x)}" for x in rng.integers(0, 500, size=200)]
+    edited = base[:100] + ["inserted", "tokens", "here"] + base[100:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, toks array<string>"
+    )
+    ex = df.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    boundary = F.when(F.substring(F.md5("tok"), 1, 2) < "40", 1).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        ex.withColumn("chunk", F.sum(boundary).over(w))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("fp")
+        )
+    )
+    fps = {
+        d: {r.fp for r in rows}
+        for d, rows in (
+            (1, chunks.filter("doc_id = 1").collect()),
+            (2, chunks.filter("doc_id = 2").collect()),
+        )
+    }
+    overlap = len(fps[1] & fps[2]) / len(fps[1])
+    # ~50 chunks; the edit can touch only the chunk(s) around position
+    # 100 — the vast majority of fingerprints must survive verbatim
+    assert overlap >= 0.9, f"CDC resync failed: only {overlap:.0%} shared"
+
+
 def test_log_exclusions_warns_on_fully_hot_docs(spark, caplog):  # noqa: F811
     import logging
 

@@ -424,3 +424,77 @@ def q38_sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_n_per_group(docs, ["source"], "doc_id", 5).select(
         "source", "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q28_cdc_chunk_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos FROM t),
+    m AS (SELECT doc_id, pos, tok,
+                 CASE WHEN substr(md5(tok), 1, 2) < '40' THEN 1 ELSE 0 END
+                     AS b
+          FROM e),
+    c AS (SELECT doc_id, pos, tok,
+                 SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+          FROM m),
+    chunks AS (
+        SELECT doc_id, chunk,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        FROM c GROUP BY doc_id, chunk
+    ),
+    shared AS (SELECT fp, COUNT(DISTINCT doc_id) AS ndocs
+               FROM chunks GROUP BY fp)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE ndocs > 1) AS n_shared_chunks
+    FROM chunks JOIN shared USING (fp)
+    GROUP BY doc_id
+    """,
+)
+def q28_cdc_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking via a rolling boundary rule — the
+    partial-overlap dedup primitive (two documents sharing a paragraph
+    share its chunk fingerprints even when the rest differs, which
+    whole-doc hashing (q25) and bag-set MinHash (q32) both miss at the
+    sub-document level).
+
+    A token opens a new chunk iff md5(token) starts below '40'
+    (P = 1/4 → expected 4-token chunks): content-defined boundaries, so
+    an insertion resynchronizes within one chunk — the CDC property
+    backup/dedup systems rely on, restated portably (the boundary rule
+    is a string compare on an md5 prefix, bit-identical in the oracle).
+    Output per doc: chunk count + how many chunks also appear elsewhere.
+
+    Scale: one window (cumulative boundary sum) partitioned by doc, one
+    hash-agg per (doc, chunk), one fingerprint-frequency agg — all
+    shuffle on uniform keys; no driver state."""
+    from pyspark.sql import Window
+
+    d = _docs_tokens(spark, sf_dir)
+    ex = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    boundary = F.when(
+        F.substring(F.md5("tok"), 1, 2) < "40", 1
+    ).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = ex.withColumn("chunk", F.sum(boundary).over(w))
+    chunks = chunked.groupBy("doc_id", "chunk").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("fp")
+    )
+    shared = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return chunks.join(shared, "fp").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_shared_chunks"),
+    )
