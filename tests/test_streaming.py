@@ -116,6 +116,50 @@ def test_sessionize_stream_matches_batch_session_count(spark):  # noqa: F811
         assert s[2] >= horizon, f"session {s} missing but before horizon"
 
 
+def test_sliding_counts_match_batch(spark):  # noqa: F811
+    """Sliding windows (1h every 15min): every emitted window must equal
+    its batch twin, each event landing in 4 overlapping windows."""
+    import datetime
+
+    from yelp_recommender_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        sliding_counts_stream,
+    )
+
+    got = run_to_memory(
+        sliding_counts_stream(read_events_stream(spark, SF_DIR)),
+        "sliding",
+        output_mode="append",
+    )
+    expect = (
+        _batch_events(spark)
+        .groupBy(F.window("event_ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    g = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in got.collect()
+    }
+    e = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in expect.collect()
+    }
+    assert len(g) > 0
+    assert all(e.get(k) == v for k, v in g.items()), "emitted != batch"
+    # overlap factor sanity: ~4x the events of a tumbling decomposition
+    max_ts = _batch_events(spark).agg(F.max("event_ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=3, minutes=15)
+    for k in set(e) - set(g):
+        assert k[0] >= horizon, f"window {k} missing but before horizon"
+
+
 def test_running_totals_stateful_matches_batch(spark):  # noqa: F811
     """applyInPandasWithState custom operator: after draining the
     backlog, the last changelog emission per key equals the batch

@@ -17,6 +17,7 @@ from yelp_recommender_spark.streaming.ops import (
     run_to_memory,
     running_totals_stream,
     sessionize_stream,
+    sliding_counts_stream,
     top_events_per_window_foreachbatch,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "hourly_counts_stream",
     "dedup_stream",
     "sessionize_stream",
+    "sliding_counts_stream",
     "running_totals_stream",
     "top_events_per_window_foreachbatch",
     "run_to_memory",

@@ -121,6 +121,31 @@ def hourly_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window counts per event_type (each event lands in
+    window/slide overlapping windows — here 4). Same watermark-bounded
+    state story as the tumbling twin (:func:`hourly_counts_stream`);
+    state size scales by the overlap factor, which is why the slide is a
+    parameter and not a default-on behavior. Batch-parity pinned by
+    tests/test_streaming.py."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on (user_id, event_type) —
     ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded by the
