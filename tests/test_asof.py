@@ -1,0 +1,57 @@
+"""as-of join unit semantics: backward match, equal-ts ties, no-match
+nulls, tolerance aging — the q65 oracle (DuckDB native ASOF JOIN)
+verifies it at table scale; these pin the edge rules."""
+
+from __future__ import annotations
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+
+def _run(spark, tolerance=None):  # noqa: F811
+    from yelp_recommender_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", 10, "l1"),
+            ("a", 20, "l2"),
+            ("a", 5, "l0"),   # before any right row → null
+            ("b", 7, "l3"),   # tie: right row at exactly 7 matches
+            ("c", 9, "l4"),   # key with no right rows at all
+        ],
+        "k string, ts long, payload string",
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 1.0), ("a", 15, 2.0), ("b", 7, 3.0)],
+        "k string, ts long, v double",
+    )
+    got = asof_join(
+        left, right, keys=["k"], ts_col="ts", value_cols=["v"],
+        tolerance=tolerance,
+    )
+    return {r.payload: r.v_asof for r in got.collect()}, got
+
+
+def test_asof_backward_semantics(spark):  # noqa: F811
+    vals, got = _run(spark)
+    assert vals == {
+        "l0": None,  # nothing at-or-before ts=5
+        "l1": 1.0,   # latest right ≤ 10 is ts=8
+        "l2": 2.0,   # latest right ≤ 20 is ts=15
+        "l3": 3.0,   # equal timestamps match (right sorts first)
+        "l4": None,  # key never appears on the right
+    }
+    # every left row survives exactly once with its own columns intact
+    assert sorted(r.payload for r in got.collect()) == [
+        "l0", "l1", "l2", "l3", "l4"
+    ]
+
+
+def test_asof_tolerance_ages_out_matches(spark):  # noqa: F811
+    vals, _ = _run(spark, tolerance=3)
+    assert vals == {
+        "l0": None,
+        "l1": 1.0,   # age 2 ≤ 3
+        "l2": None,  # age 5 > 3 → aged out
+        "l3": 3.0,   # age 0
+        "l4": None,
+    }

@@ -189,3 +189,49 @@ def q39_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q65_asof_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)
+    ),
+    c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts_us, v.view_value AS view_value_asof
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+    """,
+)
+def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join — each click stamped with the value of the
+    user's latest view at-or-before it (the attribution / feature-
+    staleness primitive). Spark has no ASOF JOIN; the operator
+    (operators/asof.py) composes union + per-key running-window
+    carry-forward — one shuffle, no range-join blowup — and the oracle
+    verifies it against DuckDB's NATIVE ASOF JOIN row-for-row. Views
+    are pre-aggregated to one row per (user, ts) (max value), the
+    operator's uniqueness requirement."""
+    from yelp_recommender_spark.operators.asof import asof_join
+
+    ev = with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return asof_join(
+        clicks, views, keys=["user_id"], ts_col="ts_us",
+        value_cols=["view_value"],
+    ).select(
+        "event_id", "user_id", "ts_us",
+        F.col("view_value_asof"),
+    )
