@@ -1,0 +1,56 @@
+"""Range join (point-in-interval) — the second relational operator the
+brief names that Spark lacks a scalable primitive for: expressing
+``start <= pt AND pt <= end`` directly plans a BroadcastNestedLoopJoin
+(or per-key cartesian), O(|points|·|intervals|) per key.
+
+The standard fix is bucketization: quantize the domain into fixed-width
+buckets, explode each interval to the buckets it covers, land each point
+in its single bucket, equi-join on (keys, bucket), then apply the exact
+between-filter. Join work becomes O(|points| + Σ interval_len/width)
+with ONE hash-partitioned equi-join — and because a point occupies
+exactly one bucket, each qualifying (point, interval) pair is emitted
+exactly once: no dedup pass.
+
+``bucket_width`` trades explode factor (long intervals → many buckets)
+against join selectivity (wide buckets → more post-filtered pairs);
+size it near the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    pt_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join of each point to every interval (same ``keys``) with
+    ``start <= pt <= end``. Output: all point columns + all interval
+    columns (minus the duplicated keys). Intervals with end < start are
+    dropped (empty by definition)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    p = points.withColumn(
+        "_bkt", F.floor(F.col(pt_col) / F.lit(bucket_width))
+    )
+    iv = intervals.filter(F.col(start_col) <= F.col(end_col)).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)),
+                F.floor(F.col(end_col) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    joined = p.join(iv, [*keys, "_bkt"]).filter(
+        (F.col(start_col) <= F.col(pt_col))
+        & (F.col(pt_col) <= F.col(end_col))
+    )
+    return joined.drop("_bkt")

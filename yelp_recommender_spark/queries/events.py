@@ -235,3 +235,89 @@ def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_us",
         F.col("view_value_asof"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q66_range_join",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS span_start,
+               MAX(epoch_us(ts)) AS span_end
+        FROM events GROUP BY user_id, event_type
+    ),
+    p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, COUNT(*) AS n_spans
+    FROM p JOIN spans
+      ON p.user_id = spans.user_id
+     AND p.ts_us BETWEEN spans.span_start AND spans.span_end
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q66_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: each purchase counted against the
+    per-(user, event_type) activity spans containing it. Spark plans the
+    raw inequality join as a nested loop; the operator
+    (operators/rangejoin.py) bucketizes (1-day buckets), explodes
+    intervals to covered buckets, and equi-joins on (user, bucket) +
+    exact between-filter — one hash join, each qualifying pair emitted
+    exactly once. The oracle states the plain inequality join (fine at
+    test scale) and must agree row-for-row."""
+    from yelp_recommender_spark.operators.rangejoin import range_join_points
+
+    ev = with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("span_start"),
+        F.max("ts_us").alias("span_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    joined = range_join_points(
+        # drop the span's type column, keep its row (two types with an
+        # identical span still contribute two rows, like the oracle)
+        purchases, spans.drop("event_type"),
+        keys=["user_id"], pt_col="ts_us",
+        start_col="span_start", end_col="span_end",
+        bucket_width=86_400_000_000,  # 1 day in µs
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q67_time_rollup",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def q67_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    shape): per (day, hour), per day, and grand total in ONE pass via
+    GROUP BY ROLLUP — Spark computes all grouping sets in a single
+    shuffle with partial aggregation, exactly what a tiered
+    minute→hour→day rollup materialization does. Day/hour are integer
+    epoch-µs arithmetic (timezone-free, both engines identical); sums
+    use the exact decimal accumulator."""
+    ev = with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    hour = ((F.col("ts_us") / F.lit(3_600_000_000)).cast("long") % 24)
+    return (
+        ev.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
