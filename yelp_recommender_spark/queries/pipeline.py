@@ -122,6 +122,7 @@ def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard standardize-before-cosine move. The planted (i, i+1000)
     duplicate pairs are exactly what must survive; deterministic, pinned
     by tests/test_multimodal.py."""
+    from yelp_recommender_spark.cache import register_persist
     from yelp_recommender_spark.multimodal import (
         extract_image_features,
         synthesize_media,
@@ -132,11 +133,15 @@ def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = media.filter(F.col("media_id") < 8).withColumn(
         "media_id", F.col("media_id") + 1000
     )
-    feats = extract_image_features(
-        media.unionByName(dups), n_bins=8
-    ).select(
-        F.col("media_id").alias("vec_id"),
-        F.posexplode("features").alias("dim_idx", "v"),
+    # persisted (session registry): the feature table feeds the mean
+    # aggregate, the centering join, the planner's cardinality probe,
+    # and the ANN index collect — without the cache the Arrow decode
+    # pipeline re-runs once per consumer
+    feats = register_persist(
+        extract_image_features(media.unionByName(dups), n_bins=8).select(
+            F.col("media_id").alias("vec_id"),
+            F.posexplode("features").alias("dim_idx", "v"),
+        )
     )
     mu = feats.groupBy("dim_idx").agg(F.avg("v").alias("mu"))
     centered = (
