@@ -172,6 +172,33 @@ def test_lsh_empty_and_null_input_guard(spark):  # noqa: F811
     assert cosine_pairs_above_lsh(null_first, threshold=0.4).collect() == []
 
 
+def test_broadcast_and_ivf_ops_handle_empty_inputs(spark):  # noqa: F811
+    """Same crash class across the family: the broadcast-index matmuls
+    raised numpy AxisError on an empty index/query side; every ANN
+    operator must return an empty typed result instead."""
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert cosine_pairs_above(empty, threshold=0.1).collect() == []
+    assert cosine_topk(empty, empty, k=3).collect() == []
+    assert cosine_topk(some, empty, k=3).collect() == []  # empty index
+    assert cosine_topk(empty, some, k=3).collect() == []  # empty queries
+    out = ivf_topk(some, empty, k=3, n_centroids=2, n_probe=1)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank",
+    ]
+    assert ivf_topk(empty, some, k=3, n_centroids=2, n_probe=1).collect() == []
+
+
 def test_planner_uses_plan_stats_not_count(spark, monkeypatch):  # noqa: F811
     """Stats-based planner probe (VERDICT r3 #7): a plan that carries a
     Catalyst row count must route WITHOUT running a count() job."""

@@ -118,6 +118,19 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):  # noqa: F811
     assert overlap >= 0.9, f"CDC resync failed: only {overlap:.0%} shared"
 
 
+def test_minhash_candidate_prob_matches_q32_config():
+    from yelp_recommender_spark.operators.dedup import minhash_candidate_prob
+
+    # q32's 8 bands × 2 rows: near-dups at j=0.99 are near-certain
+    # candidates; unrelated docs at j=0.1 almost never collide
+    assert minhash_candidate_prob(0.99, 8, 2) > 0.999
+    assert minhash_candidate_prob(0.1, 8, 2) < 0.08
+    # monotone in j; clamped at the edges
+    assert minhash_candidate_prob(0.0, 8, 2) == 0.0
+    assert minhash_candidate_prob(1.0, 8, 2) == 1.0
+    assert minhash_candidate_prob(0.5, 8, 2) < minhash_candidate_prob(0.8, 8, 2)
+
+
 def test_log_exclusions_warns_on_fully_hot_docs(spark, caplog):  # noqa: F811
     import logging
 

@@ -46,9 +46,13 @@ def _normalized_index(
     This is the one deliberate driver materialization in the engine: an
     ANN index must be resident *somewhere*; broadcasting it to executors
     is the distributed-systems equivalent of building the index once.
-    """
+
+    An empty index yields a (0, 0) matrix — downstream matmuls then
+    produce empty similarity blocks instead of an axis error."""
     rows = index_df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0  # zero vectors → cosine 0 against everything
@@ -81,6 +85,8 @@ def cosine_pairs_above(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_ids, idx_mat = b.value
         for pdf in batches:
+            if len(pdf) == 0 or idx_ids.size == 0:
+                continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
@@ -130,6 +136,8 @@ def cosine_topk(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx_ids, idx_mat = b.value
         for pdf in batches:
+            if len(pdf) == 0 or idx_ids.size == 0:
+                continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
@@ -519,6 +527,11 @@ def ivf_topk(
     no driver state beyond the (n_centroids × dim) routing table.
     Recall is data-dependent (no analytic bound, unlike SRP-LSH): tune
     n_probe against a recall measurement — q43 is that dial."""
+    if not index.select(id_col).head(1):
+        # KMeans cannot fit an empty index; the contract result is empty
+        return queries.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos double, rank int"
+        )
     assigned, centers = ivf_fit_assign(
         index, id_col, vec_col, n_centroids, seed, max_iter
     )

@@ -117,6 +117,20 @@ def minhash_signature_fast(shingles: Column | str, n_hashes: int = 64) -> Column
     )
 
 
+def minhash_candidate_prob(
+    jaccard: float, bands: int, rows: int
+) -> float:
+    """P[a pair with the given true Jaccard becomes an LSH candidate]
+    under ``bands`` bands of ``rows`` rows: 1 − (1 − j^r)^b — the curve
+    the reference tabulates by hand (``/root/reference/utils/lsh.py:7-21``)
+    to pick its 256×2 configuration. Use it to size (bands, rows) for a
+    target recall at the dedup threshold, the same way
+    :func:`~yelp_recommender_spark.operators.ann.srp_params_for_recall`
+    does for the cosine family."""
+    j = max(0.0, min(1.0, float(jaccard)))
+    return 1.0 - (1.0 - j**rows) ** bands
+
+
 def lsh_band_keys(signature: Column | str, bands: int, rows: int) -> Column:
     """Band keys for LSH bucketing: band j → md5(j || '#' || sig-slice).
 
