@@ -153,18 +153,21 @@ def lsh_band_keys(signature: Column | str, bands: int, rows: int) -> Column:
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash16(tokens_distinct: Column | str) -> Column:
-    """16-bit SimHash over a distinct-token array, as BIGINT.
+def simhash_bits(tokens_distinct: Column | str, bits: int = 16) -> Column:
+    """``bits``-bit SimHash over a distinct-token array, as BIGINT
+    (bits ≤ 63 so the value stays a positive BIGINT; md5's 128 hash bits
+    bound it well above any useful width).
 
     Bit j of a token's md5 is extracted from the hex nibble (portable
     integer arithmetic, identical in any engine with ``strpos``/``substr``).
     Bit j of the SimHash is 1 iff strictly more than half the tokens have
     bit j set (2·hits > n — deterministic tie-break: ties → 0).
 
-    md5 is computed once per token (hash array), then 16 bit-counts reuse
-    it. Per-row expression; no shuffle."""
+    md5 is computed once per token (hash array), then ``bits`` bit-counts
+    reuse it. Per-row expression; no shuffle."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     toks = _c(tokens_distinct)
-    hashes = F.transform(toks, lambda t: F.md5(t))
     n = F.size(toks)
 
     def bit_of(h: Column, j: int) -> Column:
@@ -176,15 +179,35 @@ def simhash16(tokens_distinct: Column | str) -> Column:
         )
         return (nibble / (2 ** (3 - j % 4))).cast("int") % 2
 
-    def hits_at(j: int) -> Column:
-        # single-arg lambda: a 2-arg lambda would receive the array index
-        # as its second parameter (PySpark higher-order-function arity)
-        return F.size(F.filter(hashes, lambda h: bit_of(h, j) == 1))
+    # Single-pass shape: md5 once per token → per-token bit vector →
+    # elementwise-sum fold → weighted majority. Each stage references its
+    # input exactly once and lambda bodies touch only lambda variables, so
+    # nothing re-evaluates per bit (the naive per-bit ``filter(hashes, ...)``
+    # formulation recomputes the md5 array ``bits`` times per row when the
+    # interpreted HOF path inlines it — see :func:`token_shingles`).
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    per_token_bits = F.transform(
+        hashes, lambda h: F.array(*[bit_of(h, j) for j in range(bits)])
+    )
+    counts = F.aggregate(
+        per_token_bits,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
+    powers = F.array(*[F.lit(2**j).cast("bigint") for j in range(bits)])
+    weighted = F.zip_with(
+        counts,
+        powers,
+        lambda c, p: F.when(2 * c > n, p).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
 
-    acc = F.lit(0).cast("bigint")
-    for j in range(16):
-        acc = acc + F.when(2 * hits_at(j) > n, F.lit(2**j)).otherwise(F.lit(0))
-    return acc
+
+def simhash16(tokens_distinct: Column | str) -> Column:
+    """16-bit SimHash (the portable test width; see :func:`simhash_bits`)."""
+    return simhash_bits(tokens_distinct, 16)
 
 
 # --------------------------------------------------------------------------
@@ -374,6 +397,148 @@ def blocked_jaccard_pairs(
         threshold=threshold,
     )
     return exact.unionByName(verified)
+
+
+def simhash_band_layout(bits: int, k: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``k + 1`` contiguous bit-bands used by
+    :func:`simhash_hamming_pairs` — pigeonhole: two hashes within hamming
+    distance k differ in ≤ k bands, so they AGREE on ≥ 1 of k+1 bands.
+    Widths are as even as possible (the first ``bits % (k+1)`` bands get
+    the extra bit); exposed so oracle SQL can replay the exact layout."""
+    n_bands = k + 1
+    if n_bands > bits:
+        raise ValueError(f"k+1={n_bands} bands need at least {n_bands} bits")
+    base, rem = divmod(bits, n_bands)
+    layout, off = [], 0
+    for j in range(n_bands):
+        w = base + (1 if j < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 16,
+    k: int = 2,
+) -> DataFrame:
+    """All (d1 < d2) pairs whose SimHashes are within hamming distance
+    ``k`` — EXACT under the pigeonhole band guarantee (unlike MinHash-LSH
+    banding, which is probabilistic): split the ``bits`` into k+1 bands;
+    any pair with ≤ k differing bits must match exactly on some band, so
+    the band equi-join generates a candidate superset and
+    ``bit_count(xor) ≤ k`` verifies. The fourth dedup family's pair
+    generator (q33 emits the per-doc hashes; this finds the near-dups).
+
+    Scale: fan-out is k+1 rows per doc; the join shuffles on the band
+    key. Band-key skew is data-dependent (a corpus of near-identical docs
+    concentrates one bucket) — the df_cap treatment from
+    :func:`blocked_jaccard_pairs` applies if that bites; at 64 bits
+    (production SimHash) buckets are far sparser than at the portable
+    16-bit test width. Verification is a column expression on values
+    carried through the join — no second join back to the corpus."""
+    layout = simhash_band_layout(bits, k)
+    s = _c(sim_col)
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{j}#"),
+                F.shiftright(s, off).bitwiseAND(F.lit((1 << w) - 1)).cast("string"),
+            )
+            for j, (off, w) in enumerate(layout)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), F.explode(keys).alias("bk"), s.alias("_sim")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("d1"), F.col("_sim").alias("_s1"), "bk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("d2"), F.col("_sim").alias("_s2"), "bk"
+    )
+    return (
+        a.join(b, (a.bk == b.bk) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2", "_s1", "_s2")
+        .distinct()  # (d1,d2) determines (_s1,_s2): plain pair dedup
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= k)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    fast: bool = False,
+) -> DataFrame:
+    """Incremental dedup — the production ingest pattern: which BATCH
+    documents duplicate the existing CORPUS (or an earlier doc in the
+    same batch)? Returns (doc_id, dup_of, jaccard): one row per rejected
+    batch doc with its best-matching partner (max jaccard, ties → min
+    partner id). Batch docs absent from the result are clean to append.
+
+    Partner set per batch doc: every corpus doc, plus batch docs with a
+    SMALLER id (greedy within-batch keep-first — deterministic given ids;
+    ids must be disjoint between batch and corpus).
+
+    Scale: corpus signatures/band keys are a map-only pass that an ingest
+    pipeline computes ONCE and persists alongside the corpus (the
+    signature table IS the dedup index — append the surviving batch's
+    signatures each cycle); per cycle the work is band-join of the small
+    batch against the indexed corpus keys, never corpus × corpus."""
+    from yelp_recommender_spark.operators.topk import top_n_per_key
+
+    rows = n_hashes // bands
+    sig_fn = minhash_signature_fast if fast else minhash_signature
+
+    def band_keys(docs: DataFrame) -> DataFrame:
+        sigs = docs.select(
+            id_col, sig_fn(shingle_col, n_hashes).alias("_sig")
+        )
+        return sigs.select(
+            id_col, F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk")
+        )
+
+    bk_batch = band_keys(batch)
+    partners = band_keys(corpus).withColumn(
+        "corp", F.lit(True)
+    ).unionByName(bk_batch.withColumn("corp", F.lit(False)))
+    lhs = bk_batch.select(F.col(id_col).alias("d1"), "bk")
+    rhs = partners.select(F.col(id_col).alias("d2"), "bk", "corp")
+    candidates = (
+        lhs.join(
+            rhs,
+            (lhs.bk == rhs.bk)
+            & (F.col("corp") | (F.col("d2") < F.col("d1"))),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    features = corpus.select(id_col, shingle_col).unionByName(
+        batch.select(id_col, shingle_col)
+    )
+    verified = jaccard_verify_pairs(
+        candidates, features, id_col=id_col,
+        feat_col=shingle_col, threshold=threshold,
+    )
+    return top_n_per_key(
+        verified, ["d1"], "jaccard", 1, tiebreak="d2"
+    ).select(
+        F.col("d1").alias(id_col),
+        F.col("d2").alias("dup_of"),
+        "jaccard",
+    )
 
 
 def minhash_lsh_pairs(

@@ -41,6 +41,28 @@ DUCK_BANDS8 = (
     "list_transform(range(0, 8), j -> md5(CAST(j AS VARCHAR) || '#' ||"
     " array_to_string(sig[j * 2 + 1 : j * 2 + 2], '|')))"
 )
+# Verified MinHash-LSH pair pipeline as a reusable CTE chain (consumed by
+# the q32 oracle standalone and by q68's component closure on top of it).
+DUCK_LSH_PAIRS_CTES = f"""
+    t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
+    sigs AS (SELECT doc_id, sh, {DUCK_MINHASH16} AS sig FROM shs),
+    bands AS (SELECT doc_id, unnest({DUCK_BANDS8}) AS bk FROM sigs),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT d1, d2,
+               ROUND(len(list_intersect(x.sh, y.sh))
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+        FROM cand
+        JOIN shs x ON d1 = x.doc_id
+        JOIN shs y ON d2 = y.doc_id
+        WHERE jaccard >= 0.8
+    )
+"""
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,24 +196,8 @@ def q35_blocking_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q32_minhash_lsh_pairs",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
-    shs AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
-    sigs AS (SELECT doc_id, sh, {DUCK_MINHASH16} AS sig FROM shs),
-    bands AS (SELECT doc_id, unnest({DUCK_BANDS8}) AS bk FROM sigs),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-    )
-    SELECT d1, d2,
-           ROUND(len(list_intersect(x.sh, y.sh))
-                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
-                 6) AS jaccard
-    FROM cand
-    JOIN shs x ON d1 = x.doc_id
-    JOIN shs y ON d2 = y.doc_id
-    WHERE ROUND(len(list_intersect(x.sh, y.sh))
-                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
-                6) >= 0.8
+    WITH {DUCK_LSH_PAIRS_CTES}
+    SELECT d1, d2, jaccard FROM pairs
     """,
 )
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,26 +215,42 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash pipeline as a reusable CTE chain (q33 at the portable 16-bit
+# width; q69 at 32 bits for hamming-distance pair generation — the final
+# CTE is named ``sh{bits}``).
+def _duck_simhash_ctes(bits: int) -> str:
+    """DuckDB twin of :func:`operators.dedup.simhash_bits`."""
+    return f"""
+    sdt AS (
+        SELECT doc_id, list_distinct({DUCK_TOKS}) AS dt FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, len(dt) AS n,
+               list_transform(dt, t -> md5(t)) AS hs
+        FROM sdt
+    ),
+    sh{bits} AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {bits}), j ->
+                   CASE WHEN 2 * len(list_filter(hs, h ->
+                            ((strpos('0123456789abcdef',
+                                     substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                             // (8 >> CAST(j % 4 AS INT))) % 2 = 1)) > n
+                        THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
+                   AS BIGINT) AS simhash
+        FROM sh
+    )
+"""
+
+
+DUCK_SIMHASH16_CTES = _duck_simhash_ctes(16)
+
+
 @query(
     "q33_simhash_docs",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, list_distinct({DUCK_TOKS}) AS dt FROM documents
-    ),
-    h AS (
-        SELECT doc_id, len(dt) AS n,
-               list_transform(dt, t -> md5(t)) AS hs
-        FROM t
-    )
-    SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, 16), j ->
-               CASE WHEN 2 * len(list_filter(hs, h ->
-                        ((strpos('0123456789abcdef',
-                                 substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
-                         // (8 >> CAST(j % 4 AS INT))) % 2 = 1)) > n
-                    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
-               AS BIGINT) AS simhash
-    FROM h
+    WITH {DUCK_SIMHASH16_CTES}
+    SELECT doc_id, simhash FROM sh16
     """,
 )
 def q33_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,3 +289,159 @@ def q34_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive; the LSH fallback is pinned by tests/test_ann.py."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return cosine_pairs_above_auto(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q68_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_LSH_PAIRS_CTES},
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS representative
+             FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.representative, d.doc_id) AS representative
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-CLUSTER resolution — the step pairwise dedup
+    queries (q31/q32) stop short of: near-dup pairs form a graph, and
+    "keep one copy" means one representative per CONNECTED COMPONENT
+    (pairwise dropping over-deletes on chains A~B~C). Every document maps
+    to the min doc_id of its cluster (itself when unpaired);
+    ``doc_id == representative`` is the keep filter.
+
+    Spark: iterative min-label propagation over the verified q32 pair
+    list (:func:`~yelp_recommender_spark.operators.cc.connected_components`
+    — per-round join+agg, lineage truncated by localCheckpoint, O(cluster
+    eccentricity) rounds). Oracle: DuckDB recursive-CTE transitive
+    closure over the same pairs — tractable because closure blowup is
+    bounded by cluster size, and dedup clusters are small."""
+    from yelp_recommender_spark.operators.cc import dedup_representatives
+
+    pairs = minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir), n_hashes=16, bands=8, threshold=0.8
+    )
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dedup_representatives(docs, pairs, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+def _duck_simhash_band_keys(bits: int, k: int) -> str:
+    """DuckDB twin of :func:`operators.dedup.simhash_band_layout` keys —
+    generated from the SAME layout helper so the banding can never
+    drift between engine and oracle."""
+    from yelp_recommender_spark.operators.dedup import simhash_band_layout
+
+    keys = ", ".join(
+        f"CAST({j} AS VARCHAR) || '#' ||"
+        f" CAST((simhash >> {off}) & {(1 << w) - 1} AS VARCHAR)"
+        for j, (off, w) in enumerate(simhash_band_layout(bits, k))
+    )
+    return f"[{keys}]"
+
+
+@query(
+    "q69_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_duck_simhash_ctes(63)},
+    keyed AS (
+        SELECT doc_id, simhash,
+               unnest({_duck_simhash_band_keys(63, 2)}) AS bk
+        FROM sh63
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                        a.simhash AS s1, b.simhash AS s2
+        FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= 2
+    """,
+)
+def q69_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within hamming distance 2 — the pair
+    generator for the SimHash family (q33 emits per-doc hashes), exact by
+    the pigeonhole band guarantee (k+1 = 3 bit-bands: ≤ 2 differing bits
+    ⇒ ≥ 1 band agrees, so the band equi-join misses nothing;
+    :func:`~yelp_recommender_spark.operators.dedup.simhash_hamming_pairs`).
+    63 bits here — the widest positive-BIGINT width, matching production
+    64-bit SimHash up to the sign bit (16 is far too coarse for pair
+    generation: at hamming ≤ 2 it admits ~15% of ALL pairs on this
+    corpus) — and the oracle still replays every bit."""
+    from yelp_recommender_spark.operators.dedup import (
+        simhash_bits,
+        simhash_hamming_pairs,
+    )
+    from yelp_recommender_spark.queries.text import _docs_tokens
+
+    toks = _docs_tokens(spark, sf_dir)
+    hashes = toks.withColumn("dt", F.array_distinct("toks")).select(
+        "doc_id", simhash_bits("dt", 63).alias("simhash")
+    )
+    return simhash_hamming_pairs(hashes, bits=63, k=2)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q70_dedup_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
+    sigs AS (SELECT doc_id, sh, {DUCK_MINHASH16} AS sig FROM shs),
+    bands AS (SELECT doc_id, unnest({DUCK_BANDS8}) AS bk FROM sigs),
+    bb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+    partners AS (
+        SELECT doc_id, bk, TRUE AS corp FROM bands WHERE doc_id % 10 < 8
+        UNION ALL
+        SELECT doc_id, bk, FALSE FROM bb
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, p.doc_id AS d2
+        FROM bb a JOIN partners p
+          ON a.bk = p.bk AND (p.corp OR p.doc_id < a.doc_id)
+    ),
+    verified AS (
+        SELECT d1, d2,
+               ROUND(len(list_intersect(x.sh, y.sh))
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+        FROM cand
+        JOIN shs x ON d1 = x.doc_id
+        JOIN shs y ON d2 = y.doc_id
+        WHERE jaccard >= 0.8
+    )
+    SELECT d1 AS doc_id, d2 AS dup_of, jaccard
+    FROM verified
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d1
+                               ORDER BY jaccard DESC, d2) = 1
+    """,
+)
+def q70_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production ingest shape: treat documents
+    with ``doc_id % 10 >= 8`` as today's BATCH and the rest as the
+    standing CORPUS; reject batch docs that duplicate (jaccard ≥ 0.8) a
+    corpus doc or an earlier batch doc, reporting the best-matching
+    partner (max jaccard, ties → min id). The corpus band-key table is
+    the persistent dedup index an ingest pipeline appends to each cycle —
+    per-cycle work is batch × index, never corpus × corpus
+    (:func:`~yelp_recommender_spark.operators.dedup.incremental_minhash_dedup`)."""
+    from yelp_recommender_spark.operators.dedup import incremental_minhash_dedup
+
+    sh = _doc_shingles(spark, sf_dir)
+    batch = sh.filter(F.col("doc_id") % 10 >= 8)
+    corpus = sh.filter(F.col("doc_id") % 10 < 8)
+    return incremental_minhash_dedup(
+        batch, corpus, n_hashes=16, bands=8, threshold=0.8
+    )
