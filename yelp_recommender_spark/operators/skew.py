@@ -1,0 +1,155 @@
+"""Explicit skew-handling operators: deterministic salting for joins and
+two-stage aggregation.
+
+AQE's skew-join splitting (on in :mod:`yelp_recommender_spark.session`)
+handles sort-merge join skew at runtime, but it cannot help when (a) the
+join is shuffle-hash / broadcast-ineligible with a pathological hot key,
+or (b) a single group key dominates an aggregation so one reducer owns
+almost all rows. These operators spread such keys EXPLICITLY:
+
+- :func:`salted_join` — the classic replicate-the-small-side pattern: the
+  big side gets a deterministic salt in [0, n_salts), the small side is
+  replicated once per salt value, and the join key becomes (key, salt) —
+  a hot key's rows land on n_salts reducers instead of one.
+- :func:`salted_aggregate` — two-stage aggregation: partial by
+  (keys, salt), final by keys. Spark's hash aggregate already computes
+  map-side partials, but a dominant key still funnels every partial into
+  ONE final reducer task; the salted stage bounds any reducer's input at
+  ~1/n_salts of the hot key.
+
+Salts are DETERMINISTIC (xxhash64 of chosen columns, not ``rand()``):
+task retries and speculative execution must regenerate identical salt
+assignments or a shuffle retry silently duplicates/loses rows — the same
+reproducibility rule the engine applies to sampling
+(:mod:`yelp_recommender_spark.functions.sampling`).
+
+The reference never needs this (driver dicts don't shuffle), but its
+workloads do the moment they distribute: ratings-per-business follows a
+power law (SURVEY §7 risk register), and a 100-TB events table always
+has a whale user/key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LEFTISH = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross",
+}
+
+
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    cols: Sequence[str] | None = None,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """``df`` plus a deterministic salt column in [0, n_salts):
+    ``pmod(xxhash64(cols), n_salts)`` over ``cols`` (default: every
+    column). Identical rows share a salt — harmless for joins and for
+    decomposable aggregates, and the price of retry-safe determinism."""
+    use = list(cols) if cols else list(df.columns)
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in use]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: identical results to
+    ``big.join(small, on, how)`` with the big side's hot keys spread over
+    ``n_salts`` reducers. The small side is replicated ``n_salts``× (an
+    explode over literal salts — map-only), so size it like a broadcast
+    candidate that just misses the threshold.
+
+    Only left-preserving joins are supported (inner/left/left_semi/
+    left_anti): each big row carries exactly ONE salt, so it matches or
+    misses exactly as in the plain join; a right/full join would emit
+    every unmatched SMALL row once per replica — n_salts duplicates."""
+    if how not in _LEFTISH - {"cross"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+            " — right/full joins would duplicate unmatched small-side rows"
+            " once per salt replica"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_big = with_salt(big, n_salts, cols=salt_cols or keys)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(replicated, keys + ["_salt"], how).drop("_salt")
+
+
+# final-stage merge per partial-aggregate function
+_DECOMP = {"sum", "count", "min", "max", "dsum", "avg"}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-stage skew-spread aggregation, identical results to a direct
+    ``df.groupBy(keys).agg(...)`` for DECOMPOSABLE aggregates.
+
+    ``aggs`` maps output column → (input column, fn) with fn one of
+    ``sum | count | min | max | dsum | avg`` (``"*"`` as the input column
+    counts rows). ``dsum``/``avg`` use the engine's exact-decimal sums
+    (:mod:`yelp_recommender_spark.functions.exact_agg`): the partial stage
+    keeps the DECIMAL type and only the final stage casts back to DOUBLE,
+    so salting cannot perturb the reproducible-sum guarantee.
+
+    Non-decomposable aggregates (distinct counts, percentiles, collect_*)
+    cannot be salted this way — use their dedicated operators."""
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for out, (col, fn) in aggs.items():
+        if fn not in _DECOMP:
+            raise ValueError(f"unsupported salted aggregate fn {fn!r}")
+        c = F.count(F.lit(1)) if col == "*" else None
+        if fn == "sum":
+            partials.append(F.sum(col).alias(out))
+            finals.append(F.sum(out).alias(out))
+        elif fn == "count":
+            partials.append(
+                (c if c is not None else F.count(col)).alias(out)
+            )
+            finals.append(F.sum(out).alias(out))
+        elif fn in ("min", "max"):
+            f = getattr(F, fn)
+            partials.append(f(col).alias(out))
+            finals.append(f(out).alias(out))
+        elif fn == "dsum":
+            partials.append(
+                F.sum(F.col(col).cast("decimal(27,6)")).alias(out)
+            )
+            finals.append(F.sum(out).cast("double").alias(out))
+        elif fn == "avg":
+            partials.append(
+                F.sum(F.col(col).cast("decimal(27,6)")).alias(f"__{out}_s")
+            )
+            partials.append(F.count(col).alias(f"__{out}_n"))
+            finals.append(
+                (
+                    F.sum(f"__{out}_s").cast("double")
+                    / F.sum(f"__{out}_n")
+                ).alias(out)
+            )
+    salted = with_salt(df, n_salts, cols=salt_cols)
+    partial = salted.groupBy(*keys, "_salt").agg(*partials)
+    return partial.groupBy(*keys).agg(*finals)

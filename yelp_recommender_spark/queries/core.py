@@ -429,3 +429,50 @@ def q15_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("running_total"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q71_salted_segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q71_salted_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics per market segment computed through the EXPLICIT
+    skew-handling path (`operators/skew.py`): the orders→customer join is
+    salted (hot custkeys spread over 8 reducers) and the aggregation runs
+    two-stage over a salt in [0, 16) — the plan a 100-TB pipeline needs
+    when one whale key would otherwise own a reducer. The oracle is the
+    plain join+group-by: salting must be invisible in the result,
+    including the exact-decimal sums (the partial stage keeps DECIMAL)."""
+    from yelp_recommender_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        t["orders"].select("o_custkey", "o_totalprice"), dim,
+        on="o_custkey", n_salts=8,
+    )
+    return salted_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {
+            "n_orders": ("*", "count"),
+            "total_price": ("o_totalprice", "dsum"),
+            "avg_price": ("o_totalprice", "avg"),
+        },
+        n_salts=16,
+    )

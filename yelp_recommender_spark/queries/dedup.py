@@ -216,7 +216,7 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # SimHash pipeline as a reusable CTE chain (q33 at the portable 16-bit
-# width; q69 at 32 bits for hamming-distance pair generation — the final
+# width; q69 at 63 bits for hamming-distance pair generation — the final
 # CTE is named ``sh{bits}``).
 def _duck_simhash_ctes(bits: int) -> str:
     """DuckDB twin of :func:`operators.dedup.simhash_bits`."""
