@@ -219,3 +219,47 @@ def test_streaming_topk_foreachbatch(spark):  # noqa: F811
     for r in results:
         per_window[r.window_start] = per_window.get(r.window_start, 0) + 1
     assert per_window and all(v <= 2 for v in per_window.values())
+
+
+def test_attribution_join_matches_batch(spark):  # noqa: F811
+    """Stream-stream interval join over a one-file backlog equals the
+    batch self-join exactly (single micro-batch: no buffered row can be
+    evicted before its match arrives — see q72's docstring for why the
+    inner-join emission set is then complete)."""
+    from yelp_recommender_spark.streaming import (
+        attribution_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    got = run_to_memory(
+        attribution_join_stream(
+            read_events_stream(spark, SF_DIR),
+            trigger_type="view",
+            convert_type="purchase",
+            horizon="1 hour",
+        ),
+        "attr",
+        output_mode="append",
+    )
+    ev = _batch_events(spark)
+    trig = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("trigger_event_id"),
+        F.col("event_ts").alias("trigger_ts"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("convert_event_id"),
+        F.col("event_ts").alias("convert_ts"),
+    )
+    expect = conv.join(
+        trig,
+        F.expr(
+            "user_id = t_user AND trigger_ts <= convert_ts"
+            " AND trigger_ts >= convert_ts - INTERVAL 1 hour"
+        ),
+    ).select("user_id", "trigger_event_id", "convert_event_id")
+    g = {(r.user_id, r.trigger_event_id, r.convert_event_id) for r in got.collect()}
+    e = {(r.user_id, r.trigger_event_id, r.convert_event_id) for r in expect.collect()}
+    assert g == e and len(g) > 0

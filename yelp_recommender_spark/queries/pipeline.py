@@ -107,6 +107,66 @@ def q63_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q72_streaming_attribution_join",
+    oracle="""
+    WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           t.event_id AS trigger_event_id,
+           c.event_id AS convert_event_id,
+           t.us AS trigger_us,
+           c.us AS convert_us,
+           CAST(c.us - t.us AS DOUBLE) / 1000000.0 AS lag_seconds
+    FROM c JOIN t
+      ON c.user_id = t.user_id
+     AND t.us <= c.us
+     AND t.us >= c.us - 3600000000::BIGINT
+    """,
+)
+def q72_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join run as a real Structured Streaming
+    query: every purchase paired with the same user's views in the
+    preceding hour (:func:`~yelp_recommender_spark.streaming.ops.attribution_join_stream`).
+
+    Unlike the windowed entries (q59/q61), this one IS fully
+    oracle-checkable: an INNER stream-stream join emits a pair when both
+    rows have arrived — not when the watermark closes — and the testdata
+    backlog is a single file, so the whole stream lands in one micro-batch
+    and no buffered row can be evicted before its match arrives. The
+    emission set is therefore exactly the batch join with the same
+    time-range predicate. (On a multi-file backlog, rows later than the
+    watermark horizon behind the frontier COULD be dropped — that is the
+    state bound working as designed; the single-batch case gates the join
+    semantics, the operator docstring records the eviction contract.)
+
+    Event times are surfaced as epoch-µs longs (not TIMESTAMP) so the
+    comparison is timezone-representation-free on both engines."""
+    from yelp_recommender_spark.streaming.ops import (
+        attribution_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = attribution_join_stream(
+        read_events_stream(spark, sf_dir),
+        trigger_type="view",
+        convert_type="purchase",
+        horizon="1 hour",
+    )
+    out = run_to_memory(stream, "q72_attr", output_mode="append")
+    return out.select(
+        "user_id",
+        "trigger_event_id",
+        "convert_event_id",
+        F.unix_micros("trigger_ts").alias("trigger_us"),
+        F.unix_micros("convert_ts").alias("convert_us"),
+        "lag_seconds",
+    )
+
+
 @query("q64_multimodal_neardup")  # rows-only: byte-level fake codec
 def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end modality composition — the shape a curation pipeline

@@ -272,6 +272,75 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join_stream(
+    events: DataFrame,
+    trigger_type: str = "view",
+    convert_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the attribution/funnel shape: pair
+    each ``convert_type`` event with every ``trigger_type`` event by the
+    SAME user in the preceding ``horizon`` (inclusive bounds). Emits
+    (user_id, trigger_event_id, convert_event_id, trigger_ts, convert_ts,
+    lag_seconds).
+
+    Both inputs are watermarked and the join condition carries an explicit
+    time-range predicate — the two things that make a stream-stream join's
+    state BOUNDED: Spark can discard a buffered trigger row once the
+    watermark passes ``trigger_ts + horizon`` (without the range predicate
+    each side buffers forever waiting for arbitrarily-late matches; state
+    grows with the stream). Inner join: emission waits for the matching
+    row, not the watermark, so results stream out as matches arrive.
+
+    Scale: state per side ≈ rows within the watermark+horizon span,
+    keyed/shuffled on user_id. At 100 TB/day the horizon IS the state
+    budget — widen it consciously.
+
+    Batch parity: equals the batch self-join with the same predicate over
+    a bounded backlog (pinned by tests/test_streaming.py)."""
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("trigger_event_id"),
+            F.col("event_ts").alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    conv = (
+        events.filter(F.col("event_type") == convert_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("convert_event_id"),
+            F.col("event_ts").alias("convert_ts"),
+        )
+        .withWatermark("convert_ts", watermark)
+    )
+    joined = conv.join(
+        trig,
+        F.expr(
+            f"""
+            user_id = t_user
+            AND trigger_ts <= convert_ts
+            AND trigger_ts >= convert_ts - INTERVAL {horizon}
+            """
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "trigger_event_id",
+        "convert_event_id",
+        "trigger_ts",
+        "convert_ts",
+        (
+            (F.unix_micros("convert_ts") - F.unix_micros("trigger_ts"))
+            .cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("lag_seconds"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
