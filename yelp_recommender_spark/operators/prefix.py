@@ -1,0 +1,100 @@
+"""Distributed prefix sum (running total over a GLOBAL order).
+
+The naive Spark form — ``SUM(v) OVER (ORDER BY k)`` with no PARTITION BY —
+plans a single-partition window: every row flows through one task, which
+is exactly the thing that cannot run at 100 TB. This module implements the
+textbook two-stage scan instead:
+
+1. bucket every row by exact percentiles of the order column (one
+   aggregate pass producing ≤ ``n_buckets`` boundary values, carried
+   in-plan via a broadcast — no driver collect);
+2. per-bucket running totals with ``Window.partitionBy(bucket)`` — all
+   buckets scan in parallel;
+3. per-bucket totals (tiny: one row per bucket) get their own cumulative
+   offsets with a window over ``n_buckets`` rows, broadcast-joined back.
+
+Wall-clock is two parallel passes plus an O(n_buckets) reduction; nothing
+sequential ever sees more than ~1/n_buckets of the data. The reference has
+no counterpart (driver-side loops would play this role); the shape is the
+standard parallel-scan decomposition (Blelloch-style upsweep/downsweep
+restated as DataFrame algebra).
+
+Determinism: boundaries come from exact ``percentile`` (not sampled
+``approxQuantile``), so bucket assignment — and therefore the plan's
+partitioning — is a pure function of the data. The running total itself
+is order-defined and exact for integral value columns (LongType sums).
+
+Requires ``order_col`` to be globally unique (ties would make "the running
+total at this row" ill-defined; both engines' RANGE window frames would
+still agree, but packing semantics downstream want a strict order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``df`` plus ``out_col`` = inclusive running sum of ``value_col``
+    over the global ``order_col`` order, computed without any
+    single-partition stage."""
+    if n_buckets is None:
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    n_buckets = max(int(n_buckets), 1)
+
+    if n_buckets == 1:
+        w = Window.orderBy(order_col)
+        return df.withColumn(out_col, F.sum(value_col).over(w))
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = df.agg(
+        F.percentile(F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias(
+            "_bounds"
+        )
+    )
+    # bucket = number of boundaries at or below this row's order value —
+    # a per-row array reduction over ≤ n_buckets-1 broadcast values
+    bucketed = df.crossJoin(F.broadcast(boundaries)).withColumn(
+        "_bucket",
+        F.aggregate(
+            "_bounds",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
+        ),
+    )
+
+    local_w = Window.partitionBy("_bucket").orderBy(order_col)
+    local = bucketed.withColumn("_local_run", F.sum(value_col).over(local_w))
+
+    # per-bucket totals: n_buckets rows — the single-partition window here
+    # is over a BOUNDED input (one row per bucket), not the data
+    totals = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum(value_col).alias("_bucket_total"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bucket_total").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+
+    return (
+        local.join(F.broadcast(totals), "_bucket")
+        .withColumn(out_col, F.col("_local_run") + F.col("_offset"))
+        .drop("_bucket", "_bounds", "_local_run", "_offset")
+    )

@@ -321,3 +321,38 @@ def q67_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q80_sketch_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q80_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketching accuracy gate: exact COUNT DISTINCT next to
+    HyperLogLog++ (``approx_count_distinct``, rsd=0.01) with a boolean
+    asserting the sketch lands within 5% of truth. The oracle pins the
+    exact counts and expects ``approx_ok = TRUE`` — so the sketch's
+    accuracy contract is itself oracle-checked, the pattern for gating
+    any approximate operator against an exact twin.
+
+    Scale: this is the 100-TB distinct-count plan — HLL sketches merge
+    associatively in partial aggregation (fixed ~kB state per group), so
+    the exchange carries sketches, not user ids; the exact twin shuffles
+    every distinct id and exists here only as the gate's ground truth."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+    )
+    ok = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+        <= 0.05
+    )
+    return agg.select("event_type", "exact_users", ok.alias("approx_ok"))

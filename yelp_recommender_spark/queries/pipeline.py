@@ -167,6 +167,43 @@ def q72_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "q79_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           round(e.value, 6) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q79_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run as a real Structured Streaming
+    query: each event enriched with its user's market segment from the
+    static customer dimension
+    (:func:`~yelp_recommender_spark.streaming.ops.enrich_stream`).
+
+    Fully oracle-checkable: a stream-static INNER join holds no stream
+    state and emits exactly the batch join of the backlog — the oracle
+    states that join directly. value rounds to 6 (pass-through double)."""
+    from yelp_recommender_spark.sources.tables import load_tables
+    from yelp_recommender_spark.streaming.ops import (
+        enrich_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = load_tables(spark, sf_dir, ["customer"])["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = enrich_stream(read_events_stream(spark, sf_dir), dim).select(
+        "event_id",
+        "user_id",
+        "c_mktsegment",
+        F.round("value", 6).alias("value"),
+    )
+    out = run_to_memory(stream, "q79_enrich", output_mode="append")
+    return out.select("event_id", "user_id", "c_mktsegment", "value")
+
+
 @query("q64_multimodal_neardup")  # rows-only: byte-level fake codec
 def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end modality composition — the shape a curation pipeline

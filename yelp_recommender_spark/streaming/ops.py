@@ -341,6 +341,26 @@ def attribution_join_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join — each streaming event joined to a
+    static dimension table (inner). No watermark is required: the static
+    side is not stateful (Spark re-plans it per micro-batch), so nothing
+    buffers and emission equals the batch join over any backlog — which
+    is why this entry is FULLY oracle-checkable, unlike the windowed ops.
+
+    Scale: the dimension is broadcast when it fits (Catalyst decides per
+    micro-batch); a 100-TB dimension would shuffle each micro-batch
+    instead — at that point pre-bucket the dimension or pin it with a
+    persist, same knobs as batch."""
+    d = dim.withColumnRenamed(dim_key, on) if dim_key != on else dim
+    return events.join(F.broadcast(d), on, "inner")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
