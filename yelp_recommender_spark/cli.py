@@ -365,6 +365,20 @@ def main(argv: list[str] | None = None) -> None:
     ev.add_argument("--predictions", required=True)
     ev.add_argument("--truth", required=True)
     ev.add_argument("--output", default=None)
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation: quality filter → dedup → decontaminate "
+        "→ mixture weights → sequence packing",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet (or sf dir)")
+    cu.add_argument("--output", required=True, help="output directory")
+    cu.add_argument("--seq-len", type=int, default=256)
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--max-top-token-frac", type=float, default=0.9)
+    cu.add_argument("--max-dup-bigram-frac", type=float, default=0.9)
+    cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument("--benchmark-source", default=None)
+    cu.add_argument("--mixture-alpha", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from yelp_recommender_spark.session import get_spark
@@ -372,6 +386,24 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "evaluate":
         spark = get_spark(app_name="yelp_recommender_evaluate")
         evaluate(spark, args.predictions, args.truth, args.output)
+        return
+    if args.cmd == "curate":
+        from yelp_recommender_spark.curate import curate_corpus
+
+        spark = get_spark(app_name="yelp_recommender_curate")
+        report = curate_corpus(
+            spark,
+            args.input,
+            args.output,
+            seq_len=args.seq_len,
+            min_tokens=args.min_tokens,
+            max_top_token_frac=args.max_top_token_frac,
+            max_dup_bigram_frac=args.max_dup_bigram_frac,
+            near_dup_threshold=args.near_dup_threshold,
+            benchmark_source=args.benchmark_source,
+            mixture_alpha=args.mixture_alpha,
+        )
+        print(json.dumps(report, sort_keys=True))
         return
     cfg = load_config(args.config)
     spark = get_spark(app_name=f"yelp_recommender_{cfg['model']}")

@@ -1,0 +1,240 @@
+"""End-to-end corpus curation pipeline — the composition a training-data
+run actually executes, wiring the catalog's curation operators in their
+production order:
+
+    quality filter → exact dedup → MinHash near-dedup → (optional)
+    benchmark decontamination → mixture weighting → sequence packing
+
+Each stage is the same operator the per-query catalog gates individually
+(q73/q30-q32/q78/q76/q75), so correctness is inherited; this module owns
+the composition, the stage accounting, and the persisted outputs:
+
+    <output>/documents/   curated corpus (doc_id, text, lang, source,
+                          n_tokens)
+    <output>/packing/     doc → training-block map (concat-and-chunk)
+    <output>/mixture/     per-source temperature weights over survivors
+    report dict           per-stage row counts (returned + JSON-dumped)
+
+Scale notes: the input count rides as a ``DataFrame.observe`` metric on
+the quality pass — the scan that materializes the quality boundary
+yields BOTH counts in one pass instead of a separate count scan (at
+100 TB an extra pass per stage doubles the pipeline's read cost). The
+quality and near-dup boundaries are persisted: both fork the dataflow
+(exact-dedup self-semi-join; pair join + iterative connected
+components), and a persisted boundary also guarantees the observe
+metric fires exactly once (an unpersisted observed node re-evaluated by
+both sides of a self-join would double-count).
+
+No reference counterpart (the reference stops at recommender features);
+this is the north-star training-data surface composed end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.cache import register_persist
+from yelp_recommender_spark.functions.text import tokens_col
+from yelp_recommender_spark.operators.cc import dedup_representatives
+from yelp_recommender_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    token_shingles,
+)
+from yelp_recommender_spark.operators.prefix import with_prefix_sum
+
+
+def curate_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    *,
+    seq_len: int = 256,
+    min_tokens: int = 5,
+    max_top_token_frac: float = 0.9,
+    max_dup_bigram_frac: float = 0.9,
+    near_dup_threshold: float = 0.8,
+    benchmark_source: str | None = None,
+    decontam_gram_n: int = 5,
+    mixture_alpha: float = 0.5,
+) -> dict:
+    """Run the full curation pipeline; returns the stage-count report.
+
+    ``input_path`` is a documents parquet (or a testdata sf dir containing
+    ``documents.parquet``)."""
+    if os.path.isdir(input_path) and os.path.exists(
+        os.path.join(input_path, "documents.parquet")
+    ):
+        input_path = os.path.join(input_path, "documents.parquet")
+    docs = spark.read.parquet(input_path).select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    # ---- filter chain; input count observed on the quality pass --------
+    obs_in = Observation()
+    toks = docs.observe(obs_in, F.count(F.lit(1)).alias("n")).withColumn(
+        "toks", tokens_col("text")
+    )
+    n = F.size("toks")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter("toks", lambda x: x == u)),
+        )
+    )
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    quality = register_persist(
+        toks.filter(
+            (n >= min_tokens)
+            & (top_cnt / n <= max_top_token_frac)
+            & (
+                (F.size(bigrams) == 0)
+                | (
+                    1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+                    <= max_dup_bigram_frac
+                )
+            )
+        )
+    )
+    n_quality = quality.count()  # one scan: fires obs_in AND counts
+    n_input = int(obs_in.get["n"])
+
+    # exact dedup: min doc_id per text hash — hash-agg + semi join (no
+    # window over the corpus; the winner set is (hash, min_id))
+    winners = quality.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = quality.join(winners.select("doc_id"), "doc_id", "left_semi")
+
+    # ---- near-dup boundary (forks the dataflow) ------------------------
+    shingled = register_persist(
+        exact.withColumn("shingles", token_shingles("toks", k=3))
+    )
+    n_exact = shingled.count()  # materializes the persisted boundary
+    pairs = minhash_lsh_pairs(
+        shingled,
+        id_col="doc_id",
+        shingle_col="shingles",
+        n_hashes=64,
+        bands=16,
+        threshold=near_dup_threshold,
+        fast=True,
+    )
+    reps = dedup_representatives(shingled, pairs, id_col="doc_id")
+    deduped = shingled.join(
+        reps.filter(F.col("doc_id") == F.col("representative")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+
+    # ---- optional benchmark decontamination ----------------------------
+    if benchmark_source is not None:
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (decontam_gram_n - 1)),
+                lambda i: F.array_join(
+                    F.slice("toks", i, decontam_gram_n), " "
+                ),
+            )
+        )
+        grams = deduped.filter(
+            F.size("toks") >= decontam_gram_n
+        ).select("doc_id", "source", F.explode(g).alias("gram"))
+        bench_grams = grams.filter(
+            F.col("source") == benchmark_source
+        ).select("gram").distinct()
+        contaminated = (
+            grams.filter(F.col("source") != benchmark_source)
+            .join(bench_grams, "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = deduped.filter(
+            F.col("source") != benchmark_source
+        ).join(contaminated, "doc_id", "left_anti")
+    else:
+        survivors = deduped
+
+    curated = register_persist(
+        survivors.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    n_curated = curated.count()
+
+    # ---- outputs -------------------------------------------------------
+    curated.write.mode("overwrite").parquet(
+        os.path.join(output_dir, "documents")
+    )
+
+    mixture = curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = Window.partitionBy()
+    mixture = mixture.withColumn(
+        "raw",
+        F.pow(
+            F.col("n_tokens") / F.sum("n_tokens").over(total).cast("double"),
+            F.lit(mixture_alpha),
+        ),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("raw") / F.sum("raw").over(total), 6).alias(
+            "mix_weight"
+        ),
+    )
+    mixture.write.mode("overwrite").parquet(
+        os.path.join(output_dir, "mixture")
+    )
+
+    packed = with_prefix_sum(
+        curated.select("doc_id", "n_tokens").filter(F.col("n_tokens") > 0),
+        "doc_id",
+        "n_tokens",
+        out_col="cum",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {seq_len}").alias("first_block"),
+        F.expr(f"(cum - 1) div {seq_len}").alias("last_block"),
+    )
+    packed.write.mode("overwrite").parquet(
+        os.path.join(output_dir, "packing")
+    )
+    n_blocks_row = (
+        spark.read.parquet(os.path.join(output_dir, "packing"))
+        .agg(F.max("last_block").alias("m"))
+        .collect()[0]
+    )
+
+    report = {
+        "n_input": n_input,
+        "n_after_quality": int(n_quality),
+        "n_after_exact_dedup": int(n_exact),
+        "n_curated": int(n_curated),
+        "n_training_blocks": int(n_blocks_row.m) + 1
+        if n_blocks_row.m is not None
+        else 0,
+        "seq_len": seq_len,
+        "benchmark_source": benchmark_source,
+    }
+    return report
