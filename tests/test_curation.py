@@ -256,3 +256,10 @@ def test_cli_curate_smoke(spark, tmp_path):  # noqa: F811
     cli.main(["curate", "--input", SF_DIR, "--output", out, "--seq-len", "512"])
     assert spark.read.parquet(out + "/documents").count() > 0
     assert spark.read.parquet(out + "/packing").count() > 0
+
+
+def test_prefix_sum_empty_input(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.prefix import with_prefix_sum
+
+    empty = spark.range(0).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    assert with_prefix_sum(empty, "k", "v", "ps", n_buckets=4).collect() == []

@@ -476,3 +476,42 @@ def q71_salted_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+
+
+# --------------------------------------------------------------------------
+# q81: the SQL SURFACE itself. One query string, two engines — the Spark
+# side registers the parquet tables as temp views and executes the SAME
+# text through spark.sql (parser → Catalyst → the identical physical
+# shapes the DataFrame catalog produces), and that text doubles as the
+# DuckDB oracle. Revenue uses the exact DECIMAL accumulator so the shared
+# string is also hash-deterministic.
+_Q81_SQL = """
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+
+@query("q81_sql_shipping_priority", oracle=_Q81_SQL)
+def q81_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-revenue orders executed through ``spark.sql``
+    over temp views — gates the engine's SQL entry point end-to-end with
+    a query string shared verbatim with the oracle.
+
+    Scale: Catalyst plans this identically to the DataFrame form —
+    customer (filtered, small) broadcasts into orders, the orders⋈lineitem
+    join shuffles on the uniform orderkey, aggregation is partial-final,
+    and the ORDER BY+LIMIT becomes TakeOrderedAndProject (no global
+    sort)."""
+    tables = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_Q81_SQL)
