@@ -237,4 +237,12 @@ def curate_corpus(
         "seq_len": seq_len,
         "benchmark_source": benchmark_source,
     }
+
+    # the pipeline run is its own cache boundary: every output is on disk
+    # now, so release the registry-tracked stage tables (quality,
+    # shingled, curated, and the LSH signature table) instead of letting
+    # repeated library calls grow the session cache
+    from yelp_recommender_spark.cache import clear_caches
+
+    clear_caches()
     return report
