@@ -55,3 +55,39 @@ def test_bucketed_join_plans_without_exchange(spark, tmp_path):  # noqa: F811
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_orc_round_trip(spark, tmp_path):  # noqa: F811
+    from yelp_recommender_spark.sources.readers import read_orc
+    from yelp_recommender_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.0)],
+        "id bigint, s string, v double",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_csv_round_trip(spark, tmp_path):  # noqa: F811
+    from yelp_recommender_spark.sources.readers import read_csv
+    from yelp_recommender_spark.sources.writers import write_csv
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, "x", 0.5), (2, "y", 1.25)], "id bigint, s string, v double"
+    )
+    path = str(tmp_path / "csv_rt")
+    write_csv(df, path, coalesce=1)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -69,3 +69,10 @@ def load_stopwords(path: str | None = None) -> list[str]:
         return StopWordsRemover.loadDefaultStopWords("english")
     with open(path) as fh:
         return [w.strip() for w in fh if w.strip()]
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the second columnar source (warehouse interop; Hive
+    clusters hand data over as ORC as often as Parquet). Same free
+    predicate pushdown / column pruning as the parquet path."""
+    return spark.read.orc(path)

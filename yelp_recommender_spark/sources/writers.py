@@ -50,3 +50,23 @@ def write_predictions(df: DataFrame, path: str) -> None:
     decision]} (``/root/reference/scripts/evaluate.py:5-7``)."""
     cols = [c for c in ("user_id", "business_id", "stars", "decision") if c in df.columns]
     write_json_lines(df.select(*cols), path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — columnar interop output for Hive-side consumers."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, coalesce: int | None = None
+) -> None:
+    """CSV sink (the reference's item-CF weights contract was a CSV —
+    ``/root/reference/models/item_cf_model.py:194``); distributed, not a
+    driver pandas ``to_csv``."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
