@@ -366,6 +366,7 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "append",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the available
     backlog (``trigger(availableNow=True)``) into an in-memory table and
@@ -374,18 +375,23 @@ def run_to_memory(
     The state-store partition count is fixed by
     ``spark.sql.shuffle.partitions`` at FIRST start for a checkpoint;
     since this harness always starts fresh checkpoints, it pins that
-    count to the session's parallelism for the query's duration (a plain
-    200-partition session otherwise runs 200-task state stages over a
-    backlog of hundreds of rows) and restores the conf after. Results
-    are partition-count-independent; only task counts change."""
+    count for the query's duration and restores the conf after. Results
+    are partition-count-independent; only task counts change.
+
+    Sizing: every stateful stage commits one state-store delta PER
+    PARTITION per micro-batch, so over-parallelizing a modest backlog
+    makes commit overhead dominate (measured on local[32]: 32 state
+    partitions ran the hourly-counts backlog ~2× slower than 8). The
+    default pins min(parallelism, 8) — right for bounded backfills and
+    tests; a live high-throughput stream should pass an explicit
+    ``state_partitions`` sized to its peak per-batch volume instead."""
     spark = stream_df.sparkSession
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
+    if state_partitions is None:
+        state_partitions = min(spark.sparkContext.defaultParallelism, 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             stream_df.writeStream.format("memory")
