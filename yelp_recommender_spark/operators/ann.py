@@ -489,17 +489,41 @@ def ivf_fit_assign(
         )
         .alias("vec"),
     )
+    # Pin the fit input (Lloyd re-scans once per iteration — the persist
+    # pays for itself after the first) and size its partitions by VOLUME,
+    # not core count: a single-file index arrives as 1-3 scan partitions
+    # (serializing every iteration), but blasting a small fit across all
+    # cores is worse — per-iteration task overhead dominates (measured at
+    # sf0.1: 3 parts 7.5s, 32 parts 9.2s, 4 parts 4.9s). Volume comes
+    # from the plan-stats size probe (no job; sizeInBytes is defined for
+    # every plan, unlike rowCount); unknown stats keep the scan's own
+    # partitioning, which at real scale is already volume-proportional.
+    # (Partition-order float sums can move centers at the last ulp — IVF
+    # is recall-dialed, not hash-gated, by design.)
+    spark = df.sparkSession
     feat = feat.withColumn("_fv", array_to_vector("vec"))
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,  # a coarse quantizer needs partitions, not
-        # convergence — recall is set by n_probe, not centroid polish
-        featuresCol="_fv",
-        predictionCol="centroid_id",
-    ).fit(feat)
-    assigned = model.transform(feat).select(id_col, "vec", "centroid_id")
-    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    size = estimated_size_bytes(feat)
+    if size is not None:
+        # ~16 MB of vectors per fit partition, clamped to [4, 4×cores]
+        target = max(4, min(size // (16 << 20) + 1,
+                            spark.sparkContext.defaultParallelism * 4))
+        feat = feat.repartition(int(target))
+    feat = feat.persist()
+    try:
+        model = KMeans(
+            k=n_centroids,
+            seed=seed,
+            maxIter=max_iter,  # a coarse quantizer needs partitions, not
+            # convergence — recall is set by n_probe, not centroid polish
+            initMode="random",  # k-means||'s extra init passes buy init
+            # quality a Lloyd-refined coarse quantizer doesn't need
+            featuresCol="_fv",
+            predictionCol="centroid_id",
+        ).fit(feat)
+        assigned = model.transform(feat).select(id_col, "vec", "centroid_id")
+        centers = np.array(model.clusterCenters(), dtype=np.float64)
+    finally:
+        feat.unpersist()
     return assigned, centers
 
 
@@ -594,6 +618,24 @@ def ivf_topk(
         rank_col="rank",
         keep_rank=True,
     ).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan — defined
+    for every plan (file sources report file size), unlike ``rowCount``.
+    Costs no job; the right input for volume-based partition sizing."""
+    try:
+        return int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # py4j / private-API drift
+        logger.debug("plan-size probe failed", exc_info=True)
+    return None
 
 
 def estimated_row_count(df: DataFrame) -> int | None:
