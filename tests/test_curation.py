@@ -263,3 +263,23 @@ def test_prefix_sum_empty_input(spark):  # noqa: F811
 
     empty = spark.range(0).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     assert with_prefix_sum(empty, "k", "v", "ps", n_buckets=4).collect() == []
+
+
+def test_curate_synthetic_source(spark, tmp_path):  # noqa: F811
+    """curate over the generating data source: planted duplicates must be
+    removed; scale is a read option, not a fixture."""
+    from yelp_recommender_spark.curate import curate_corpus
+
+    out = str(tmp_path / "synth_curated")
+    report = curate_corpus(
+        spark,
+        "synthetic:rows=3000,partitions=8,dup_rate=0.2",
+        out,
+        seq_len=256,
+    )
+    assert report["n_input"] == 3000
+    assert report["n_after_exact_dedup"] < report["n_after_quality"]
+    docs = spark.read.parquet(out + "/documents")
+    assert (
+        docs.groupBy("text").count().filter(F.col("count") > 1).count() == 0
+    )

@@ -63,14 +63,27 @@ def curate_corpus(
     """Run the full curation pipeline; returns the stage-count report.
 
     ``input_path`` is a documents parquet (or a testdata sf dir containing
-    ``documents.parquet``)."""
-    if os.path.isdir(input_path) and os.path.exists(
-        os.path.join(input_path, "documents.parquet")
-    ):
-        input_path = os.path.join(input_path, "documents.parquet")
-    docs = spark.read.parquet(input_path).select(
-        "doc_id", "text", "lang", "source"
-    )
+    ``documents.parquet``), or ``synthetic:rows=N[,partitions=P]
+    [,dup_rate=F]`` to curate a generated corpus of any size
+    (:mod:`yelp_recommender_spark.sources.synthetic` — no files, scale
+    is a read option)."""
+    if input_path.startswith("synthetic:"):
+        from yelp_recommender_spark.sources.synthetic import register
+
+        register(spark)
+        reader = spark.read.format("synthetic_docs")
+        for kv in filter(None, input_path[len("synthetic:"):].split(",")):
+            k, _, v = kv.partition("=")
+            reader = reader.option(k.strip(), v.strip())
+        docs = reader.load().select("doc_id", "text", "lang", "source")
+    else:
+        if os.path.isdir(input_path) and os.path.exists(
+            os.path.join(input_path, "documents.parquet")
+        ):
+            input_path = os.path.join(input_path, "documents.parquet")
+        docs = spark.read.parquet(input_path).select(
+            "doc_id", "text", "lang", "source"
+        )
 
     # ---- filter chain; input count observed on the quality pass --------
     obs_in = Observation()
