@@ -105,6 +105,7 @@ def test_pii_redaction_literals(spark):  # noqa: F811
             ("write bob.smith+x@corp.example.org or call 555-123-4567",),
             ("server at 192.168.0.1 and 10.0.255.7 no mail",),
             ("clean text",),
+            ("Mixed Case: John.Doe@Corp.COM stays private",),
         ],
         "text string",
     )
@@ -122,6 +123,7 @@ def test_pii_redaction_literals(spark):  # noqa: F811
     assert red[0].r == "write <EMAIL> or call <PHONE>"
     assert red[1].r == "server at <IP> and <IP> no mail"
     assert red[2].r == "clean text"
+    assert red[3].r == "Mixed Case: <EMAIL> stays private"
 
 
 def test_pii_redaction_catalog_leaves_no_ips(spark):  # noqa: F811
@@ -136,36 +138,26 @@ def test_pii_redaction_catalog_leaves_no_ips(spark):  # noqa: F811
 
 # --------------------------------------------------------------- repetition
 def test_repetition_metrics_literal(spark):  # noqa: F811
-    from yelp_recommender_spark.queries import QUERIES  # noqa: F401
-
-    # compute the same expressions on a literal doc via the catalog query's
-    # column algebra: "a a a b" → top_token_frac 0.75, bigrams
-    # [a a, a a, a b] → dup fraction 1 - 2/3
+    # the SHARED builders (same expressions q73 and the curate pipeline
+    # run): "a a a b" → top_token_frac 0.75, bigrams [a a, a a, a b] →
+    # dup fraction 1 - 2/3
+    from yelp_recommender_spark.functions.curation import (
+        dup_bigram_fraction,
+        top_token_count,
+    )
     from yelp_recommender_spark.functions.text import tokens_col
 
-    df = spark.createDataFrame([("a a a b",)], "text string").withColumn(
-        "toks", tokens_col("text")
-    )
-    n = F.size("toks")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter("toks", lambda x: x == u)),
-        )
-    )
-    bigrams = F.zip_with(
-        F.slice("toks", 1, n - 1),
-        F.slice("toks", 2, n - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
-    row = df.select(
-        F.round(top_cnt / n, 6).alias("t"),
-        F.round(1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 6).alias(
-            "d"
-        ),
-    ).collect()[0]
-    assert row.t == 0.75
-    assert row.d == round(1 - 2 / 3, 6)
+    df = spark.createDataFrame(
+        [("a a a b",), ("one",)], "text string"
+    ).withColumn("toks", tokens_col("text"))
+    rows = df.select(
+        F.round(top_token_count("toks") / F.size("toks"), 6).alias("t"),
+        F.round(dup_bigram_fraction("toks"), 6).alias("d"),
+    ).collect()
+    assert rows[0].t == 0.75
+    assert rows[0].d == round(1 - 2 / 3, 6)
+    assert rows[1].t == 1.0
+    assert rows[1].d is None  # single token: no bigrams → NULL, not 0
 
 
 # ------------------------------------------------------------ shard shuffle

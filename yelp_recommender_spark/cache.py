@@ -29,12 +29,21 @@ def register_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
-def clear_caches() -> int:
-    """Unpersist every registered cache; returns how many were released.
-    Safe to call with a stopped session (errors are swallowed — the JVM
-    cache died with the session anyway)."""
+def registry_mark() -> int:
+    """Current registry position — pass to ``clear_caches(since=...)`` so
+    a library pipeline releases only the caches IT registered, leaving
+    co-resident work's caches (shared token tables, signature tables)
+    alone. Boundary-clearing everything remains the job owner's call."""
+    return len(_REGISTRY)
+
+
+def clear_caches(since: int = 0) -> int:
+    """Unpersist registered caches from position ``since`` on (default:
+    all); returns how many were released. Safe to call with a stopped
+    session (errors are swallowed — the JVM cache died with the session
+    anyway)."""
     n = 0
-    while _REGISTRY:
+    while len(_REGISTRY) > since:
         df = _REGISTRY.pop()
         try:
             df.unpersist()

@@ -36,7 +36,17 @@ import os
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from yelp_recommender_spark.cache import register_persist
+from yelp_recommender_spark.cache import (
+    clear_caches,
+    register_persist,
+    registry_mark,
+)
+from yelp_recommender_spark.functions.curation import (
+    distinct_ngrams,
+    dup_bigram_fraction,
+    mixture_weights,
+    top_token_count,
+)
 from yelp_recommender_spark.functions.text import tokens_col
 from yelp_recommender_spark.operators.cc import dedup_representatives
 from yelp_recommender_spark.operators.dedup import (
@@ -67,6 +77,7 @@ def curate_corpus(
     [,dup_rate=F]`` to curate a generated corpus of any size
     (:mod:`yelp_recommender_spark.sources.synthetic` — no files, scale
     is a read option)."""
+    cache_mark = registry_mark()
     if input_path.startswith("synthetic:"):
         from yelp_recommender_spark.sources.synthetic import register
 
@@ -91,30 +102,12 @@ def curate_corpus(
         "toks", tokens_col("text")
     )
     n = F.size("toks")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter("toks", lambda x: x == u)),
-        )
-    )
-    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.zip_with(
-            F.slice("toks", 1, n - 1),
-            F.slice("toks", 2, n - 1),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    )
+    dup_frac = dup_bigram_fraction("toks")
     quality = register_persist(
         toks.filter(
             (n >= min_tokens)
-            & (top_cnt / n <= max_top_token_frac)
-            & (
-                (F.size(bigrams) == 0)
-                | (
-                    1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
-                    <= max_dup_bigram_frac
-                )
-            )
+            & (top_token_count("toks") / n <= max_top_token_frac)
+            & (dup_frac.isNull() | (dup_frac <= max_dup_bigram_frac))
         )
     )
     n_quality = quality.count()  # one scan: fires obs_in AND counts
@@ -152,17 +145,11 @@ def curate_corpus(
 
     # ---- optional benchmark decontamination ----------------------------
     if benchmark_source is not None:
-        g = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (decontam_gram_n - 1)),
-                lambda i: F.array_join(
-                    F.slice("toks", i, decontam_gram_n), " "
-                ),
-            )
+        grams = deduped.filter(F.size("toks") >= decontam_gram_n).select(
+            "doc_id",
+            "source",
+            F.explode(distinct_ngrams("toks", decontam_gram_n)).alias("gram"),
         )
-        grams = deduped.filter(
-            F.size("toks") >= decontam_gram_n
-        ).select("doc_id", "source", F.explode(g).alias("gram"))
         bench_grams = grams.filter(
             F.col("source") == benchmark_source
         ).select("gram").distinct()
@@ -194,27 +181,13 @@ def curate_corpus(
         os.path.join(output_dir, "documents")
     )
 
-    mixture = curated.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-    )
-    from pyspark.sql import Window
-
-    total = Window.partitionBy()
-    mixture = mixture.withColumn(
-        "raw",
-        F.pow(
-            F.col("n_tokens") / F.sum("n_tokens").over(total).cast("double"),
-            F.lit(mixture_alpha),
+    mixture = mixture_weights(
+        curated.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         ),
-    ).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("raw") / F.sum("raw").over(total), 6).alias(
-            "mix_weight"
-        ),
-    )
+        mixture_alpha,
+    ).select("source", "n_docs", "n_tokens", "mix_weight")
     mixture.write.mode("overwrite").parquet(
         os.path.join(output_dir, "mixture")
     )
@@ -252,10 +225,9 @@ def curate_corpus(
     }
 
     # the pipeline run is its own cache boundary: every output is on disk
-    # now, so release the registry-tracked stage tables (quality,
-    # shingled, curated, and the LSH signature table) instead of letting
-    # repeated library calls grow the session cache
-    from yelp_recommender_spark.cache import clear_caches
-
-    clear_caches()
+    # now, so release the stage tables THIS run registered (quality,
+    # shingled, curated, the LSH signature table) — and only those; a
+    # co-resident catalog session keeps its own shared caches (token
+    # tables etc.), whose boundary belongs to their owner
+    clear_caches(since=cache_mark)
     return report

@@ -1,0 +1,74 @@
+"""Shared column builders for the curation surface.
+
+One definition serves three consumers — the oracle-gated catalog queries
+(q73/q76/q78), the end-to-end pipeline (:mod:`yelp_recommender_spark.curate`),
+and the tests — so the expression the DuckDB oracle checks IS the
+expression the production pipeline runs (a drifted copy would pass the
+oracle while the pipeline computed something else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_token_count(toks: Column | str = "toks") -> Column:
+    """Occurrences of the most frequent token in the array — the
+    numerator of the Gopher-style top-token fraction. Per-row JVM
+    reduction (O(unique × n)), no shuffle."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+
+
+def bigram_array(toks: Column | str = "toks") -> Column:
+    """Adjacent-token bigrams as ``array<string>`` (empty when fewer
+    than 2 tokens) — zip of shifted slices, JVM-side."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+
+
+def dup_bigram_fraction(toks: Column | str = "toks") -> Column:
+    """1 − distinct/total over adjacent bigrams; NULL when no bigrams."""
+    bgs = bigram_array(toks)
+    n_bg = F.size(bgs)
+    return F.when(n_bg == 0, F.lit(None).cast("double")).otherwise(
+        1.0 - F.size(F.array_distinct(bgs)) / n_bg
+    )
+
+
+def distinct_ngrams(toks: Column | str = "toks", n: int = 5) -> Column:
+    """Distinct n-token shingle strings of the array (space-joined).
+    Caller must filter ``size(toks) >= n`` first — ``sequence`` with a
+    negative span is undefined."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def mixture_weights(per_source: DataFrame, alpha: float) -> DataFrame:
+    """Temperature-scaled sampling weights over a per-source aggregate
+    carrying ``n_tokens``: p_s^alpha renormalized, rounded to 6. The
+    unpartitioned windows run over the #sources-row aggregate, never the
+    corpus."""
+    total = Window.partitionBy()
+    raw = F.pow(
+        F.col("n_tokens") / F.sum("n_tokens").over(total).cast("double"),
+        F.lit(alpha),
+    )
+    return per_source.withColumn("raw", raw).withColumn(
+        "mix_weight", F.round(F.col("raw") / F.sum("raw").over(total), 6)
+    ).drop("raw")

@@ -5,24 +5,34 @@ plans a single-partition window: every row flows through one task, which
 is exactly the thing that cannot run at 100 TB. This module implements the
 textbook two-stage scan instead:
 
-1. bucket every row by exact percentiles of the order column (one
-   aggregate pass producing ≤ ``n_buckets`` boundary values, carried
-   in-plan via a broadcast — no driver collect);
+1. bucket every row by approximate percentiles of the order column (one
+   sketch-aggregate pass producing ≤ ``n_buckets`` boundary values,
+   carried in-plan via a broadcast — no driver collect);
 2. per-bucket running totals with ``Window.partitionBy(bucket)`` — all
    buckets scan in parallel;
 3. per-bucket totals (tiny: one row per bucket) get their own cumulative
    offsets with a window over ``n_buckets`` rows, broadcast-joined back.
 
 Wall-clock is two parallel passes plus an O(n_buckets) reduction; nothing
-sequential ever sees more than ~1/n_buckets of the data. The reference has
+sequential ever sees more than ~1 bucket of the data. The reference has
 no counterpart (driver-side loops would play this role); the shape is the
 standard parallel-scan decomposition (Blelloch-style upsweep/downsweep
 restated as DataFrame algebra).
 
-Determinism: boundaries come from exact ``percentile`` (not sampled
-``approxQuantile``), so bucket assignment — and therefore the plan's
-partitioning — is a pure function of the data. The running total itself
-is order-defined and exact for integral value columns (LongType sums).
+Boundary choice is deliberately ``approx_percentile``: the exact
+``percentile`` aggregate buffers every distinct order value in one
+aggregation buffer — with a globally-unique order column that is the
+whole dataset in one JVM, quietly re-introducing the bottleneck the
+operator exists to remove. The sketch is bounded-memory, and boundary
+placement only steers LOAD BALANCE, never the answer: a row's final
+prefix is local_run + offset of whatever bucket it lands in, identical
+for any bucket assignment. The OUTPUT is therefore exactly as
+deterministic as the input; only stage task sizes may vary.
+
+The bucketed intermediate is persisted through the session cache registry
+(two consumers — the per-bucket window and the bucket-totals aggregate —
+would otherwise each recompute the scan + sketch + bucket assignment);
+``clear_caches`` releases it at the owning pipeline's boundary.
 
 Requires ``order_col`` to be globally unique (ties would make "the running
 total at this row" ill-defined; both engines' RANGE window frames would
@@ -44,7 +54,7 @@ def with_prefix_sum(
 ) -> DataFrame:
     """``df`` plus ``out_col`` = inclusive running sum of ``value_col``
     over the global ``order_col`` order, computed without any
-    single-partition stage."""
+    single-partition stage over the data."""
     if n_buckets is None:
         n_buckets = df.sparkSession.sparkContext.defaultParallelism
     n_buckets = max(int(n_buckets), 1)
@@ -53,22 +63,28 @@ def with_prefix_sum(
         w = Window.orderBy(order_col)
         return df.withColumn(out_col, F.sum(value_col).over(w))
 
+    from yelp_recommender_spark.cache import register_persist
+
     qs = [i / n_buckets for i in range(1, n_buckets)]
     boundaries = df.agg(
-        F.percentile(F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias(
-            "_bounds"
-        )
+        F.percentile_approx(
+            F.col(order_col).cast("double"),
+            F.array(*[F.lit(q) for q in qs]),
+            10_000,
+        ).alias("_bounds")
     )
     # bucket = number of boundaries at or below this row's order value —
     # a per-row array reduction over ≤ n_buckets-1 broadcast values
-    bucketed = df.crossJoin(F.broadcast(boundaries)).withColumn(
-        "_bucket",
-        F.aggregate(
-            "_bounds",
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
-        ),
+    bucketed = register_persist(
+        df.crossJoin(F.broadcast(boundaries)).withColumn(
+            "_bucket",
+            F.aggregate(
+                "_bounds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
+            ),
+        )
     )
 
     local_w = Window.partitionBy("_bucket").orderBy(order_col)

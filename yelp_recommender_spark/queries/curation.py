@@ -33,7 +33,9 @@ from yelp_recommender_spark.sources.tables import load_tables
 # ---------------------------------------------------------------------------
 # PII regexes — one family, two engines. Java regex and RE2 both support
 # \b, \d, {m,n}; no backreferences or lookarounds (RE2 has neither).
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# Case handled by explicit classes (not (?i)) so the pattern reads the
+# same under both engines' flag semantics.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
@@ -74,31 +76,20 @@ def q73_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-frequency reduction is O(unique x n) per row, JVM-side, no
     shuffle at all). A filter on these columns pushes straight onto the
     scan."""
+    from yelp_recommender_spark.functions.curation import (
+        dup_bigram_fraction,
+        top_token_count,
+    )
+
     d = _docs_tokens(spark, sf_dir)
     n = F.size("toks")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter("toks", lambda x: x == u)),
-        )
-    )
-    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.zip_with(
-            F.slice("toks", 1, n - 1),
-            F.slice("toks", 2, n - 1),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    )
-    n_bg = F.size(bigrams)
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         F.when(n == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(top_cnt / n, 6))
+        .otherwise(F.round(top_token_count("toks") / n, 6))
         .alias("top_token_frac"),
-        F.when(n_bg == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(1.0 - F.size(F.array_distinct(bigrams)) / n_bg, 6))
-        .alias("dup_bigram_frac"),
+        F.round(dup_bigram_fraction("toks"), 6).alias("dup_bigram_frac"),
     )
 
 
@@ -263,24 +254,15 @@ def q76_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     then all arithmetic happens on the ~#sources-row result — the
     unpartitioned windows at the end run over that bounded aggregate,
     never the corpus."""
+    from yelp_recommender_spark.functions.curation import mixture_weights
+
     d = _docs_tokens(spark, sf_dir)
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
     )
-    total = Window.partitionBy()
-    w = s.withColumn(
-        "raw",
-        F.pow(
-            F.col("n_tokens") / F.sum("n_tokens").over(total).cast("double"),
-            F.lit(_MIX_ALPHA),
-        ),
-    )
-    return w.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("raw") / F.sum("raw").over(total), 6).alias("mix_weight"),
+    return mixture_weights(s, _MIX_ALPHA).select(
+        "source", "n_docs", "n_tokens", "mix_weight"
     )
 
 
@@ -288,8 +270,14 @@ def q76_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SHARDS = 8
 # Knuth multiplicative hash — pure BIGINT arithmetic, portable to any
 # SQL engine (no engine hash function needed, so the oracle reproduces
-# the exact shard assignment).
-_SHARD_SQL = f"doc_id * 2654435761 % 4294967296 % {_N_SHARDS}"
+# the exact shard assignment). The id is masked to 31 bits BEFORE the
+# multiply so the product stays under 2^63 for any doc_id (an unmasked
+# id >= ~3.47e9 would overflow int64 — ANSI error on Spark, silent
+# HUGEINT divergence in DuckDB); ids congruent mod 2^31 share a shard,
+# which is harmless for load-spreading.
+_SHARD_SQL = (
+    f"(doc_id % 2147483648) * 2654435761 % 4294967296 % {_N_SHARDS}"
+)
 
 
 @query(
@@ -365,16 +353,13 @@ def q78_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     test is a shuffled LEFT join on the gram hash key — uniform keys, no
     broadcast assumption (the training gram set is corpus-sized at
     100 TB). One final hash-agg per eval doc."""
+    from yelp_recommender_spark.functions.curation import distinct_ngrams
+
     d = _docs_tokens(spark, sf_dir)
-    n = F.size("toks")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - (_GRAM_N - 1)),
-            lambda i: F.array_join(F.slice("toks", i, _GRAM_N), " "),
-        )
-    )
-    g = d.filter(n >= _GRAM_N).select(
-        "doc_id", "source", F.explode(grams).alias("gram")
+    g = d.filter(F.size("toks") >= _GRAM_N).select(
+        "doc_id",
+        "source",
+        F.explode(distinct_ngrams("toks", _GRAM_N)).alias("gram"),
     )
     train = (
         g.filter(F.col("source") != _BENCH_SOURCE)

@@ -54,10 +54,15 @@ def _mix(x: int) -> int:
 
 def _doc(doc_id: int, dup_rate_pct: int):
     # a dup_rate% slice of docs clones the text of an earlier doc —
-    # planted near-scale duplicates for dedup experiments
+    # planted duplicates for dedup experiments. Seeds are drawn ONLY
+    # from ids 0-99, which the doc_id > 100 guard exempts from
+    # remapping: the clone therefore always matches its seed's FINAL
+    # text (a seed that could itself remap would make the "duplicate"
+    # match nothing). Corollary: a corpus of ≤ 101 rows plants no
+    # duplicates — use more rows for dedup experiments.
     seed_id = doc_id
     if dup_rate_pct and doc_id > 100 and _mix(doc_id * 7 + 1) % 100 < dup_rate_pct:
-        seed_id = _mix(doc_id) % (doc_id // 2)
+        seed_id = _mix(doc_id) % 100
     h = _mix(seed_id)
     n_words = 20 + h % 80
     words = [

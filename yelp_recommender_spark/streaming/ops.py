@@ -353,12 +353,22 @@ def enrich_stream(
     buffers and emission equals the batch join over any backlog — which
     is why this entry is FULLY oracle-checkable, unlike the windowed ops.
 
-    Scale: the dimension is broadcast when it fits (Catalyst decides per
-    micro-batch); a 100-TB dimension would shuffle each micro-batch
-    instead — at that point pre-bucket the dimension or pin it with a
-    persist, same knobs as batch."""
+    Scale: the broadcast hint is applied only when the dimension's
+    plan-stats size fits the session's broadcast threshold — a forced
+    hint would collect an arbitrarily large dimension to the driver
+    every micro-batch. Above the threshold the join plans unhinted
+    (shuffled per micro-batch) — at that point pre-bucket the dimension
+    or pin it with a persist, same knobs as batch."""
+    from yelp_recommender_spark.operators.ann import estimated_size_bytes
+
     d = dim.withColumnRenamed(dim_key, on) if dim_key != on else dim
-    return events.join(F.broadcast(d), on, "inner")
+    size = estimated_size_bytes(d)
+    if size is not None and 0 < size <= (64 << 20):
+        d = F.broadcast(d)
+    # above the guard (or with unknown stats) the hint is omitted —
+    # Catalyst still auto-broadcasts under its own threshold, and a
+    # genuinely large dimension shuffles instead of OOMing the driver
+    return events.join(d, on, "inner")
 
 
 def run_to_memory(
