@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from tests.conftest import SF_DIR, spark  # noqa: F401 (fixture)
 
 
@@ -263,3 +265,46 @@ def test_attribution_join_matches_batch(spark):  # noqa: F811
     g = {(r.user_id, r.trigger_event_id, r.convert_event_id) for r in got.collect()}
     e = {(r.user_id, r.trigger_event_id, r.convert_event_id) for r in expect.collect()}
     assert g == e and len(g) > 0
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas state server needs google.protobuf "
+    "(absent in this container; runs on standard cluster images)",
+)
+def test_distinct_types_stream_batch_parity(spark):  # noqa: F811
+    """transformWithStateInPandas changelog: the final emission per user
+    equals the batch countDistinct over the same backlog."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.sources.tables import load_tables
+    from yelp_recommender_spark.streaming.ops import (
+        distinct_types_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    out = run_to_memory(
+        distinct_types_stream(read_events_stream(spark, SF_DIR)),
+        "t_types",
+        output_mode="update",
+    )
+    # single-file backlog = one micro-batch = one changelog row per user
+    got = {(r.user_id, r.n_types) for r in out.collect()}
+    batch = load_tables(spark, SF_DIR, ["events"])["events"]
+    want = {
+        (r.user_id, r.n)
+        for r in batch.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -356,3 +356,43 @@ def q80_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= 0.05
     )
     return agg.select("event_type", "exact_users", ok.alias("approx_ok"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q82_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q82_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path access — the open-schema path for JSON columns
+    whose shape isn't known at write time (q17 is the closed-schema twin
+    via regexp/from_json).
+
+    Scale: variant parse+access is JVM-side and columnar; unlike
+    repeated regexp/get_json_object calls the document parses ONCE per
+    row however many paths are later accessed, and shredded storage can
+    push path access to the scan."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

@@ -272,6 +272,71 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def distinct_types_stream(events: DataFrame) -> DataFrame:
+    """Per-user distinct-event-type tracker via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API (the
+    successor to ``applyInPandasWithState``, cf.
+    :func:`running_totals_stream`): an explicit ``ValueState`` per key
+    holds the sorted distinct set; every micro-batch that grows a key's
+    set emits the updated membership as a changelog row.
+
+    Why the new API matters at scale: named state cells (value/list/map)
+    are individually addressable in the state store — an operator can
+    keep several small states per key without serializing one blob, TTL
+    is declarative per state (``ttlDurationMs``), and timers enable
+    time-driven emission without watermark tricks. Here one ValueState
+    suffices; the set is bounded by the event-type vocabulary.
+
+    Batch parity: after draining a bounded backlog the final emission
+    per user equals ``groupBy(user).agg(countDistinct(event_type))`` —
+    pinned by tests/test_streaming.py WHERE THE RUNTIME SUPPORTS IT: the
+    API's state server speaks protobuf between JVM and a dedicated
+    Python driver worker, so it needs a functional ``google.protobuf``
+    (not in this container — the parity test skips itself there and runs
+    on any standard cluster image; :func:`running_totals_stream` is the
+    applyInPandasWithState fallback with no extra dependency)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "types string")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._seen.get()
+            seen = set(prev[0].split(",")) if prev and prev[0] else set()
+            for pdf in rows:
+                seen.update(pdf["event_type"].unique().tolist())
+            val = ",".join(sorted(seen))
+            self._seen.update((val,))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_types": len(seen),
+                        "types": val,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=DistinctTypes(),
+            outputStructType="user_id bigint, n_types int, types string",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def attribution_join_stream(
     events: DataFrame,
     trigger_type: str = "view",
