@@ -275,3 +275,18 @@ def test_curate_synthetic_source(spark, tmp_path):  # noqa: F811
     assert (
         docs.groupBy("text").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_curate_empty_survivors(spark, tmp_path):  # noqa: F811
+    """An over-aggressive quality gate must degrade to empty outputs and
+    zeroed stage counts, never crash (empty-input contract through the
+    whole operator chain: dedup, components, prefix sum, packing)."""
+    from yelp_recommender_spark.curate import curate_corpus
+
+    report = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "none"), min_tokens=10**9
+    )
+    assert report["n_input"] > 0
+    assert report["n_after_quality"] == 0
+    assert report["n_curated"] == 0
+    assert report["n_training_blocks"] == 0
