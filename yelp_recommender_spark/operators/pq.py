@@ -1,0 +1,346 @@
+"""Product quantization (PQ) — the memory-compressed ANN tier (Jégou,
+Douze, Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+TPAMI 2011; the FAISS ``IndexPQ`` design).
+
+Completes the engine's similarity-search ladder
+(:mod:`yelp_recommender_spark.operators.ann`):
+
+1. broadcast-index exact matmul — up to ~5M × 64-dim float64 vectors
+   (:data:`~yelp_recommender_spark.operators.ann.DEFAULT_BROADCAST_INDEX_LIMIT`);
+2. SRP-LSH — beyond-broadcast with an analytic recall bound;
+3. IVF — beyond-broadcast, data-adaptive, recall dialed by n_probe;
+4. **PQ (this module)** — compresses each vector to ``m`` one-byte codes
+   (64-dim float64 = 512 B → 8 B at m=8), raising the broadcast-index
+   ceiling ~64× (≈300M vectors in the same executor budget) at the cost
+   of approximate scores. At genuine 100-TB scale PQ composes with IVF
+   (route by coarse centroid, score residuals by code — IVF-PQ): the
+   pieces are independent here and compose through the same
+   (id, codes) contract.
+
+Semantics (cosine metric, matching the rest of the ANN family):
+
+- vectors are L2-normalized first; each of the ``m`` equal sub-vectors
+  is vector-quantized against its own ``ksub``-entry codebook (k-means,
+  trained on a deterministic bounded sample);
+- a query is scored against a code by ADC (asymmetric distance
+  computation): the exact query sub-vectors dot the code's centroids —
+  one ``(m, ksub)`` lookup table per query, then a byte-gather + sum
+  per index row instead of a ``dim``-wide float dot.
+
+Determinism: codebook training is seeded Lloyd on a sample taken by
+``orderBy(id).limit(n)`` (distributed top-k — no shuffle of the full
+table, same rows on any partitioning); encoding is a pure argmin; scores
+are rounded to 6 digits at the boundary like every similarity operator.
+
+No reference counterpart (the reference's only ANN is driver-side
+sklearn over collected ALS factors, ``scripts/als_recommender.py:139-153``);
+this is beyond-reference LLM-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "train_codebooks",
+    "pq_encode",
+    "pq_topk",
+    "pq_reconstruct_error",
+]
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _pad_to_multiple(mat: np.ndarray, m: int) -> np.ndarray:
+    """Zero-pad columns so dim divides m (zeros never move a dot
+    product, so padded dims are score-neutral)."""
+    dim = mat.shape[1]
+    rem = dim % m
+    if rem == 0:
+        return mat
+    pad = m - rem
+    return np.concatenate(
+        [mat, np.zeros((mat.shape[0], pad), dtype=mat.dtype)], axis=1
+    )
+
+
+def _lloyd(
+    X: np.ndarray, k: int, seed: int, n_iter: int
+) -> np.ndarray:
+    """Plain seeded Lloyd k-means on a driver-resident sample matrix.
+
+    Codebook training is the one legitimately driver-side step of PQ
+    (FAISS trains on a bounded sample too): the input is capped at
+    ``sample_n`` rows by the caller, so this is O(sample_n · k · dsub)
+    on a few MB — not a distributed-data operation. Empty clusters are
+    reseeded to deterministic data points so k centroids survive."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    k = min(k, n)
+    centers = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        # (n, k) squared distances via ||x||² − 2x·c + ||c||²
+        d = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(axis=1)
+        )
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = X[mask].mean(axis=0)
+            else:
+                centers[j] = X[rng.integers(0, n)]
+    return centers
+
+
+def train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 64,
+    sample_n: int = 65_536,
+    seed: int = 42,
+    n_iter: int = 15,
+) -> np.ndarray:
+    """Train the (m, ksub, dsub) PQ codebooks on a deterministic bounded
+    sample of ``df`` (first ``sample_n`` rows by ``id_col`` — a
+    distributed top-k, no shuffle of the full table; at 100 TB the
+    sample bound is what keeps training O(1) in corpus size).
+
+    Raises ``ValueError`` on an empty input (there is nothing to
+    quantize — callers with maybe-empty inputs should guard first, as
+    :func:`pq_topk` does)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_codebooks: empty input")
+    mat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    mat = _pad_to_multiple(mat, m)
+    dsub = mat.shape[1] // m
+    ksub_eff = min(ksub, mat.shape[0])
+    books = np.zeros((m, ksub_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        # per-subspace seed offset: adding subspaces never perturbs
+        # earlier codebooks (same convention as the SRP per-table seeds)
+        books[j] = _lloyd(sub, ksub_eff, seed + j, n_iter)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — each row's L2-normalized vector encoded as ``m``
+    codebook indices (array<int>, values < ksub so they pack to bytes
+    on the wire and in the broadcast).
+
+    Scale: map-only mapInPandas against the broadcast (m, ksub, dsub)
+    codebooks (a few hundred KB); one batched argmin per subspace —
+    no shuffle, no driver state."""
+    spark = df.sparkSession
+    m, ksub, dsub = codebooks.shape
+    # per-centroid squared norms fold into the argmin (−2x·c + ||c||²)
+    b = spark.sparkContext.broadcast(
+        (codebooks, (codebooks * codebooks).sum(axis=2))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books, cnorms = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _pad_to_multiple(
+                _normalize_rows(
+                    np.array(list(pdf[vec_col]), dtype=np.float64)
+                ),
+                m,
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = q[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (
+                    cnorms[j] - 2.0 * (sub @ books[j].T)
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 64,
+    sample_n: int = 65_536,
+    seed: int = 42,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PQ + ADC. Output matches
+    :func:`~yelp_recommender_spark.operators.ann.cosine_topk`:
+    (query_id, neighbor_id, cos_pq, rank) — ``cos_pq`` is the ADC
+    estimate of the cosine (query exact, neighbor quantized), rounded 6;
+    self-matches excluded; ties break on neighbor_id asc.
+
+    Scale: the broadcast index is (ids int64 + m bytes of codes) per
+    vector — 64× smaller than the float64 index of ``cosine_topk``, so
+    the executor-resident ceiling rises from ~5M to ~300M vectors in the
+    same memory budget. Per query the scan is one (m, ksub) LUT build
+    (tiny matmul) + an (N, m) byte-gather sum instead of an (N, dim)
+    float matmul. Beyond the raised ceiling, compose with IVF routing
+    (IVF-PQ) — both operators share the (id, codes) contract."""
+    spark = queries.sparkSession
+    if not index.select(id_col).head(1):
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cos_pq double, rank int",
+        )
+    if codebooks is None:
+        codebooks = train_codebooks(
+            index, id_col, vec_col, m=m, ksub=ksub,
+            sample_n=sample_n, seed=seed,
+        )
+    m, ksub, dsub = codebooks.shape
+    encoded = pq_encode(index, codebooks, id_col, vec_col).collect()
+    idx_ids = np.array([r[0] for r in encoded], dtype=np.int64)
+    idx_codes = np.array([r[1] for r in encoded], dtype=np.int32)
+    if ksub <= 256:
+        idx_codes = idx_codes.astype(np.uint8)  # the 64× memory win
+    b = spark.sparkContext.broadcast((idx_ids, idx_codes, codebooks))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_pq", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, codes, books = b.value
+        codes_i = codes.astype(np.intp)
+        col = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0 or ids.size == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = _pad_to_multiple(
+                _normalize_rows(
+                    np.array(list(pdf[vec_col]), dtype=np.float64)
+                ),
+                m,
+            )
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for row in range(q.shape[0]):
+                # ADC lookup table: lut[j, c] = q_sub_j · centroid_{j,c}
+                lut = np.einsum(
+                    "jd,jkd->jk",
+                    q[row].reshape(m, dsub),
+                    books,
+                )  # (m, ksub)
+                s = np.round(lut[col, codes_i].sum(axis=1), 6)  # (N,)
+                mask = ids != q_ids[row]
+                cand_ids, cand_s = ids[mask], s[mask]
+                take = min(k, cand_s.shape[0])
+                if take == 0:
+                    continue
+                part = np.argpartition(-cand_s, take - 1)[:take]
+                order = np.lexsort((cand_ids[part], -cand_s[part]))
+                sel = part[order]
+                out_q.extend([q_ids[row]] * take)
+                out_n.extend(cand_ids[sel])
+                out_c.extend(cand_s[sel])
+                out_r.extend(range(1, take + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cos_pq": np.array(out_c, dtype=np.float64),
+                    "rank": np.array(out_r, dtype=np.int32),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pq_reconstruct_error(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, err) — per-row L2 distance between the normalized vector and
+    its PQ reconstruction (the quantization error that bounds the score
+    bias: |cos − cos_pq| ≤ err for unit queries, Cauchy–Schwarz).
+    Diagnostic for choosing (m, ksub); map-only."""
+    spark = df.sparkSession
+    m, ksub, dsub = codebooks.shape
+    b = spark.sparkContext.broadcast(codebooks)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("err", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _pad_to_multiple(
+                _normalize_rows(
+                    np.array(list(pdf[vec_col]), dtype=np.float64)
+                ),
+                m,
+            )
+            recon = np.empty_like(q)
+            for j in range(m):
+                sub = q[:, j * dsub : (j + 1) * dsub]
+                cnorm = (books[j] * books[j]).sum(axis=1)
+                code = (cnorm - 2.0 * (sub @ books[j].T)).argmin(axis=1)
+                recon[:, j * dsub : (j + 1) * dsub] = books[j][code]
+            err = np.round(
+                np.linalg.norm(q - recon, axis=1), 6
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "err": err}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)

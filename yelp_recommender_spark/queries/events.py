@@ -396,3 +396,57 @@ def q82_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout (operators/zorder.py): the Morton code is pure bit
+# algebra, so the oracle is the SAME expression text generated by
+# zvalue_sql — Spark and DuckDB can never drift independently.
+_Z_N_BITS = 10  # user_id < 1024 and the data's Jan-2024 hour span < 1024
+_Z_EPOCH_HOUR0 = 473352  # 2024-01-01T00:00Z in hours since the epoch
+
+from yelp_recommender_spark.operators.zorder import (  # noqa: E402
+    zvalue,
+    zvalue_sql,
+)
+
+
+@query(
+    "q83_zorder_events",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_id, user_id,
+               (epoch_us(ts) // 3600000000) - {_Z_EPOCH_HOUR0} AS hour_idx
+        FROM events
+    )
+    SELECT event_id, user_id, CAST(hour_idx AS BIGINT) AS hour_idx,
+           CAST({zvalue_sql(['user_id', 'hour_idx'], 10)} AS BIGINT) AS z
+    FROM keyed
+    ORDER BY z, event_id
+    LIMIT 100
+    """,
+)
+def q83_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) code over (user_id, hour-of-month) — the sort
+    key a layout-optimizing write uses so parquet min/max footers prune
+    on BOTH dimensions (``write_zordered``). First 100 events along the
+    curve; the oracle runs the byte-identical bit-interleave expression
+    (generated by the same ``zvalue_sql``), so this gates the exact bit
+    algebra, not just row counts.
+
+    Scale: the code is shift/mask/add Column algebra — codegen'd,
+    map-only; the layout write adds one range-partition shuffle and buys
+    file skipping on every interleaved dimension (tests/test_zorder.py
+    verifies the footer min/max tightening)."""
+    ev = _events_us(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (
+            F.expr("ts_us div 3600000000") - F.lit(_Z_EPOCH_HOUR0)
+        ).alias("hour_idx"),
+    )
+    return (
+        ev.withColumn("z", zvalue(["user_id", "hour_idx"], _Z_N_BITS))
+        .orderBy("z", "event_id")
+        .limit(100)
+    )

@@ -12,6 +12,9 @@ item factors, ``/root/reference/scripts/als_recommender.py:139-153``).
 - q43: IVF (KMeans coarse quantizer) top-k vs exact — the second
   beyond-broadcast path; scans n_probe/n_centroids of the index per
   query (rows-only: iterative MLlib clustering)
+- q44: PQ (product quantization) top-k vs exact — the memory-compressed
+  tier: m one-byte codes per vector raise the broadcast-index ceiling
+  ~64×; scored by ADC lookup tables (rows-only: seeded Lloyd codebooks)
 """
 
 from __future__ import annotations
@@ -192,5 +195,59 @@ def q43_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("recall_at_10"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query("q44_ann_pq_recall")  # rows-only: seeded Lloyd codebooks not SQL-able
+def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k scored against the exact brute-force
+    top-k — the memory-compressed ANN tier (m=16 8-bit codes per 64-dim
+    vector, the canonical FAISS configuration: the broadcast index
+    shrinks 512 B → 16 B per row, raising the executor-resident ceiling
+    ~32×). Output: one row (n_exact, n_hit, recall_at_10,
+    mean_abs_score_err). Not SQL-expressible (iterative seeded k-means
+    codebooks) — rows-only; recall and score error are additionally
+    pinned by tests/test_pq.py on planted-cluster data (≥0.95 there;
+    ~0.82 here — the synthetic embeddings are weakly clustered, same
+    honesty note as q43).
+
+    Scale: codebooks train on a bounded deterministic sample (O(1) in
+    corpus size); encoding is map-only; the ADC scan replaces the
+    (N, dim) float matmul with an (N, m) byte-gather per query."""
+    from yelp_recommender_spark.operators.pq import pq_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(probes, emb, k=10).select(
+        "query_id", "neighbor_id", "cos"
+    )
+    approx = pq_topk(probes, emb, k=10, m=16, ksub=256).select(
+        "query_id", "neighbor_id", "cos_pq"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            hits.agg(
+                F.count(F.lit(1)).alias("n_hit"),
+                F.round(
+                    F.avg(F.abs(F.col("cos") - F.col("cos_pq"))), 6
+                ).alias("mean_abs_score_err"),
+            )
+        )
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hit") / F.col("n_exact")
+                ),
+                6,
+            ).alias("recall_at_10"),
+            F.coalesce(
+                "mean_abs_score_err", F.lit(0.0)
+            ).alias("mean_abs_score_err"),
         )
     )
