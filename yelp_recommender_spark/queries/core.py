@@ -515,3 +515,42 @@ def q81_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return spark.sql(_Q81_SQL)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q84_bloom_semijoin",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+    )
+    """,
+)
+def q84_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of orders against high-balance customers through the
+    bloom-filter reduction (``operators/bloom.py``): the fact side is
+    pruned map-side by n_hashes broadcast word-table lookups BEFORE the
+    exact semi-join that guarantees correctness — the bloom changes
+    cost, never the result, which is why a plain ``WHERE IN`` oracle
+    gates it exactly.
+
+    Scale: for a key side too big to broadcast as an exact hash set
+    (~10 bits/key vs 64+ for the set), the shuffle that remains moves
+    only true matches + ~1% false positives instead of the whole fact
+    table. Spark's runtime bloom filtering applies the same idea
+    automatically only under specific join shapes; this operator makes
+    it explicit and reusable (the word table is a persistable
+    DataFrame)."""
+    from yelp_recommender_spark.operators.bloom import bloom_semi_join
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    rich = t["customer"].filter(F.col("c_acctbal") > 5000.0)
+    return bloom_semi_join(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        rich.select("c_custkey"),
+        big_key="o_custkey",
+        small_key="c_custkey",
+        m_bits=1 << 14,
+    )
