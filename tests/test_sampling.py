@@ -59,3 +59,62 @@ def test_stratified_rates(spark):  # noqa: F811
         ).collect()
     }
     assert {r.k for r in kept.collect()} == again
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.functions.sampling import weighted_sample_n
+
+    # 100 heavy rows (w=100) among 900 light (w=1): heavy rows carry
+    # ~92% of the total weight, so a 50-row draw is heavy-dominated
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, F.lit(100.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    got = weighted_sample_n(df, "k", "w", 50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.k < 100)
+    assert heavy > 30  # unweighted expectation would be 5
+
+    # uniform weights reduce to an unweighted deterministic draw
+    uni = weighted_sample_n(
+        df.withColumn("w", F.lit(1.0)), "k", "w", 50
+    ).collect()
+    heavy_uni = sum(1 for r in uni if r.k < 100)
+    assert heavy_uni < 20
+
+
+def test_weighted_sample_deterministic_and_guards(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.functions.sampling import weighted_sample_n
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = sorted(r.k for r in weighted_sample_n(df, "k", "w", 40).collect())
+    b = sorted(
+        r.k
+        for r in weighted_sample_n(df.repartition(13), "k", "w", 40).collect()
+    )
+    assert a == b  # partitioning-independent
+
+    # non-positive weights are excluded entirely
+    z = df.withColumn(
+        "w", F.when(F.col("k") < 490, F.lit(0.0)).otherwise(F.col("w"))
+    )
+    got = {r.k for r in weighted_sample_n(z, "k", "w", 40).collect()}
+    assert got <= set(range(490, 500))
+
+
+def test_md5_uniform_range_and_determinism(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.functions.sampling import md5_uniform
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    us = [r.u for r in df.select(md5_uniform("k").alias("u")).collect()]
+    assert all(0.0 < u <= 1.0 for u in us)
+    # roughly uniform: mean near 0.5
+    assert 0.45 < sum(us) / len(us) < 0.55

@@ -113,3 +113,47 @@ def sample_n_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def md5_uniform(key: Column | str) -> Column:
+    """Deterministic uniform in (0, 1]: the first 12 md5 hex chars of
+    the stringified key as an integer, shifted to avoid exactly 0 (so
+    ``ln`` downstream is always finite). 48 bits of hash → double is
+    exact (< 2^53); any engine reproduces it bit-for-bit
+    (DuckDB: ``(CAST('0x' || substr(md5(k),1,12) AS BIGINT) + 1) /
+    281474976710657.0``)."""
+    h = F.conv(
+        F.substring(F.md5(_c(key).cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    return (h + F.lit(1.0)) / F.lit(float(16**12 + 1))
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    n: int,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``n`` rows, deterministic
+    in the key alone — Efraimidis–Spirakis A-ES: each row draws a
+    reproducible uniform u from its key and ranks by u^(1/w); the top n
+    by that key are an exact weighted sample. Rows with weight ≤ 0 are
+    excluded (they have zero inclusion probability in the limit).
+
+    The selector is ``round(ln(u)/w, 9)`` descending (monotone in
+    u^(1/w); rounding absorbs last-ulp libm differences across engines,
+    with ties broken by the key) — the whole construction replays in
+    ANSI SQL, so a DuckDB oracle gates the exact row set (q85).
+
+    Scale: a per-row map expression + global top-n (TakeOrderedAndProject
+    — per-partition heaps, no global sort, no shuffle of non-winners).
+    The standard curation move for "sample 1M docs ∝ token count"."""
+    w = _c(weight).cast("double")
+    skey = F.round(F.log(md5_uniform(key)) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("_sk", skey)
+        .orderBy(F.col("_sk").desc(), F.col(key))
+        .limit(n)
+        .drop("_sk")
+    )

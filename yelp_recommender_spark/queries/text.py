@@ -498,3 +498,39 @@ def q28_cdc_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_shared_chunks"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q85_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               ROUND(
+                   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                            AS BIGINT) + 1) / 281474976710657.0)
+                   / CAST(length(text) AS DOUBLE), 9) AS sk
+        FROM documents WHERE length(text) > 0
+    ) ORDER BY sk DESC, doc_id LIMIT 50
+    """,
+)
+def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, deterministic in the key
+    alone (Efraimidis–Spirakis A-ES): 50 documents drawn ∝ character
+    count via a reproducible md5-derived uniform and the ln(u)/w
+    selector — "sample docs proportional to length" with the EXACT row
+    set gated by the oracle (``df.sample`` can neither weight per-row
+    nor reproduce across partitionings).
+
+    Scale: per-row map expression + global top-n (TakeOrderedAndProject:
+    per-partition heaps, no global sort); the selector rounds to 9
+    digits so last-ulp libm differences can never flip the boundary —
+    ties then break on the key identically in both engines."""
+    from yelp_recommender_spark.functions.sampling import weighted_sample_n
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    keyed = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    )
+    return weighted_sample_n(keyed, "doc_id", "n_chars", 50)
