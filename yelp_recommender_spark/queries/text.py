@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from yelp_recommender_spark.functions.text import tokens_col
 from yelp_recommender_spark.operators.tfidf import document_frequency, tfidf
+from yelp_recommender_spark.functions.exact_agg import dsum, dsum_expr
 from yelp_recommender_spark.operators.topk import top_k_global
 from yelp_recommender_spark.queries.registry import query
 from yelp_recommender_spark.sources.tables import load_tables
@@ -534,3 +535,98 @@ def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
     )
     return weighted_sample_n(keyed, "doc_id", "n_chars", 50)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q86_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    bg2 AS (SELECT doc_id, bigram,
+                   split_part(bigram, ' ', 1) AS w1 FROM bg),
+    bgc AS (SELECT bigram, COUNT(*) AS c12 FROM bg2 GROUP BY bigram),
+    ugc AS (SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+        SELECT b.doc_id,
+               log2((c12 + 0.5) / (c1 + 0.5 * v)) AS logp
+        FROM bg2 b
+        JOIN bgc USING (bigram) JOIN ugc USING (w1) CROSS JOIN vocab
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-{dsum_expr('logp')} / COUNT(*), 6) AS bits_per_token
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, bits_per_token
+    FROM agg ORDER BY bits_per_token DESC, doc_id LIMIT 20
+    """,
+)
+def q86_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the model-based
+    quality signal beyond q24's surface heuristics: train add-k-smoothed
+    bigram statistics on the corpus itself (one aggregation pass), then
+    score every document's bits-per-token under that model. The 20
+    most-surprising documents (highest bits/token) surface boilerplate,
+    gibberish, and off-distribution text — the perplexity-filter stage
+    of a training-data pipeline, here fully relational and oracle-gated
+    (KenLM-style scoring reduced to joins + log2).
+
+    P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1) + 0.5·V); bits/token =
+    −mean log2 P over the doc's bigrams (exact decimal sum, so the
+    ranking is partition-order-independent).
+
+    Scale: two hash aggregations (bigram counts, left-context counts)
+    + hash joins back on uniform token keys; the vocabulary size is a
+    1-row cross join. No driver state, no UDFs — the LM "model" is
+    itself a DataFrame, persistable and reusable for incremental
+    scoring."""
+    d = _docs_tokens(spark, sf_dir)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bg = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(ugc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log2(
+                (F.col("c12") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-dsum("logp") / F.count(F.lit(1)), 6).alias(
+            "bits_per_token"
+        ),
+    )
+    return (
+        agg.orderBy(F.col("bits_per_token").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_bigrams", "bits_per_token")
+    )
