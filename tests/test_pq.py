@@ -148,3 +148,38 @@ def test_pq_reconstruction_error_bounds_score_bias(neardup_df):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(exact[key] - r.cos_pq) <= err[r.neighbor_id] + 1e-5
+
+
+def test_ivfpq_topk_finds_planted_neighbors(neardup_df):
+    """The fully composed no-broadcast path: IVF routing × PQ codes.
+    On the planted-cluster fixture, same-base siblings sit at
+    cos ≈ 0.9999 and cluster naturally, so routing keeps them together
+    and quantized scores still rank them first."""
+    from yelp_recommender_spark.operators.pq import ivfpq_topk
+
+    got = ivfpq_topk(
+        neardup_df, neardup_df, k=2,
+        n_centroids=8, n_probe=4, m=8, ksub=32,
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == N_BASE * COPIES  # every query answered
+    hit = sum(
+        1 for r in got if r.neighbor_id // COPIES == r.query_id // COPIES
+    )
+    assert hit / len(got) >= 0.9, hit / len(got)
+    # ranks well-formed and deterministic ties
+    assert all(sorted(x.rank for x in v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+
+
+def test_ivfpq_empty_index_guard(neardup_df, spark):  # noqa: F811
+    from yelp_recommender_spark.operators.pq import ivfpq_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = ivfpq_topk(neardup_df, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos_pq", "rank",
+    ]

@@ -13,9 +13,9 @@ Completes the engine's similarity-search ladder
    (64-dim float64 = 512 B → 8 B at m=8), raising the broadcast-index
    ceiling ~64× (≈300M vectors in the same executor budget) at the cost
    of approximate scores. At genuine 100-TB scale PQ composes with IVF
-   (route by coarse centroid, score residuals by code — IVF-PQ): the
-   pieces are independent here and compose through the same
-   (id, codes) contract.
+   (route by coarse centroid, score codes by ADC — IVF-PQ):
+   :func:`ivfpq_topk` is that composition, with no broadcast of the
+   index in any form.
 
 Semantics (cosine metric, matching the rest of the ANN family):
 
@@ -55,6 +55,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_reconstruct_error",
+    "ivfpq_topk",
 ]
 
 
@@ -344,3 +345,147 @@ def pq_reconstruct_error(
             )
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_n: int = 65_536,
+) -> DataFrame:
+    """IVF-PQ: the fully composed 100-TB ANN path — IVF routing bounds
+    WHICH index rows each query touches (n_probe/n_centroids of the
+    corpus), PQ codes bound HOW MUCH data those rows move (m·4 bytes
+    through the shuffle/join instead of dim·8). No broadcast of the
+    index in any form, no driver state beyond the (n_centroids × dim)
+    routing table and the (m, ksub, dsub) codebooks — both a few
+    hundred KB regardless of corpus size.
+
+    Output matches :func:`pq_topk`: (query_id, neighbor_id, cos_pq,
+    rank) — cos_pq is the ADC estimate; self-matches excluded; ties on
+    neighbor_id. Recall compounds the two approximations (routing loss
+    × quantization loss) — q45 is that dial; tune n_probe and m
+    independently against it.
+
+    Plan shape: index shuffles ONCE on centroid_id (persistable across
+    query batches); queries fan out n_probe ways and join on
+    centroid_id; scoring is one Arrow-batch einsum over the joined
+    (query-vector, codes) pairs."""
+    from yelp_recommender_spark.operators.ann import ivf_fit_assign
+    from yelp_recommender_spark.operators.topk import top_n_per_key
+
+    spark = queries.sparkSession
+    if not index.select(id_col).head(1):
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cos_pq double, rank int",
+        )
+    assigned, centers = ivf_fit_assign(
+        index, id_col, vec_col, n_centroids, seed, max_iter
+    )
+    # codebooks on the SAME normalized vectors the assignments hold, so
+    # encode/decode and routing share one geometry
+    books = train_codebooks(
+        assigned, id_col=id_col, vec_col="vec",
+        m=m, ksub=ksub, sample_n=sample_n, seed=seed,
+    )
+    coded = pq_encode(assigned, books, id_col, "vec").join(
+        assigned.select(id_col, "centroid_id"), id_col
+    )
+
+    n_probe = min(n_probe, centers.shape[0])
+    b_centers = spark.sparkContext.broadcast(centers)
+    b_books = spark.sparkContext.broadcast(books)
+    m_, ksub_, dsub = books.shape
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_centers.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qs = _normalize_rows(
+                np.array(list(pdf[vec_col]), dtype=np.float64)
+            )
+            sims = qs @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_probe),
+                    "qvec": [v for v in qs for _ in range(n_probe)],
+                    "centroid_id": top.ravel().astype(np.int32),
+                }
+            )
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probes, probe_schema
+    )
+    joined = (
+        probed.join(coded, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "qvec",
+            "codes",
+        )
+    )
+
+    score_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_pq", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books_ = b_books.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _pad_to_multiple(
+                np.array(list(pdf["qvec"]), dtype=np.float64), m_
+            ).reshape(len(pdf), m_, dsub)
+            codes = np.array(list(pdf["codes"]), dtype=np.intp)  # (B, m)
+            sel = books_[np.arange(m_)[None, :], codes]  # (B, m, dsub)
+            s = np.round(np.einsum("bmd,bmd->b", q, sel), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cos_pq": s,
+                }
+            )
+
+    cand = (
+        joined.mapInPandas(adc, score_schema)
+        # a vector can appear in several probed lists of one query
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_pq").alias("cos_pq"))
+    )
+    return top_n_per_key(
+        cand,
+        ["query_id"],
+        "cos_pq",
+        k,
+        tiebreak="neighbor_id",
+        rank_col="rank",
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "cos_pq", "rank")

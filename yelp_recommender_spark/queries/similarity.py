@@ -15,6 +15,8 @@ item factors, ``/root/reference/scripts/als_recommender.py:139-153``).
 - q44: PQ (product quantization) top-k vs exact — the memory-compressed
   tier: m one-byte codes per vector raise the broadcast-index ceiling
   ~64×; scored by ADC lookup tables (rows-only: seeded Lloyd codebooks)
+- q45: IVF-PQ top-k vs exact — the fully composed no-broadcast path
+  (IVF routing × PQ codes through the candidate join; rows-only)
 """
 
 from __future__ import annotations
@@ -249,5 +251,47 @@ def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 "mean_abs_score_err", F.lit(0.0)
             ).alias("mean_abs_score_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query("q45_ann_ivfpq_recall")  # rows-only: iterative KMeans + seeded Lloyd
+def q45_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k scored against the exact brute-force top-k — the
+    fully composed no-broadcast ANN path: IVF routing bounds WHICH rows
+    each query scores (n_probe/n_centroids of the corpus), PQ codes
+    bound HOW MUCH data moves through the candidate join (m·4 B per row
+    instead of dim·8). Output: one row (n_exact, n_hit, recall_at_10).
+    Rows-only (iterative MLlib KMeans + seeded Lloyd codebooks); the
+    composed path's recall is pinned ≥ 0.9 on planted clusters in
+    tests/test_pq.py — here it compounds routing loss × quantization
+    loss on weakly-clustered synthetic data (expect ≈ the q43 routing
+    ceiling scaled by the q44 quantization factor).
+
+    Scale: index shuffles once on centroid_id; queries fan out n_probe
+    ways; scoring is an Arrow-batch einsum over joined (qvec, codes) —
+    no broadcast index, no driver state beyond two sub-MB tables."""
+    from yelp_recommender_spark.operators.pq import ivfpq_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(probes, emb, k=10).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(
+        probes, emb, k=10, n_centroids=16, n_probe=4, m=16, ksub=256
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hit") / F.col("n_exact")
+                ),
+                6,
+            ).alias("recall_at_10"),
         )
     )
