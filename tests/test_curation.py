@@ -290,3 +290,52 @@ def test_curate_empty_survivors(spark, tmp_path):  # noqa: F811
     assert report["n_after_quality"] == 0
     assert report["n_curated"] == 0
     assert report["n_training_blocks"] == 0
+
+
+def test_curate_lm_perplexity_filter(spark, tmp_path):  # noqa: F811
+    """The optional bigram-LM stage drops off-distribution documents: a
+    corpus of near-identical English sentences plus one gibberish doc —
+    the gibberish scores far more bits/token under the corpus LM."""
+    import os
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog number {i}",
+         "en", "srcA")
+        for i in range(30)
+    ]
+    rows.append((99, "zxqv kjh wqpo mnvb asdf zzkq pqwl xcvb rrtq yulp",
+                 "en", "srcA"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "lm_out")
+    # near_dup_threshold=0.99: the sentence variants sit at Jaccard ~0.8
+    # and must SURVIVE dedup here, so the LM trains on the full corpus
+    # (a 2-doc survivor set has no "normal" to learn)
+    report = curate_corpus(
+        spark, src, out, seq_len=64,
+        near_dup_threshold=0.99, max_bits_per_token=3.0,
+    )
+    assert report["n_lm_filtered"] >= 1
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "documents")).collect()
+    }
+    assert 99 not in kept
+    assert len(kept) >= 25  # the ordinary sentences survive
+
+    # disabled by default: same corpus keeps the gibberish doc
+    out2 = str(tmp_path / "nolm_out")
+    report2 = curate_corpus(
+        spark, src, out2, seq_len=64, near_dup_threshold=0.99
+    )
+    assert report2["n_lm_filtered"] == 0
+    kept2 = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out2, "documents")).collect()
+    }
+    assert 99 in kept2

@@ -377,6 +377,12 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--max-top-token-frac", type=float, default=0.9)
     cu.add_argument("--max-dup-bigram-frac", type=float, default=0.9)
     cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument(
+        "--max-bits-per-token",
+        type=float,
+        default=None,
+        help="drop docs scoring above this under the corpus bigram LM",
+    )
     cu.add_argument("--benchmark-source", default=None)
     cu.add_argument("--mixture-alpha", type=float, default=0.5)
     args = ap.parse_args(argv)
@@ -400,6 +406,7 @@ def main(argv: list[str] | None = None) -> None:
             max_top_token_frac=args.max_top_token_frac,
             max_dup_bigram_frac=args.max_dup_bigram_frac,
             near_dup_threshold=args.near_dup_threshold,
+            max_bits_per_token=args.max_bits_per_token,
             benchmark_source=args.benchmark_source,
             mixture_alpha=args.mixture_alpha,
         )

@@ -3,7 +3,8 @@ run actually executes, wiring the catalog's curation operators in their
 production order:
 
     quality filter → exact dedup → MinHash near-dedup → (optional)
-    benchmark decontamination → mixture weighting → sequence packing
+    bigram-LM perplexity filter → (optional) benchmark decontamination
+    → mixture weighting → sequence packing
 
 Each stage is the same operator the per-query catalog gates individually
 (q73/q30-q32/q78/q76/q75), so correctness is inherited; this module owns
@@ -42,6 +43,7 @@ from yelp_recommender_spark.cache import (
     registry_mark,
 )
 from yelp_recommender_spark.functions.curation import (
+    bigram_lm_bits_per_token,
     distinct_ngrams,
     dup_bigram_fraction,
     mixture_weights,
@@ -66,6 +68,7 @@ def curate_corpus(
     max_top_token_frac: float = 0.9,
     max_dup_bigram_frac: float = 0.9,
     near_dup_threshold: float = 0.8,
+    max_bits_per_token: float | None = None,
     benchmark_source: str | None = None,
     decontam_gram_n: int = 5,
     mixture_alpha: float = 0.5,
@@ -143,6 +146,18 @@ def curate_corpus(
         "left_semi",
     )
 
+    # ---- optional perplexity filter (bigram LM trained on the deduped
+    # survivors themselves — the standard post-dedup placement: training
+    # on the raw corpus would let mass duplicates define "normal") -----
+    n_lm_filtered = 0
+    if max_bits_per_token is not None:
+        lm = bigram_lm_bits_per_token(deduped)
+        flagged = lm.filter(
+            F.col("bits_per_token") > max_bits_per_token
+        ).select("doc_id")
+        n_lm_filtered = flagged.count()
+        deduped = deduped.join(flagged, "doc_id", "left_anti")
+
     # ---- optional benchmark decontamination ----------------------------
     if benchmark_source is not None:
         grams = deduped.filter(F.size("toks") >= decontam_gram_n).select(
@@ -216,6 +231,7 @@ def curate_corpus(
         "n_input": n_input,
         "n_after_quality": int(n_quality),
         "n_after_exact_dedup": int(n_exact),
+        "n_lm_filtered": int(n_lm_filtered),
         "n_curated": int(n_curated),
         "n_training_blocks": int(n_blocks_row.m) + 1
         if n_blocks_row.m is not None

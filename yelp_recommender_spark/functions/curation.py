@@ -72,3 +72,55 @@ def mixture_weights(per_source: DataFrame, alpha: float) -> DataFrame:
     return per_source.withColumn("raw", raw).withColumn(
         "mix_weight", F.round(F.col("raw") / F.sum("raw").over(total), 6)
     ).drop("raw")
+
+
+def bigram_lm_bits_per_token(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """(doc, n_bigrams, bits_per_token): every document scored under an
+    add-0.5-smoothed bigram language model trained on the corpus ITSELF
+    in one aggregation pass — the model-based quality signal behind q86
+    and the curate pipeline's perplexity filter. High bits/token =
+    off-distribution text (boilerplate, gibberish). Documents with < 2
+    tokens have no bigrams and are absent from the result (callers
+    decide their fate).
+
+    The score is −mean log2 P(w2|w1) with P = (c12 + 0.5)/(c1 + 0.5·V);
+    the mean uses an exact decimal sum so rankings are partition-order
+    independent (oracle-reproducible — q86 gates this exact pipeline).
+
+    Scale: two hash aggregations over uniform token keys + hash joins
+    back; the trained LM is itself a DataFrame — persist the counts to
+    amortize over incremental scoring runs."""
+    from yelp_recommender_spark.functions.exact_agg import dsum
+
+    bg = (
+        docs.filter(F.size(toks_col) >= 2)
+        .select(doc_col, F.explode(bigram_array(toks_col)).alias("bigram"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(toks_col).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(ugc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            doc_col,
+            F.log2(
+                (F.col("c12") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-dsum("logp") / F.count(F.lit(1)), 6).alias(
+            "bits_per_token"
+        ),
+    )

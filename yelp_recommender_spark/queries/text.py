@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from yelp_recommender_spark.functions.text import tokens_col
 from yelp_recommender_spark.operators.tfidf import document_frequency, tfidf
-from yelp_recommender_spark.functions.exact_agg import dsum, dsum_expr
+from yelp_recommender_spark.functions.exact_agg import dsum_expr
 from yelp_recommender_spark.operators.topk import top_k_global
 from yelp_recommender_spark.queries.registry import query
 from yelp_recommender_spark.sources.tables import load_tables
@@ -589,42 +589,11 @@ def q86_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row cross join. No driver state, no UDFs — the LM "model" is
     itself a DataFrame, persistable and reusable for incremental
     scoring."""
-    d = _docs_tokens(spark, sf_dir)
-    n = F.size("toks")
-    bigrams = F.zip_with(
-        F.slice("toks", 1, n - 1),
-        F.slice("toks", 2, n - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
+    from yelp_recommender_spark.functions.curation import (
+        bigram_lm_bits_per_token,
     )
-    bg = (
-        d.filter(n >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
-    )
-    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (
-        d.select(F.explode("toks").alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
-    )
-    scored = (
-        bg.join(bgc, "bigram")
-        .join(ugc, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.log2(
-                (F.col("c12") + F.lit(0.5))
-                / (F.col("c1") + F.lit(0.5) * F.col("v"))
-            ).alias("logp"),
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(-dsum("logp") / F.count(F.lit(1)), 6).alias(
-            "bits_per_token"
-        ),
-    )
+
+    agg = bigram_lm_bits_per_token(_docs_tokens(spark, sf_dir))
     return (
         agg.orderBy(F.col("bits_per_token").desc(), "doc_id")
         .limit(20)
