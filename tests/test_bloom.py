@@ -115,3 +115,31 @@ def test_empty_small_side(keyed, spark):  # noqa: F811
     _, big = keyed
     empty = spark.createDataFrame([], "k long")
     assert bloom_semi_join(big, empty, "k", m_bits=64).count() == 0
+
+
+def test_probe_rejects_mismatched_parameters(keyed):
+    from yelp_recommender_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    small, big = keyed
+    bloom = bloom_build(small, "k", m_bits=1 << 14, n_hashes=3)
+    with pytest.raises(ValueError, match="false negatives"):
+        bloom_probe(big, "k", bloom, m_bits=1 << 20, n_hashes=5)
+
+
+def test_semi_join_unifies_key_dtypes(keyed, spark):  # noqa: F811
+    """An INT key side against a BIGINT fact side must still be exact:
+    xxhash64 hashes the two types differently, so without the cast every
+    inserted key would probe the wrong bit positions (false negatives)."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.bloom import bloom_semi_join
+
+    _, big = keyed
+    small_int = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    got = sorted(
+        r.k for r in bloom_semi_join(big, small_int, "k", m_bits=1 << 12).collect()
+    )
+    assert got == list(range(100))

@@ -152,9 +152,14 @@ def curate_corpus(
     n_lm_filtered = 0
     if max_bits_per_token is not None:
         lm = bigram_lm_bits_per_token(deduped)
-        flagged = lm.filter(
-            F.col("bits_per_token") > max_bits_per_token
-        ).select("doc_id")
+        # persisted boundary: the flagged set is consumed twice (stage
+        # count + anti-join) and its plan is the full LM aggregation —
+        # same one-pass rule as every other stage fork here
+        flagged = register_persist(
+            lm.filter(
+                F.col("bits_per_token") > max_bits_per_token
+            ).select("doc_id")
+        )
         n_lm_filtered = flagged.count()
         deduped = deduped.join(flagged, "doc_id", "left_anti")
 

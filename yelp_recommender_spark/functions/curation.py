@@ -90,6 +90,10 @@ def bigram_lm_bits_per_token(
     The score is −mean log2 P(w2|w1) with P = (c12 + 0.5)/(c1 + 0.5·V);
     the mean uses an exact decimal sum so rankings are partition-order
     independent (oracle-reproducible — q86 gates this exact pipeline).
+    "Per token" means per PREDICTED token — the n−1 bigram predictions
+    (a bigram model cannot score a document's first token), the
+    standard normalization for n-gram LM surprisal; thresholds tuned
+    against per-ALL-tokens conventions run ~n/(n−1) hot on short docs.
 
     Scale: two hash aggregations over uniform token keys + hash joins
     back; the trained LM is itself a DataFrame — persist the counts to

@@ -151,10 +151,17 @@ def cosine_topk(
                 take = min(k, cand_s.shape[0])
                 if take == 0:
                     continue
+                # tie-inclusive top-k: argpartition alone would keep an
+                # arbitrary subset of scores tied at the kth boundary
+                # (dependent on index collect order); widen to every
+                # candidate ≥ the kth score, then the (-cos, id) lexsort
+                # makes the cut id-deterministic — the same tie rule the
+                # q40 window oracle applies
                 part = np.argpartition(-cand_s, take - 1)[:take]
-                # sort by (-cos, id) for deterministic ranks
-                order = np.lexsort((cand_ids[part], -cand_s[part]))
-                sel = part[order]
+                kth = cand_s[part].min()
+                cidx = np.nonzero(cand_s >= kth)[0]
+                order = np.lexsort((cand_ids[cidx], -cand_s[cidx]))
+                sel = cidx[order[:take]]
                 out_q.extend([q_ids[row]] * take)
                 out_n.extend(cand_ids[sel])
                 out_c.extend(cand_s[sel])

@@ -83,8 +83,12 @@ def bloom_build(
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
 ) -> DataFrame:
-    """Build the bloom as a (chunk, bits) word table: chunk = bit
-    position div 64, bits = OR of the set masks. m_bits/64 rows max.
+    """Build the bloom as a (chunk, bits, m_bits, n_hashes) word table:
+    chunk = bit position div 64, bits = OR of the set masks. m_bits/64
+    rows max. The build parameters ride along as literal columns so a
+    persisted bloom can never be probed with mismatched parameters
+    silently (:func:`bloom_probe` validates them — a wrong m_bits or
+    n_hashes would produce false negatives, not an error).
 
     Scale: explode ×n_hashes, then ``bit_or`` hash-aggregation — the
     partial aggregation collapses each map task to ≤ m_bits/64 rows
@@ -105,6 +109,8 @@ def bloom_build(
         )
         .groupBy("chunk")
         .agg(F.bit_or("mask").alias("bits"))
+        .withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("n_hashes", F.lit(int(n_hashes)))
     )
 
 
@@ -123,7 +129,23 @@ def bloom_probe(
     + one codegen'd bit-test filter — map-side only, the probed table is
     never shuffled (tests assert the plan has no Exchange on the fact
     side). A bloom miss on ANY hash drops the row, so the left joins
-    feed a conjunction over ``n_hashes`` word columns."""
+    feed a conjunction over ``n_hashes`` word columns.
+
+    Raises ``ValueError`` when the bloom carries build parameters (any
+    table from :func:`bloom_build`) that disagree with the probe's —
+    mismatched parameters would silently drop true matches otherwise."""
+    if {"m_bits", "n_hashes"} <= set(bloom.columns):
+        # the word table is ≤ m_bits/64 rows — this head() is cheap
+        stamped = bloom.select("m_bits", "n_hashes").head(1)
+        if stamped and (
+            stamped[0][0] != m_bits or stamped[0][1] != n_hashes
+        ):
+            raise ValueError(
+                f"bloom was built with (m_bits={stamped[0][0]}, "
+                f"n_hashes={stamped[0][1]}) but probed with "
+                f"({m_bits}, {n_hashes}) — this would silently produce "
+                "false negatives"
+            )
     out = df
     for i, pos in enumerate(_positions(F.col(key_col), m_bits, n_hashes)):
         out = out.withColumn(f"_bp{i}", pos)
@@ -172,6 +194,11 @@ def bloom_semi_join(
     count (pass ``n_small_keys`` to skip the count scan when known —
     at 100 TB the caller usually knows it from catalog stats)."""
     small_key = small_key or big_key
+    # unify key types BEFORE hashing: xxhash64 hashes INT and BIGINT of
+    # the same numeric value differently, so a dtype mismatch between
+    # sides would silently drop true matches (false negatives) — the one
+    # thing this function promises never happens
+    big_key_type = big.schema[big_key].dataType
     if m_bits is None:
         n = n_small_keys
         if n is None:
@@ -183,7 +210,15 @@ def bloom_semi_join(
         if n is None:
             n = small.count()
         m_bits = bloom_m_for_fpp(int(n), target_fpp)
-    keys = small.select(F.col(small_key).alias(big_key)).distinct()
-    bloom = bloom_build(keys, big_key, m_bits, n_hashes)
+    keys = small.select(
+        F.col(small_key).cast(big_key_type).alias(big_key)
+    ).distinct()
+    # the word table is consumed n_hashes+1 times (parameter check +
+    # one broadcast per hash) — pin it via the session cache registry
+    # so the build aggregation runs once (released by clear_caches() at
+    # the pipeline boundary, the engine-wide hygiene convention)
+    from yelp_recommender_spark.cache import register_persist
+
+    bloom = register_persist(bloom_build(keys, big_key, m_bits, n_hashes))
     pruned = bloom_probe(big, big_key, bloom, m_bits, n_hashes)
     return pruned.join(keys, big_key, "left_semi")

@@ -280,9 +280,16 @@ def pq_topk(
                 take = min(k, cand_s.shape[0])
                 if take == 0:
                     continue
+                # tie-inclusive top-k: argpartition alone would keep an
+                # arbitrary subset of scores tied at the boundary (index
+                # collect order — not deterministic under repartition);
+                # widening to every candidate ≥ the kth score and
+                # lexsorting makes the cut id-deterministic
                 part = np.argpartition(-cand_s, take - 1)[:take]
-                order = np.lexsort((cand_ids[part], -cand_s[part]))
-                sel = part[order]
+                kth = cand_s[part].min()
+                cidx = np.nonzero(cand_s >= kth)[0]
+                order = np.lexsort((cand_ids[cidx], -cand_s[cidx]))
+                sel = cidx[order[:take]]
                 out_q.extend([q_ids[row]] * take)
                 out_n.extend(cand_ids[sel])
                 out_c.extend(cand_s[sel])
@@ -391,6 +398,14 @@ def ivfpq_topk(
     assigned, centers = ivf_fit_assign(
         index, id_col, vec_col, n_centroids, seed, max_iter
     )
+    # pinned via the session cache registry: three consumers follow
+    # (codebook sample collect, pq_encode scan, centroid_id join) and
+    # each would otherwise redo normalization + KMeans transform over
+    # the full index (released by clear_caches() at the pipeline
+    # boundary — the engine-wide hygiene convention)
+    from yelp_recommender_spark.cache import register_persist
+
+    assigned = register_persist(assigned)
     # codebooks on the SAME normalized vectors the assignments hold, so
     # encode/decode and routing share one geometry
     books = train_codebooks(

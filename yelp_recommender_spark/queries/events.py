@@ -420,7 +420,7 @@ from yelp_recommender_spark.operators.zorder import (  # noqa: E402
         FROM events
     )
     SELECT event_id, user_id, CAST(hour_idx AS BIGINT) AS hour_idx,
-           CAST({zvalue_sql(['user_id', 'hour_idx'], 10)} AS BIGINT) AS z
+           CAST({zvalue_sql(['user_id', 'hour_idx'], _Z_N_BITS)} AS BIGINT) AS z
     FROM keyed
     ORDER BY z, event_id
     LIMIT 100
