@@ -34,6 +34,21 @@ from yelp_recommender_spark.queries.registry import query
 from yelp_recommender_spark.sources.tables import load_tables
 
 
+
+
+def _exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact top-10 ground truth for the probe set — q40 returns
+    it and q43/q44/q45 each score an approximate path against it, so the
+    broadcast-matmul truth is computed ONCE per session via the cache
+    registry (same convention as the q20-q26 token table; released by
+    ``clear_caches()`` at the pipeline boundary)."""
+    from yelp_recommender_spark.cache import register_persist
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    return register_persist(cosine_topk(probes, emb, k=10))
+
+
 # --------------------------------------------------------------------------
 @query(
     "q40_knn_cosine_topk",
@@ -61,9 +76,7 @@ def q40_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through float64 matmul + argpartition — O(N) per query, no shuffle.
     Ranks break ties on neighbor id after 6-digit rounding, so the window
     oracle selects the identical neighbor set."""
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = emb.filter(F.col("vec_id") % 10 == 0)
-    return cosine_topk(probes, emb, k=10)
+    return _exact_topk10(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -180,7 +193,7 @@ def q43_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     state beyond the (n_centroids × dim) routing table."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     probes = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = cosine_topk(probes, emb, k=10).select("query_id", "neighbor_id")
+    exact = _exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ivf_topk(
         probes, emb, k=10, n_centroids=16, n_probe=4
     ).select("query_id", "neighbor_id")
@@ -222,7 +235,7 @@ def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     probes = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = cosine_topk(probes, emb, k=10).select(
+    exact = _exact_topk10(spark, sf_dir).select(
         "query_id", "neighbor_id", "cos"
     )
     approx = pq_topk(probes, emb, k=10, m=16, ksub=256).select(
@@ -276,7 +289,7 @@ def q45_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     probes = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = cosine_topk(probes, emb, k=10).select("query_id", "neighbor_id")
+    exact = _exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ivfpq_topk(
         probes, emb, k=10, n_centroids=16, n_probe=4, m=16, ksub=256
     ).select("query_id", "neighbor_id")
