@@ -91,3 +91,33 @@ def test_csv_round_trip(spark, tmp_path):  # noqa: F811
     )
     back = read_csv(spark, path, schema=schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+        "id long, day string, v double",
+    )
+    write_parquet(base, path, partition_by=["day"])
+
+    # re-materialize ONLY d2 with corrected values
+    fix = spark.createDataFrame([(9, "d2", 99.0)], "id long, day string, v double")
+    overwrite_partitions_dynamic(fix, path, ["day"])
+
+    back = spark.read.parquet(path)
+    got = {(r.id, r.day, r.v) for r in back.collect()}
+    assert got == {
+        (1, "d1", 10.0), (2, "d1", 20.0),  # untouched
+        (9, "d2", 99.0),                   # replaced, old d2 row gone
+        (4, "d3", 40.0),                   # untouched
+    }
+    # partition pruning works on the layout
+    assert back.filter(F.col("day") == "d1").count() == 2

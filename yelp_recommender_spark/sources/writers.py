@@ -70,3 +70,25 @@ def write_csv(
     driver pandas ``to_csv``."""
     out = df.coalesce(coalesce) if coalesce else df
     out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leave every other partition of the target untouched — the
+    incremental-load contract (daily re-materialization of one day's
+    partition without rewriting the table). Spark's default overwrite
+    mode ("static") would truncate the whole table first.
+
+    The mode is set as a writer OPTION, not a session conf, so
+    concurrent writers in the same session keep their own semantics.
+
+    Scale: file layout is per-partition-value directories; downstream
+    readers get partition pruning on ``partition_by`` for free."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
