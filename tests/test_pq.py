@@ -183,3 +183,25 @@ def test_ivfpq_empty_index_guard(neardup_df, spark):  # noqa: F811
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "cos_pq", "rank",
     ]
+
+
+def test_codebook_parquet_round_trip(neardup_df, spark, tmp_path):  # noqa: F811
+    import numpy as np
+
+    from yelp_recommender_spark.operators.pq import (
+        codebooks_from_df,
+        codebooks_to_df,
+        pq_encode,
+        train_codebooks,
+    )
+
+    books = train_codebooks(neardup_df, m=8, ksub=16)
+    path = str(tmp_path / "codebooks")
+    codebooks_to_df(spark, books).write.parquet(path)
+    back = codebooks_from_df(spark.read.parquet(path))
+    assert back.shape == books.shape
+    assert np.array_equal(back, books)  # bit-exact round trip
+    # and encoding under the reloaded books is identical
+    a = {r.vec_id: tuple(r.codes) for r in pq_encode(neardup_df, books).collect()}
+    b = {r.vec_id: tuple(r.codes) for r in pq_encode(neardup_df, back).collect()}
+    assert a == b

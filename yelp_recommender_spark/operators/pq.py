@@ -56,6 +56,8 @@ __all__ = [
     "pq_topk",
     "pq_reconstruct_error",
     "ivfpq_topk",
+    "codebooks_to_df",
+    "codebooks_from_df",
 ]
 
 
@@ -504,3 +506,41 @@ def ivfpq_topk(
         rank_col="rank",
         keep_rank=True,
     ).select("query_id", "neighbor_id", "cos_pq", "rank")
+
+
+def codebooks_to_df(spark, codebooks: np.ndarray) -> DataFrame:
+    """The (m, ksub, dsub) codebooks as a relational table
+    (subspace, code, center) — persist with ``.write.parquet`` like
+    every other model artifact (Parquet tables are the engine's model
+    format, ``models/persistence.py``)."""
+    m, ksub, dsub = codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, center array<double>"
+    )
+
+
+def codebooks_from_df(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`codebooks_to_df` (row order irrelevant —
+    positions come from the subspace/code columns). Raises on a ragged
+    or empty table."""
+    rows = df.select("subspace", "code", "center").collect()
+    if not rows:
+        raise ValueError("codebooks_from_df: empty table")
+    m = max(r[0] for r in rows) + 1
+    ksub = max(r[1] for r in rows) + 1
+    dsub = len(rows[0][2])
+    if len(rows) != m * ksub:
+        raise ValueError(
+            f"codebooks_from_df: expected {m * ksub} rows, got {len(rows)}"
+        )
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j, c, center in rows:
+        if len(center) != dsub:
+            raise ValueError("codebooks_from_df: ragged center arrays")
+        books[j, c] = center
+    return books
