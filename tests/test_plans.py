@@ -95,3 +95,34 @@ def test_q31_blocking_join_shape(spark):  # noqa: F811
     plan = _plan(QUERIES["q31_ngram_jaccard_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q83_zorder_plan_is_map_only_plus_topn(spark):  # noqa: F811
+    """The Morton code is pure codegen'd column algebra and the first-
+    100 cut is a TakeOrderedAndProject (per-partition heaps merged on
+    the driver) — the plan must contain NO shuffle exchange at all."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q83_zorder_events"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_q85_weighted_sample_plan_is_map_only_plus_topn(spark):  # noqa: F811
+    """A-ES weighted sampling = per-row selector expression + global
+    top-n; like q83 it must plan without any shuffle exchange."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q85_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_q84_bloom_probe_joins_broadcast(spark):  # noqa: F811
+    """Every word-table lookup in the bloom pre-filter must be a
+    broadcast hash join (the fact side is pruned map-side before the
+    exact semi-join)."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q84_bloom_semijoin"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 5  # n_hashes lookups

@@ -133,7 +133,12 @@ def bloom_probe(
 
     Raises ``ValueError`` when the bloom carries build parameters (any
     table from :func:`bloom_build`) that disagree with the probe's —
-    mismatched parameters would silently drop true matches otherwise."""
+    mismatched parameters would silently drop true matches otherwise.
+
+    The probed key column must have the SAME data type the bloom was
+    built from: ``xxhash64`` hashes e.g. INT and BIGINT of equal numeric
+    value differently, so a dtype mismatch is a silent false-negative
+    source (:func:`bloom_semi_join` casts the build side for you)."""
     if {"m_bits", "n_hashes"} <= set(bloom.columns):
         # the word table is ≤ m_bits/64 rows — this head() is cheap
         stamped = bloom.select("m_bits", "n_hashes").head(1)
