@@ -599,3 +599,52 @@ def q86_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_bigrams", "bits_per_token")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q87_hashed_doc_vectors",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfr AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    w AS (
+        SELECT tf.doc_id,
+               CAST('0x' || substr(md5(tf.token), 1, 4) AS BIGINT) % 64
+                   AS dim,
+               (1 - 2 * (CAST('0x' || substr(md5(tf.token), 5, 1)
+                              AS BIGINT) % 2))
+                   * tf.tf * log2(CAST(n_docs AS DOUBLE) / dfr.df) AS wgt
+        FROM tf JOIN dfr USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(dim AS INT) AS dim,
+           ROUND({dsum_expr('wgt')}, 6) AS weight
+    FROM w GROUP BY doc_id, dim
+    """,
+)
+def q87_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors in long form —
+    the bridge from text to the similarity surface: every document
+    becomes a fixed 64-dim signed-hash TF-IDF vector with NO vocabulary
+    dictionary anywhere (the reference kept its vocabulary as a driver
+    dict, ``content_based_model.py:402``). The md5 hash family is the
+    engine's portable convention, so the oracle reproduces the EXACT
+    weights (signed sums via exact decimals) — murmur3-based HashingTF
+    could never be gated this way.
+
+    Scale: two hash aggregations + one vocabulary-sized broadcast join;
+    unbounded vocabulary, bounded output (n_docs × ≤ n_dims rows).
+    ``assemble_embeddings`` densifies the long form for the ANN ladder
+    (tests feed these vectors through cosine near-dup end-to-end)."""
+    from yelp_recommender_spark.operators.vectorizer import (
+        hashed_tfidf_long,
+    )
+
+    d = _docs_tokens(spark, sf_dir)
+    tokens_long = d.select("doc_id", F.explode("toks").alias("token"))
+    n_docs = d.agg(F.count(F.lit(1)))
+    return hashed_tfidf_long(tokens_long, n_dims=64, n_docs=n_docs)
