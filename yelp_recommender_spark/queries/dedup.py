@@ -445,3 +445,93 @@ def q70_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(
         batch, corpus, n_hashes=16, bands=8, threshold=0.8
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q88_hashed_vector_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfr AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    w AS (
+        SELECT tf.doc_id,
+               CAST('0x' || substr(md5(tf.token), 1, 4) AS BIGINT) % 64
+                   AS dim,
+               (1 - 2 * (CAST('0x' || substr(md5(tf.token), 5, 1)
+                              AS BIGINT) % 2))
+                   * tf.tf * log2(CAST(n_docs AS DOUBLE) / dfr.df) AS wgt
+        FROM tf JOIN dfr USING (token) CROSS JOIN n
+    ),
+    vec AS (
+        SELECT doc_id, dim, CAST(SUM(wgt) AS DOUBLE) AS weight
+        FROM w GROUP BY doc_id, dim
+    ),
+    norm AS (
+        SELECT doc_id, sqrt(SUM(weight * weight)) AS nrm FROM vec
+        GROUP BY doc_id
+    ),
+    dot AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               SUM(a.weight * b.weight) AS d
+        FROM vec a JOIN vec b
+          ON a.dim = b.dim AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+    FROM dot
+    JOIN norm na ON na.doc_id = id1
+    JOIN norm nb ON nb.doc_id = id2
+    WHERE na.nrm > 0 AND nb.nrm > 0
+      AND ROUND(d / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def q88_hashed_vector_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-duplicate pairs through the feature-hashing bridge:
+    documents → signed-hash TF-IDF vectors (q87's long form, densified)
+    → exact cosine pairs at 0.5 — semantic-ish near-dup detection with
+    no trained model and no vocabulary state, end to end.
+
+    The oracle replays the ENTIRE chain in SQL — including the dense
+    cosine as a sparse dim-join dot product — so this gates the ANN
+    broadcast-matmul kernel itself against a pure-SQL twin on real text
+    vectors (the q34 gate runs it only on the synthetic embeddings
+    table). The engine rounds the UNWEIGHTED long-form weights at 6
+    digits first (q87's contract); here weights stay raw so the cosine
+    matches the float64 matmul bit-for-bit at 6-digit rounding.
+
+    Scale: vectorization is hash-agg algebra; the pair scan is the
+    broadcast-index Arrow matmul — swap in ``cosine_pairs_above_auto``
+    beyond the broadcast ceiling (same contract, planner-routed)."""
+    from yelp_recommender_spark.operators.ann import cosine_pairs_above
+    from yelp_recommender_spark.operators.tfidf import tfidf
+    from yelp_recommender_spark.operators.vectorizer import (
+        assemble_embeddings,
+        hashed_dim,
+        hashed_sign,
+    )
+    from yelp_recommender_spark.queries.text import _docs_tokens
+
+    d = _docs_tokens(spark, sf_dir)
+    tokens_long = d.select("doc_id", F.explode("toks").alias("token"))
+    scored = tfidf(
+        tokens_long, n_docs=d.agg(F.count(F.lit(1)))
+    )
+    long_form = (
+        scored.select(
+            "doc_id",
+            hashed_dim("token", 64).alias("dim"),
+            (hashed_sign("token") * F.col("tfidf")).alias("_w"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("_w").alias("weight"))
+    )
+    vecs = assemble_embeddings(long_form, n_dims=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return cosine_pairs_above(vecs, threshold=0.5).orderBy("id1", "id2")
