@@ -308,3 +308,46 @@ def test_distinct_types_stream_batch_parity(spark):  # noqa: F811
         .collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_stream_batch_parity(spark, tmp_path):  # noqa: F811
+    """foreachBatch streaming dedup emits exactly the docs the batch
+    operator would keep: novel(stream) == batch \\ rejected(batch op),
+    for the same corpus index. A single-file backlog = one micro-batch,
+    so within-batch keep-first semantics match the batch run exactly."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from yelp_recommender_spark.queries.dedup import _doc_shingles
+    from yelp_recommender_spark.streaming.ops import (
+        incremental_dedup_stream,
+        read_docs_stream,
+    )
+
+    sh = _doc_shingles(spark, SF_DIR)
+    corpus = sh.filter(F.col("doc_id") % 10 < 8)
+    batch_sh = sh.filter(F.col("doc_id") % 10 >= 8)
+
+    out = str(tmp_path / "novel")
+    incremental_dedup_stream(
+        read_docs_stream(spark, SF_DIR).filter(F.col("doc_id") % 10 >= 8),
+        corpus,
+        out,
+    )
+    got_novel = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    rejected = {
+        r.doc_id
+        for r in incremental_minhash_dedup(
+            batch_sh, corpus, n_hashes=16, bands=8, threshold=0.8, fast=True
+        ).collect()
+    }
+    all_stream = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 10 >= 8)
+        .collect()
+    }
+    assert got_novel == all_stream - rejected

@@ -281,3 +281,53 @@ def q60_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("mean_feature"),
     )
+
+
+@query("q89_streaming_incremental_dedup")  # rows-only: foreachBatch pipeline
+def q89_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest dedup run as an actual Structured Streaming
+    query: the held-out documents (doc_id % 10 ≥ 8) arrive as a file
+    stream and each micro-batch is MinHash-matched against the static
+    corpus index (doc_id % 10 < 8) in a foreachBatch sink; only novel
+    docs are appended to the output. Output: one row
+    (n_stream, n_novel, n_rejected) — rows-only (the per-batch pipeline
+    is the q70 operator, whose values the q70 oracle and
+    tests/test_streaming.py's parity test pin).
+
+    Scale: the corpus index is the persisted shingle/signature table
+    (computed once, reused across cycles); per micro-batch the join is
+    batch × indexed band keys — never corpus × corpus, no broadcast of
+    the corpus."""
+    import os
+    import tempfile
+    import uuid
+
+    from yelp_recommender_spark.queries.dedup import _doc_shingles
+    from yelp_recommender_spark.streaming.ops import (
+        incremental_dedup_stream,
+        read_docs_stream,
+    )
+
+    corpus = _doc_shingles(spark, sf_dir).filter(F.col("doc_id") % 10 < 8)
+    stream = read_docs_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"q89_novel_{uuid.uuid4().hex[:8]}"
+    )
+    incremental_dedup_stream(stream, corpus, out_path)
+    novel = spark.read.parquet(out_path)
+    n_stream_df = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("doc_id") % 10 >= 8)
+    return (
+        n_stream_df.agg(F.count(F.lit(1)).alias("n_stream"))
+        .crossJoin(novel.agg(F.count(F.lit(1)).alias("n_novel")))
+        .select(
+            "n_stream",
+            "n_novel",
+            (F.col("n_stream") - F.col("n_novel")).alias("n_rejected"),
+        )
+    )

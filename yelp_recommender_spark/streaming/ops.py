@@ -483,3 +483,104 @@ def run_to_memory(
     # weight (each run creates a fresh one — they'd accumulate forever)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    corpus_shingled: DataFrame,
+    out_path: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
+) -> None:
+    """Streaming ingest dedup — the production shape of
+    ``incremental_minhash_dedup``: each micro-batch of incoming
+    documents is MinHash-matched against the static corpus index via a
+    foreachBatch sink, and only the NOVEL documents are appended to
+    ``out_path`` (parquet). foreachBatch is the standard pattern here
+    because the per-batch logic is a batch join pipeline (band join +
+    Jaccard verify + anti-join) that append-mode streaming aggregation
+    cannot express; exactly-once comes from availableNow + checkpoint +
+    idempotent-per-batch appends.
+
+    Semantics note: the dedup partner set per batch doc is the CORPUS
+    plus smaller-id docs of the SAME micro-batch (the operator's
+    keep-first rule); novel docs of earlier micro-batches are not added
+    to the index mid-stream — a production loop appends each cycle's
+    surviving signatures to the corpus index between cycles, exactly as
+    the operator docstring describes.
+
+    Scale: corpus band keys are computed from the persisted shingle
+    table (an ingest pipeline stores the signature index instead —
+    map-only either way); per batch the join cost is batch × indexed
+    keys, never corpus × corpus."""
+    from yelp_recommender_spark.functions.text import tokens_col
+    from yelp_recommender_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        token_shingles,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        sh = (
+            batch_df.withColumn("toks", tokens_col("text"))
+            .filter(F.size("toks") >= shingle_k)
+            .withColumn("shingles", token_shingles("toks", k=shingle_k))
+        )
+        dups = incremental_minhash_dedup(
+            sh,
+            corpus_shingled,
+            n_hashes=n_hashes,
+            bands=bands,
+            threshold=threshold,
+            fast=True,
+        ).select("doc_id")
+        novel = batch_df.join(dups, "doc_id", "left_anti")
+        novel.write.mode("append").parquet(out_path)
+
+    name = f"incdedup_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is None:
+        state_partitions = min(spark.sparkContext.defaultParallelism, 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            docs_stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same read-only
+    symlink staging as :func:`read_events_stream` — the file source
+    requires a directory)."""
+    from yelp_recommender_spark.schemas import TESTDATA_SCHEMAS
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        digest = hashlib.md5(src.encode()).hexdigest()[:8]
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), f"docs_stream_{digest}"
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
