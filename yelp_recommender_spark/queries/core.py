@@ -554,3 +554,159 @@ def q84_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         small_key="c_custkey",
         m_bits=1 << 14,
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q90_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 != 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice != n.o_totalprice
+    """,
+)
+def q90_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation between two snapshot versions: the "new"
+    snapshot derives deterministically from orders (every 11th key
+    deleted, every 5th repriced, every 13th re-added under a shifted
+    key) and the diff classifies added/removed/changed with old+new
+    values — the CDC-backfill / pipeline-regression check, and the
+    catalog's one FULL OUTER join.
+
+    Scale: one full-outer shuffle on the key; unchanged keys (the bulk)
+    are dropped row-locally, so output ∝ change volume."""
+    from yelp_recommender_spark.operators.diff import snapshot_diff
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q91_scd2_merge",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_mktsegment,
+               c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 4 = 1
+        UNION ALL
+        SELECT c_custkey + 100000, 'NEWSEG', 0.0
+        FROM customer WHERE c_custkey % 9 = 0
+    ),
+    changed AS (
+        SELECT d.*, u.c_mktsegment AS u_seg, u.c_acctbal AS u_bal,
+               (u.c_custkey IS NOT NULL
+                AND (d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+                     OR d.c_acctbal IS DISTINCT FROM u.c_acctbal)) AS chg
+        FROM dim d LEFT JOIN upd u USING (c_custkey)
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to
+    FROM changed WHERE NOT chg
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+           CAST(1000 AS BIGINT)
+    FROM changed WHERE chg
+    UNION ALL
+    SELECT c_custkey, u_seg, u_bal, CAST(1000 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM changed WHERE chg
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+           CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM upd u LEFT JOIN dim d USING (c_custkey)
+    WHERE d.c_custkey IS NULL
+    """,
+)
+def q91_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge: customers as a versioned dimension (all
+    rows current at t=0) receive a batch at t=1000 — every 4th key
+    repriced (+100 → close + reopen), every (4k+1)th key re-sent
+    unchanged (pass through untouched), and new NEWSEG keys open their
+    first row. Output: the complete next history snapshot, gated
+    value-for-value against a pure-SQL MERGE expansion.
+
+    Scale: the merge joins only CURRENT rows against the batch; closed
+    history passes through untouched — cost O(current + batch), not
+    O(history)."""
+    from yelp_recommender_spark.operators.scd import scd2_merge
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 4 == 1).select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 9 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_merge(
+        dim,
+        updates,
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+        batch_ts=1000,
+    )
