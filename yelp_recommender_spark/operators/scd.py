@@ -54,7 +54,13 @@ def scd2_merge(
     - current rows whose update differs: emitted CLOSED
       (``valid_to = batch_ts``) plus a new OPEN row with the update's
       attributes (``valid_from = batch_ts``);
-    - update keys absent from ``dim``: a first OPEN row."""
+    - update keys absent from ``dim``: a first OPEN row.
+
+    Edge: an update whose key exists in ``dim`` but has NO current row
+    (all rows closed — possible only if an upstream process closes rows
+    without reopening, e.g. logical deletes) is dropped: it is neither
+    brand-new nor joinable to a current row. Re-activation semantics
+    would need an explicit delete marker in the feed; out of scope here."""
     hist = dim.filter(F.col(valid_to).isNotNull())
     cur = dim.filter(F.col(valid_to).isNull())
 
