@@ -126,3 +126,28 @@ def test_q84_bloom_probe_joins_broadcast(spark):  # noqa: F811
 
     plan = _plan(QUERIES["q84_bloom_semijoin"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 5  # n_hashes lookups
+
+
+def test_q92_pivot_is_single_shuffle_no_distinct_scan(spark):  # noqa: F811
+    """The pivot declares its value domain, so the plan must be the
+    two-stage pivot aggregate — partial agg on (user,type), shuffle,
+    pivotfirst on user (2 exchanges, the second over pre-aggregated
+    rows) — with NO extra distinct subtree discovering pivot columns
+    (which would add a third exchange + an eager collect job)."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q92_event_type_pivot"](spark, SF_DIR))
+    assert plan.count("Exchange") == 2, plan
+    # pivot with explicit values compiles to pivot_first aggregates in
+    # the same hash-aggregate pair; no separate distinct-on-event_type
+    assert "pivotfirst" in plan.lower() or "pivot_first" in plan.lower(), plan
+
+
+def test_q93_unpivot_is_expand_no_extra_shuffle(spark):  # noqa: F811
+    """Unpivot must compile to a row-local Expand over the aggregated
+    input: one exchange (the groupBy), an Expand node, nothing else."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q93_lineitem_unpivot"](spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") == 1, plan

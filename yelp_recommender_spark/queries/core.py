@@ -710,3 +710,43 @@ def q91_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment", "c_acctbal"],
         batch_ts=1000,
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q93_lineitem_unpivot",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS amount FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS amount FROM w
+    """,
+)
+def q93_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-flag metric sums melted to
+    ``(l_returnflag, metric, amount)`` via ``DataFrame.unpivot`` — the
+    inverse of q92's pivot, and the normalization step that feeds
+    metric-keyed sinks (dashboards, long-form ML feature stores).
+
+    Scale: ``unpivot`` is a row-local generator (each input row emits
+    one row per value column — an ``expand`` node, no shuffle, no UDF);
+    the only shuffle is the upstream aggregation's. The wide input here
+    is already tiny (one row per flag), which is the realistic shape:
+    melt AFTER aggregating, never the raw fact table."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        "l_returnflag", ["sum_qty", "sum_price", "sum_disc"], "metric", "amount"
+    )

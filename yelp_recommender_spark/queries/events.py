@@ -450,3 +450,62 @@ def q83_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("z", "event_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q92_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error_n,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q92_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts by type plus purchase
+    value, via ``groupBy().pivot(values=...)`` — the feature-engineering
+    move that turns an event log into a per-entity feature row.
+
+    The pivot VALUES are passed explicitly: without them Spark runs an
+    eager distinct scan over the whole table just to discover column
+    names — at 100 TB that is a full extra job before planning even
+    finishes, and the output schema becomes data-dependent (a new enum
+    value silently widens every downstream consumer). With the domain
+    declared, the plan is the standard two-stage pivot: partial-agg on
+    (user, type), shuffle, then pivotfirst on user — the second exchange
+    moves only the ~|types| pre-aggregated rows per user, so the cost is
+    one real shuffle plus a trivial one. (When even that matters, the
+    same result is a single-shuffle manual conditional aggregation —
+    ``count(when(type==t, 1))`` per value — at the price of not using
+    the pivot operator.)
+
+    Absent (user, type) cells: count columns coalesce to 0 (matching the
+    oracle's ``COUNT(*) FILTER``, which yields 0 not NULL); the value sum
+    stays NULL (both engines agree SUM over no rows is NULL)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("val"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n")
+            for t in _EVENT_TYPES
+        ],
+        F.col("purchase_val").alias("purchase_value"),
+    )
