@@ -158,10 +158,17 @@ def simhash_bits(tokens_distinct: Column | str, bits: int = 16) -> Column:
     (bits ≤ 63 so the value stays a positive BIGINT; md5's 128 hash bits
     bound it well above any useful width).
 
-    Bit j of a token's md5 is extracted from the hex nibble (portable
-    integer arithmetic, identical in any engine with ``strpos``/``substr``).
-    Bit j of the SimHash is 1 iff strictly more than half the tokens have
-    bit j set (2·hits > n — deterministic tie-break: ties → 0).
+    Each token's md5 prefix is folded into ONE 63-bit integer
+    ``H = hex[1:8] + (hex[9:16] mod 2^31) · 2^32`` and bit j of the
+    token is ``(H >> j) & 1`` — integer shift/mask all the way, which
+    matters because array HOF lambdas run interpreted (not codegen'd):
+    the previous per-bit hex-nibble parse (substring+instr+divide per
+    token per bit) made this kernel ~3× slower. The construction is
+    portable: DuckDB replays ``H`` via ``('0x' || substr(md5(t),...))
+    ::BIGINT`` (see ``queries/dedup._duck_simhash_ctes``).
+
+    Bit j of the SimHash is 1 iff strictly more than half the tokens
+    have bit j set (2·hits > n — deterministic tie-break: ties → 0).
 
     md5 is computed once per token (hash array), then ``bits`` bit-counts
     reuse it. Per-row expression; no shuffle."""
@@ -170,24 +177,29 @@ def simhash_bits(tokens_distinct: Column | str, bits: int = 16) -> Column:
     toks = _c(tokens_distinct)
     n = F.size(toks)
 
-    def bit_of(h: Column, j: int) -> Column:
-        nibble = (
-            F.instr(
-                F.lit("0123456789abcdef"), F.substring(h, j // 4 + 1, 1)
-            )
-            - 1
-        )
-        return (nibble / (2 ** (3 - j % 4))).cast("int") % 2
+    def int_hash(t: Column) -> Column:
+        h = F.md5(t)
+        lo = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        hi = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % F.lit(
+            2**31
+        ).cast("bigint")
+        return lo + hi * F.lit(2**32).cast("bigint")
 
-    # Single-pass shape: md5 once per token → per-token bit vector →
+    # Single-pass shape: md5→int once per token → per-token bit vector →
     # elementwise-sum fold → weighted majority. Each stage references its
     # input exactly once and lambda bodies touch only lambda variables, so
     # nothing re-evaluates per bit (the naive per-bit ``filter(hashes, ...)``
     # formulation recomputes the md5 array ``bits`` times per row when the
     # interpreted HOF path inlines it — see :func:`token_shingles`).
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    hashes = F.transform(toks, int_hash)
     per_token_bits = F.transform(
-        hashes, lambda h: F.array(*[bit_of(h, j) for j in range(bits)])
+        hashes,
+        lambda H: F.array(
+            *[
+                F.shiftright(H, j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(bits)
+            ]
+        ),
     )
     counts = F.aggregate(
         per_token_bits,
@@ -461,14 +473,13 @@ def simhash_hamming_pairs(
     )
     return (
         a.join(b, (a.bk == b.bk) & (F.col("d1") < F.col("d2")))
-        .select("d1", "d2", "_s1", "_s2")
-        .distinct()  # (d1,d2) determines (_s1,_s2): plain pair dedup
         .withColumn(
             "hamming",
             F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).cast("bigint"),
         )
-        .filter(F.col("hamming") <= k)
+        .filter(F.col("hamming") <= k)  # verify BEFORE the pair-dedup
         .select("d1", "d2", "hamming")
+        .distinct()  # shuffles only survivors, not the candidate superset
     )
 
 

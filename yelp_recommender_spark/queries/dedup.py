@@ -226,16 +226,17 @@ def _duck_simhash_ctes(bits: int) -> str:
     ),
     sh AS (
         SELECT doc_id, len(dt) AS n,
-               list_transform(dt, t -> md5(t)) AS hs
+               list_transform(dt, t ->
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT
+                   + (('0x' || substr(md5(t), 9, 8))::BIGINT % 2147483648)
+                     * 4294967296) AS hs
         FROM sdt
     ),
     sh{bits} AS (
         SELECT doc_id,
                CAST(list_sum(list_transform(range(0, {bits}), j ->
                    CASE WHEN 2 * len(list_filter(hs, h ->
-                            ((strpos('0123456789abcdef',
-                                     substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
-                             // (8 >> CAST(j % 4 AS INT))) % 2 = 1)) > n
+                            ((h >> CAST(j AS INT)) & 1) = 1)) > n
                         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
                    AS BIGINT) AS simhash
         FROM sh

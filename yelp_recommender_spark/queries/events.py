@@ -509,3 +509,62 @@ def q92_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.col("purchase_val").alias("purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q94_sketch_percentiles",
+    oracle="""
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_value,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.9 AS DOUBLE),
+           ROUND(quantile_cont(value, 0.9), 6), TRUE
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.99 AS DOUBLE),
+           ROUND(quantile_cont(value, 0.99), 6), TRUE
+    FROM events GROUP BY event_type
+    """,
+)
+def q94_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketching accuracy gate — q80's exact-twin pattern
+    applied to percentiles: exact interpolated ``percentile`` next to
+    the Greenwald-Khanna sketch (``percentile_approx``, accuracy=100 ⇒
+    rank error ε ≤ 1%), with a boolean asserting each sketch value lands
+    inside the exact [p−2ε, p+2ε] percentile envelope (2ε: one ε is the
+    sketch's guarantee, the second absorbs the ±1-rank difference
+    between interpolated and element quantiles). The oracle pins the
+    exact values (Spark ``percentile`` and DuckDB ``quantile_cont`` are
+    both type-7 linear interpolation) and expects ``approx_ok = TRUE``.
+
+    Scale: GK sketches merge associatively with bounded state
+    (O(1/ε log εn) per group), so the exchange carries sketches — the
+    100-TB quantile plan. The exact twin sorts every group value and
+    exists only as the gate's ground truth."""
+    ps = [0.5, 0.9, 0.99]
+    eps = 1.0 / 100.0
+    lo = [max(0.0, p - 2 * eps) for p in ps]
+    hi = [min(1.0, p + 2 * eps) for p in ps]
+    arr = lambda xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", arr(ps)).alias("_ex"),
+        F.percentile("value", arr(lo)).alias("_lo"),
+        F.percentile("value", arr(hi)).alias("_hi"),
+        F.percentile_approx("value", arr(ps), F.lit(100)).alias("_ap"),
+    )
+    z = F.posexplode(F.arrays_zip("_ex", "_lo", "_hi", "_ap"))
+    rows = agg.select("event_type", z.alias("_i", "_q"))
+    p_of = F.element_at(arr(ps), F.col("_i") + 1)
+    ok = (F.col("_q._ap") >= F.col("_q._lo")) & (
+        F.col("_q._ap") <= F.col("_q._hi")
+    )
+    return rows.select(
+        "event_type",
+        p_of.alias("p"),
+        F.round(F.col("_q._ex"), 6).alias("exact_value"),
+        ok.alias("approx_ok"),
+    )
