@@ -17,5 +17,6 @@ from yelp_recommender_spark.queries import similarity  # noqa: E402,F401
 from yelp_recommender_spark.queries import recommender  # noqa: E402,F401
 from yelp_recommender_spark.queries import pipeline  # noqa: E402,F401
 from yelp_recommender_spark.queries import curation  # noqa: E402,F401
+from yelp_recommender_spark.queries import advanced  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,606 @@
+"""Advanced relational analytics — decorrelated subqueries, semi-join
+chains, range-frame windows, cohort/funnel analytics, CUBE, fuzzy string
+dedup, secondary sort, CDC snapshot apply, and a frequent-items sketch
+gate.
+
+These extend the catalog past the reference's operator families (the
+reference has no window frames, grouping sets, or merge semantics — its
+"queries" are fixed RDD pipelines, SURVEY.md §3) with the query shapes a
+warehouse user expects from an analytics engine. Every entry is
+oracle-checked against DuckDB; float determinism follows the registry
+policy (exact DECIMAL partials, IEEE-identical final arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.functions.eventtime import with_ts_us
+from yelp_recommender_spark.functions.exact_agg import davg, dsum
+from yelp_recommender_spark.queries.registry import query
+from yelp_recommender_spark.sources.tables import load_tables
+
+WEEK_US = 604_800_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q95_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS small_rev
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part ON p_partkey = l.l_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    GROUP BY p_brand
+    """,
+)
+def q95_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q17): revenue from
+    lineitems whose quantity is below 20% of their part's average — the
+    SQL form ``WHERE l_quantity < (SELECT 0.2*avg(l_quantity) ... WHERE
+    l2.l_partkey = p_partkey)`` hand-decorrelated into aggregate + join,
+    the exact rewrite Catalyst's ``DecorrelateInnerQuery`` performs.
+
+    Scale: the per-part aggregate and the fact-side join shuffle on the
+    SAME key (l_partkey), so AQE reuses one exchange for both; the part
+    dimension is broadcast. The 0.2*avg threshold is computed from an
+    exact decimal sum divided once in IEEE double — bit-identical to the
+    oracle, so the boundary comparison cannot diverge.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"]
+    pa = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice").alias("small_rev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q96_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(27,6))) AS qty
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (
+        SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(27,6))) AS total
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+        WHERE qty * 2 > total
+    )
+    """,
+)
+def q96_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-semi-join chain (TPC-H Q20 shape): suppliers that ship more
+    than half of some part's total volume. ``IN (subquery)`` becomes an
+    explicit LEFT SEMI join — no duplicate-row inflation, and Spark can
+    pick broadcast/shuffled-hash semi strategies under AQE.
+
+    Scale: both aggregates shuffle on keys that PREFIX-share l_partkey
+    ((l_suppkey,l_partkey) then l_partkey); the dominance filter runs on
+    aggregated rows (≤ |supplier×part| pairs, not lineitems). The
+    comparison is pure decimal — exact on both engines.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    li = t["lineitem"]
+    qdec = F.col("l_quantity").cast("decimal(27,6)")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qdec).alias("qty"))
+    pt = li.groupBy("l_partkey").agg(F.sum(qdec).alias("total"))
+    dominant = (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("total"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            dominant,
+            t["supplier"].s_suppkey == dominant.l_suppkey,
+            "leftsemi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q97_moving_revenue_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT l_returnflag,
+               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   AS day,
+               SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS rev_dec
+        FROM lineitem GROUP BY l_returnflag, day
+    )
+    SELECT l_returnflag, day,
+           CAST(rev_dec AS DOUBLE) AS rev_day,
+           CAST(SUM(rev_dec) OVER (
+               PARTITION BY l_returnflag ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM daily
+    """,
+)
+def q97_moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day moving revenue per return flag. The
+    frame is value-based (``rangeBetween(-6, 0)`` over epoch-day), so
+    missing days correctly shrink the window — a ROWS frame would be
+    wrong whenever dates are sparse.
+
+    Scale: aggregate first (one shuffle to per-flag-per-day rows — at
+    most ~thousands per year per flag), THEN window over the tiny
+    aggregate; the window reuses the aggregation's hash partitioning on
+    l_returnflag so no second exchange. The running sum stays DECIMAL
+    through the frame and casts to double once at output.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    daily = (
+        li.withColumn("day", F.expr("unix_date(cast(l_shipdate as date))"))
+        .groupBy("l_returnflag", "day")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("rev_dec"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "day",
+        F.col("rev_dec").cast("double").alias("rev_day"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q98_cohort_retention",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+    ),
+    c AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT cohort_week,
+           week - cohort_week AS week_offset,
+           COUNT(DISTINCT wk.user_id) AS n_users
+    FROM wk JOIN c USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-seen week, counted
+    distinct in each subsequent week offset — the standard activation/
+    retention triangle.
+
+    Scale: cohort assignment is a groupBy on user_id; the activity join
+    is ALSO keyed on user_id, so the cohort aggregate and the join reuse
+    one hash partitioning (no broadcast needed — the cohort table is as
+    large as the user dimension). The final aggregate shuffles tiny
+    (cohort_week, offset) pairs. Week arithmetic is integer epoch-µs —
+    engine- and timezone-neutral.
+    """
+    wk = _events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {WEEK_US}").alias("week")
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q99_funnel_conversion",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(ts) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+           COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase
+                      THEN 1 END) AS n_funnel
+    FROM f
+    """,
+)
+def q99_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase): per-user
+    first-touch times per stage via conditional MIN, then strict time
+    ordering decides stage completion. NULL comparison semantics (a
+    missing stage never satisfies ``<``) are identical on both engines.
+
+    Scale: one shuffle on user_id collapsing events to one row per user
+    (conditional aggregates are map-side combinable); the funnel count is
+    a second, single-row reduction. No event-sequence explosion, no UDF
+    — the classic "first-touch funnel as pivoted MIN" formulation.
+    """
+    ev = _events_us(spark, sf_dir)
+
+    def first_touch(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    f = ev.groupBy("user_id").agg(
+        first_touch("view").alias("t_view"),
+        first_touch("click").alias("t_click"),
+        first_touch("purchase").alias("t_purchase"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_funnel"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q100_cube_revenue",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END AS flag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END AS status,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q100_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^2 grouping sets in one pass) with
+    ``grouping()`` flags distinguishing rollup-NULLs from data NULLs —
+    the OLAP companion to q67's hierarchical ROLLUP.
+
+    Scale: Spark expands grouping sets BEFORE the exchange (each input
+    row emits one row per grouping set, then map-side partial aggregation
+    collapses them), so the shuffle still carries at most
+    Σ|grouping-set cardinalities| rows — for low-cardinality dimensions
+    this is the optimal single-pass plan, no N separate scans.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(disc_price).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "g_flag",
+            "g_status",
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q101_fuzzy_part_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a
+    JOIN names b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q101_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string dedup (edit distance ≤ 2) over the part-name
+    dictionary, blocked on the head noun — the entity-resolution pattern
+    for catalog/name tables: dedupe the DISTINCT value dictionary (tiny),
+    never the fact rows, then map survivors back by equi-join.
+
+    Scale: ``distinct`` collapses the corpus to the name dictionary
+    first; the self-join runs only within blocking buckets (equi-join on
+    the block key — hash join, never a cartesian), and ``levenshtein`` is
+    a JVM codegen'd builtin evaluated per candidate pair. Block-key
+    choice (last token) is the dictionary analog of q31's shingle
+    blocking.
+    """
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    names = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q102_event_sequences",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY rn) AS seq,
+           COUNT(*) AS seq_len
+    FROM o WHERE rn <= 20 GROUP BY user_id
+    """,
+)
+def q102_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort: each user's first 20 events as an ordered
+    event-type-initial string (the session-path / clickstream-sequence
+    feature for behavioral models). Order is (ts, event_id) — a total
+    order, so the string is deterministic on both engines.
+
+    Scale: row_number caps each user at 20 rows BEFORE any per-group
+    collection, so a pathological heavy user costs window-sort time but
+    never materializes an unbounded array; the groupBy reuses the
+    window's user_id partitioning (no second exchange). The ordered
+    concat is array_sort over (rn, initial) structs — JVM-side, no UDF.
+    """
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    capped = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 20
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("rn", F.substring("event_type", 1, 1).alias("c"))
+        )
+    )
+    return capped.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(ordered, lambda s: s["c"])
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("seq_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q103_cdc_apply",
+    oracle="""
+    WITH ch AS (
+        SELECT c_custkey, 'U' AS op, 1 AS seq, c_name, c_nationkey,
+               c_acctbal + 50.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'D', 2, CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+               CAST(NULL AS VARCHAR)
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 200000, 'U', 3, 'cdc-insert', 0, 1.0, 'CDCSEG'
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 'U', 4, c_name, c_nationkey, c_acctbal, 'UPDSEG'
+        FROM customer WHERE c_custkey % 5 = 2
+    ),
+    last AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY seq DESC
+        ) AS rn FROM ch
+    ),
+    l1 AS (SELECT * FROM last WHERE rn = 1),
+    j AS (
+        SELECT COALESCE(b.c_custkey, l1.c_custkey) AS c_custkey, l1.op,
+               CASE WHEN l1.op = 'U' THEN l1.c_name
+                    ELSE b.c_name END AS c_name,
+               CASE WHEN l1.op = 'U' THEN l1.c_nationkey
+                    ELSE b.c_nationkey END AS c_nationkey,
+               CASE WHEN l1.op = 'U' THEN l1.c_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal,
+               CASE WHEN l1.op = 'U' THEN l1.c_mktsegment
+                    ELSE b.c_mktsegment END AS c_mktsegment
+        FROM customer b FULL JOIN l1 ON b.c_custkey = l1.c_custkey
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM j WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def q103_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot apply (``MERGE INTO`` semantics without a merge-
+    capable table format): the customer dimension receives a 4-stage
+    change feed — repricing updates (seq 1), deletes (seq 2: keys
+    divisible by 15 get update-then-delete, ending deleted), brand-new
+    inserted keys (seq 3), and a segment rewrite (seq 4, latest-wins over
+    seq-1 updates for keys ≡ 0 mod 3 and ≡ 2 mod 5). Gated value-for-
+    value against a pure-SQL latest-wins + full-join expansion.
+
+    Scale: see :func:`yelp_recommender_spark.operators.merge.apply_cdc`
+    — O(|base| + |changes|), one window over the feed, one keyed join.
+    """
+    from yelp_recommender_spark.operators.merge import apply_cdc
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+    def stage(pred, seq: int, op: str, cols: list):
+        return cust.filter(pred).select(
+            cols[0],
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            *cols[1:],
+        )
+
+    k = F.col("c_custkey")
+    changes = (
+        stage(
+            k % 3 == 0,
+            1,
+            "U",
+            [
+                "c_custkey",
+                F.col("c_name"),
+                F.col("c_nationkey"),
+                (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+                F.col("c_mktsegment"),
+            ],
+        )
+        .unionByName(
+            stage(
+                k % 5 == 0,
+                2,
+                "D",
+                [
+                    "c_custkey",
+                    F.lit(None).cast("string").alias("c_name"),
+                    F.lit(None).cast("int").alias("c_nationkey"),
+                    F.lit(None).cast("double").alias("c_acctbal"),
+                    F.lit(None).cast("string").alias("c_mktsegment"),
+                ],
+            )
+        )
+        .unionByName(
+            stage(
+                k % 7 == 0,
+                3,
+                "U",
+                [
+                    (k + 200000).alias("c_custkey"),
+                    F.lit("cdc-insert").alias("c_name"),
+                    F.lit(0).alias("c_nationkey"),
+                    F.lit(1.0).alias("c_acctbal"),
+                    F.lit("CDCSEG").alias("c_mktsegment"),
+                ],
+            )
+        )
+        .unionByName(
+            stage(
+                k % 5 == 2,
+                4,
+                "U",
+                [
+                    "c_custkey",
+                    F.col("c_name"),
+                    F.col("c_nationkey"),
+                    F.col("c_acctbal"),
+                    F.lit("UPDSEG").alias("c_mktsegment"),
+                ],
+            )
+        )
+    )
+    base = cust.select("c_custkey", *payload)
+    return apply_cdc(base, changes, ["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q104_frequent_items_gate",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT event_type, n, TRUE AS sketch_found
+    FROM c, t WHERE n >= 0.1 * total
+    """,
+)
+def q104_frequent_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch gate (q80's pattern, for frequent items):
+    ``df.stat.freqItems`` — Spark's single-pass misra-gries-family
+    sketch — must return a SUPERSET of the truly frequent values (that is
+    its documented guarantee; false positives allowed, false negatives
+    not). The query emits every exactly-frequent value (count ≥ 10% of
+    rows) with ``sketch_found`` = membership in the sketch result; the
+    oracle pins the guarantee by emitting literal TRUE.
+
+    Scale: the sketch is one map-side pass with bounded state (≤ 1/
+    support candidates per partition) merged on the driver — the exact
+    count it gates against is the plain two-stage aggregate. Only the
+    ≤ 1/support candidate list is ever collected.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    support = 0.1
+    sketch_items = set(
+        ev.stat.freqItems(["event_type"], support).head()[0]
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total_w = Window.partitionBy()
+    return (
+        counts.withColumn("total", F.sum("n").over(total_w))
+        .filter(F.col("n") >= support * F.col("total"))
+        .select(
+            "event_type",
+            "n",
+            F.col("event_type")
+            .isin(list(sketch_items))
+            .alias("sketch_found"),
+        )
+    )
