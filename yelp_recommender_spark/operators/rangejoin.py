@@ -54,3 +54,55 @@ def range_join_points(
         & (F.col(pt_col) <= F.col(end_col))
     )
     return joined.drop("_bkt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair sharing
+    ``keys`` with ``l_start <= r_end AND r_start <= l_end`` (closed
+    intervals), emitted exactly once.
+
+    Unlike the point case, BOTH sides explode to their covered buckets,
+    so an overlapping pair meets in every bucket their spans share; the
+    pair is kept only in the bucket containing ``greatest(l_start,
+    r_start)`` — the first shared bucket, which every overlapping pair
+    has exactly one of. That makes emission exactly-once WITHOUT a
+    distinct/dedup shuffle over the (potentially huge) pair stream.
+
+    Scale: one hash equi-join on (keys, bucket); work is
+    Σ span/width per side plus true-pair post-filtering. Skewed buckets
+    (one hot time range) respond to AQE skew splitting since the join is
+    a plain equi-join.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(F.col(s) <= F.col(e)).withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket_width)),
+                    F.floor(F.col(e) / F.lit(bucket_width)),
+                )
+            ),
+        )
+
+    joined = burst(left, l_start, l_end).join(
+        burst(right, r_start, r_end), [*keys, "_bkt"]
+    )
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    first_shared = F.col("_bkt") == F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / F.lit(bucket_width)
+    )
+    return joined.filter(overlap & first_shared).drop("_bkt")

@@ -604,3 +604,140 @@ def q104_frequent_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sketch_found"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q105_incremental_agg",
+    oracle="""
+    WITH updated AS (
+        SELECT * FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1999-01-01'
+          AND NOT (l_returnflag = 'R'
+                   AND l_shipdate < TIMESTAMP '1996-01-01')
+        UNION ALL
+        SELECT * FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+    )
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+    FROM updated GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q105_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a per-(flag,
+    status) COUNT/SUM state built on pre-1999 facts is refreshed by a
+    signed delta feed — 1999 fact rows arrive (+1), pre-1996 'R' rows are
+    retracted (−1) — WITHOUT rescanning the base facts. The oracle
+    recomputes the aggregate from scratch over the updated fact set:
+    maintained and recomputed states must be bit-identical, which the
+    DECIMAL-exact state makes possible (float state would drift).
+
+    Scale: see :mod:`yelp_recommender_spark.operators.incr_agg` — the
+    refresh costs O(|delta| + |affected keys|); at 100 TB the state table
+    stays partitioned on its keys and only delta-touched partitions are
+    rewritten.
+    """
+    from yelp_recommender_spark.operators.incr_agg import (
+        agg_state,
+        merge_deltas,
+    )
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = ["l_quantity", "l_extendedprice"]
+    cut99 = F.to_timestamp(F.lit("1999-01-01"))
+    cut96 = F.to_timestamp(F.lit("1996-01-01"))
+    cut00 = F.to_timestamp(F.lit("2000-01-01"))
+    base = li.filter(F.col("l_shipdate") < cut99)
+    state = agg_state(base, keys, sums)
+    inserts = li.filter(
+        (F.col("l_shipdate") >= cut99) & (F.col("l_shipdate") < cut00)
+    ).withColumn("sign", F.lit(1))
+    deletes = base.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_shipdate") < cut96)
+    ).withColumn("sign", F.lit(-1))
+    merged = merge_deltas(
+        state, inserts.unionByName(deletes), keys, sums
+    )
+    return merged.select(
+        *keys,
+        "n",
+        F.col("sum_l_quantity").cast("double").alias("sum_qty"),
+        F.col("sum_l_extendedprice").cast("double").alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q106_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS a_orderkey,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS a_start,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   + 7 AS a_end
+        FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 17 = 0
+    ),
+    b AS (
+        SELECT o_orderkey AS b_orderkey,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS b_start,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   + 10 AS b_end
+        FROM orders WHERE o_orderstatus = 'F' AND o_custkey % 17 = 0
+    )
+    SELECT a_orderkey, b_orderkey, a_start, b_start,
+           LEAST(a_end, b_end) - GREATEST(a_start, b_start) + 1
+               AS overlap_days
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    """,
+)
+def q106_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (the symmetric sibling of q66's
+    point-in-interval): open-order 8-day windows against finished-order
+    11-day windows, every overlapping pair emitted exactly once with its
+    overlap length. The oracle is the plain theta join — affordable for
+    DuckDB at test scale, a nested-loop disaster at 100 TB, which is the
+    point of the bucketized operator.
+
+    Scale: see
+    :func:`yelp_recommender_spark.operators.rangejoin.interval_overlap_join`
+    — both sides burst to fixed-width buckets, ONE hash equi-join, and
+    the first-shared-bucket condition makes emission exactly-once without
+    a dedup shuffle over the pair stream.
+    """
+    from yelp_recommender_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    day = F.expr("unix_date(cast(o_orderdate as date))")
+    sub = orders.filter(F.col("o_custkey") % 17 == 0)
+    a = sub.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("a_orderkey"),
+        day.alias("a_start"),
+        (day + 7).alias("a_end"),
+    )
+    b = sub.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("b_orderkey"),
+        day.alias("b_start"),
+        (day + 10).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, [], "a_start", "a_end", "b_start", "b_end", bucket_width=16
+    )
+    return pairs.select(
+        "a_orderkey",
+        "b_orderkey",
+        "a_start",
+        "b_start",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + 1
+        ).alias("overlap_days"),
+    )
