@@ -151,3 +151,51 @@ def test_q93_unpivot_is_expand_no_extra_shuffle(spark):  # noqa: F811
     plan = _plan(QUERIES["q93_lineitem_unpivot"](spark, SF_DIR))
     assert "Expand" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q95_part_dimension_broadcasts(spark):  # noqa: F811
+    """The Q17-shape decorrelated join must broadcast the part dimension
+    (and never plan a nested-loop for the threshold comparison — that
+    predicate is a post-join filter on equi-joined rows)."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q95_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q97_windows_over_aggregate_not_facts(spark):  # noqa: F811
+    """The RANGE-frame window must run over the daily aggregate: exactly
+    2 exchanges — the fine-grained (flag, day) groupBy, then the tiny
+    repartition-to-flag for the frame. A third exchange (or a window
+    before the aggregate) would shuffle raw facts onto the 3-value flag
+    key."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q97_moving_revenue_7d"](spark, SF_DIR))
+    assert plan.count("Exchange") == 2, plan
+    assert "Window" in plan, plan
+
+
+def test_q102_window_and_groupby_share_partitioning(spark):  # noqa: F811
+    """row_number cap and the per-user concat groupBy are both keyed on
+    user_id — the plan must carry ONE exchange, reused by both."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q102_event_sequences"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q106_overlap_join_is_equi_not_nested_loop(spark):  # noqa: F811
+    """The interval-overlap join must plan as a hash equi-join on the
+    bucket key (broadcast at test scale, shuffled hash/SMJ beyond) —
+    never the BroadcastNestedLoopJoin a raw theta join would produce."""
+    from yelp_recommender_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q106_interval_overlap"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan

@@ -159,11 +159,14 @@ def q97_moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing days correctly shrink the window — a ROWS frame would be
     wrong whenever dates are sparse.
 
-    Scale: aggregate first (one shuffle to per-flag-per-day rows — at
-    most ~thousands per year per flag), THEN window over the tiny
-    aggregate; the window reuses the aggregation's hash partitioning on
-    l_returnflag so no second exchange. The running sum stays DECIMAL
-    through the frame and casts to double once at output.
+    Scale: aggregate first (one fine-grained shuffle on (flag, day) with
+    full parallelism), THEN window over the tiny per-day aggregate. The
+    window's repartition to l_returnflag is a second exchange — but one
+    that carries only |flags|·|days| rows, which is the right trade: the
+    alternative (pre-partitioning the raw facts by flag so the window
+    inherits it) would shuffle the full fact table onto a 3-value key,
+    serializing the big shuffle onto 3 reducers. The running sum stays
+    DECIMAL through the frame and casts to double once at output.
     """
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     daily = (
