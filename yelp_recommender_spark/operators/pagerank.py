@@ -1,0 +1,83 @@
+"""PageRank — the iterative-fixpoint companion to connected components
+(:mod:`yelp_recommender_spark.operators.cc`): importance scores over a
+directed graph by repeated sparse matrix-vector products expressed as
+join + aggregate.
+
+Formulation (unnormalized, scores O(1)): every node starts at 1.0 and
+
+    r_{k+1}(v) = (1 - d) + d · Σ_{(u,v) ∈ E} r_k(u) / out_deg(u)
+
+Dangling nodes (no out-edges) simply contribute nothing — the standard
+simplification when the caller symmetrizes or the graph has none; the
+docstring of the catalog query states which.
+
+Scale: the edge table is joined on src every iteration — it is
+repartitioned on src ONCE and persisted, so each of the k iterations
+reuses the same co-located edge partitions and only the (tiny, one row
+per node) rank vector moves. ``localCheckpoint`` every few iterations
+truncates the growing lineage (the same guard cc.py uses) — without it
+plan size and scheduler overhead grow linearly in k. Per iteration: one
+join + one aggregate, both keyed — no driver-side state beyond loop
+control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Rank every node appearing in ``edges`` (as source or target).
+    Returns (id, rank). Deterministic up to float summation order —
+    consumers comparing across engines should round (the q109 oracle
+    rounds to 1e-6; per-iteration drift is ~1e-15 relative)."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    e = (
+        edges.join(out_deg, src)
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "out_deg")
+        .repartition("_src")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    teleport = 1.0 - damping
+    ranks = nodes.withColumn("rank", F.lit(1.0).cast(T.DoubleType()))
+    for i in range(iters):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["id"])
+            .select(
+                F.col("_dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    if iters > 0:
+        # materialize before dropping the cached edges: the returned
+        # frame must not lazily re-derive k iterations from cold edges
+        ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    return ranks

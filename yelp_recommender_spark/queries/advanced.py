@@ -744,3 +744,200 @@ def q106_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + 1
         ).alias("overlap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+HOUR_US = 3_600_000_000
+
+
+@query(
+    "q107_gapfill_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // {HOUR_US} AS hour,
+               COUNT(*) AS n_raw,
+               SUM(CAST(value AS DECIMAL(27,6))) AS vdec
+        FROM events GROUP BY event_type, hour
+    ),
+    b AS (
+        SELECT event_type, MIN(hour) AS d0, MAX(hour) AS d1
+        FROM hourly GROUP BY event_type
+    ),
+    cal AS (
+        SELECT event_type, UNNEST(generate_series(d0, d1)) AS hour FROM b
+    ),
+    j AS (
+        SELECT cal.event_type, cal.hour,
+               COALESCE(n_raw, 0) AS n_raw, vdec
+        FROM cal LEFT JOIN hourly USING (event_type, hour)
+    )
+    SELECT event_type, hour, n_raw,
+           CAST(LAST_VALUE(vdec IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_ff
+    FROM j
+    """,
+)
+def q107_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (``time_bucket_gapfill`` /
+    ``locf`` shape): the hourly per-type value series has ~7% missing
+    slots; every slot between each type's first and last hour is
+    materialized, empty hours get count 0 and carry the last observed
+    hourly total forward. The fill runs on the DECIMAL aggregate and
+    casts to double once — so filled values hash-match the oracle
+    exactly.
+
+    Scale: see :mod:`yelp_recommender_spark.operators.gapfill` — the
+    calendar explode is proportional to the OUTPUT grid, the join and
+    the fill window share the (event_type) keying, and forward-fill
+    state is one value per key, not a buffered array.
+    """
+    from yelp_recommender_spark.operators.gapfill import gap_fill_ffill
+
+    hourly = (
+        _events_us(spark, sf_dir)
+        .groupBy(
+            "event_type", F.expr(f"ts_us div {HOUR_US}").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("vdec"),
+        )
+    )
+    filled = gap_fill_ffill(
+        hourly, ["event_type"], "hour", 1, ["vdec"], count_col="n_raw"
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        "n_raw",
+        F.col("vdec_ff").cast("double").alias("value_ff"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q108_robust_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 6) AS q1,
+               ROUND(quantile_cont(value, 0.75), 6) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           COUNT(CASE WHEN value > q3 + 1.5 * (q3 - q1)
+                      THEN 1 END) AS n_hi,
+           ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q1, q3
+    """,
+)
+def q108_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence outlier detection per event type (Tukey fences — the
+    quantile-robust alternative to mean±kσ, immune to the outliers it
+    hunts): values above q3 + 1.5·IQR are flagged and counted. Both
+    engines interpolate quantiles at the same p·(n−1) index and the
+    fence is derived from identically-rounded q1/q3 with identical IEEE
+    arithmetic, so the strict > comparison cannot diverge.
+
+    Scale: exact per-group quantiles sort within groups once; the fence
+    table is |types| rows and broadcasts back onto the fact stream — the
+    production swap at extreme scale is ``approx_percentile`` with a
+    documented error bound, same plan shape (cf. q39's note).
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    q = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") > fence, 1)).alias("n_hi"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_hi",
+            F.round(fence, 6).alias("hi_fence"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_PR_ITERS = 8
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — DuckDB runs
+    the exact recurrence the Spark loop executes, one CTE per step."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT n.id, (1.0 - 0.85) + 0.85 * COALESCE(c.s, 0.0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, SUM(p.pr / e.out_deg) AS s
+            FROM e JOIN r{k - 1} p ON p.id = e.src GROUP BY e.dst
+        ) c USING (id)
+    )""")
+    return f"""
+    WITH base AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e0 AS (
+        SELECT cust AS src, supp AS dst FROM base
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM base
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT DISTINCT src AS id FROM e0),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+    {",".join(steps)}
+    SELECT id, ROUND(pr, 6) AS pr FROM r{iters}
+    """
+
+
+@query("q109_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def q109_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (bipartite edges from orders⋈lineitem, supplier ids offset so the
+    id spaces don't collide), 8 iterations, d=0.85, unnormalized O(1)
+    scores. The oracle runs the IDENTICAL recurrence as 8 unrolled CTEs
+    — rounding to 1e-6 absorbs the ~1e-13 float-summation-order drift
+    between engines. Symmetrization means no dangling nodes, so the
+    simplified no-redistribution update is exact.
+
+    Scale: see :mod:`yelp_recommender_spark.operators.pagerank` — edges
+    are repartitioned on src once and persisted; each iteration moves
+    only the rank vector; lineage is truncated every 3 iterations.
+    """
+    from yelp_recommender_spark.operators.pagerank import pagerank
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    base = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        base.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, iters=_PR_ITERS)
+    return ranks.select("id", F.round("rank", 6).alias("pr"))
