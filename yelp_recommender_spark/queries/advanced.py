@@ -941,3 +941,236 @@ def q109_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, damping=0.85, iters=_PR_ITERS)
     return ranks.select("id", F.round("rank", 6).alias("pr"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q110_window_family",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment, spend,
+           RANK() OVER w1 AS rnk,
+           DENSE_RANK() OVER w1 AS drnk,
+           ROUND(PERCENT_RANK() OVER w1, 6) AS prank,
+           ROUND(CUME_DIST() OVER w1, 6) AS cdist,
+           NTILE(4) OVER w2 AS tile,
+           LAG(spend) OVER w2 AS prev_spend
+    FROM spend JOIN customer ON c_custkey = o_custkey
+    WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY spend DESC),
+           w2 AS (PARTITION BY c_mktsegment
+                  ORDER BY spend DESC, c_custkey)
+    """,
+)
+def q110_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass: rank / dense_rank /
+    percent_rank / cume_dist over customer spend within segment, plus
+    ntile and lag under a tie-broken total order. The rank family is
+    deterministic under ties (it depends only on the ORDER BY value);
+    ntile/lag are not, so their window adds c_custkey as a unique
+    tiebreak — the distinction matters for reproducible pipelines and is
+    the reason for two window specs.
+
+    Scale: the spend aggregate shuffles on o_custkey; both windows
+    partition on the low-cardinality segment — fine here because the
+    windowed input is the pre-aggregated customer table (one row per
+    customer), not raw facts (q97's note applies: window small
+    aggregates, never wide fact streams, when the partition key is
+    coarse).
+    """
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    spend = t["orders"].groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    j = spend.join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    w1 = Window.partitionBy("c_mktsegment").orderBy(F.desc("spend"))
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend"), "c_custkey"
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
+        F.round(F.percent_rank().over(w1), 6).alias("prank"),
+        F.round(F.cume_dist().over(w1), 6).alias("cdist"),
+        F.ntile(4).over(w2).alias("tile"),
+        F.lag("spend").over(w2).alias("prev_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q111_calendar_breakdown",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mon,
+           (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            + 3) % 7 AS dow,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY yr, qtr, mon, dow
+    """,
+)
+def q111_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-function family: year/quarter/month extraction plus an
+    ENGINE-NEUTRAL day-of-week (epoch-day + 3 mod 7, Monday = 0 —
+    built-in dayofweek numbering differs between engines, so portable
+    pipelines derive it from epoch arithmetic; the same reasoning as the
+    epoch-µs policy for event time).
+
+    Scale: map-only extraction folded into the scan projection, one
+    shuffle on a ≤ |years|·84·7 composite key with map-side partials.
+    """
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    day = F.expr("unix_date(cast(o_orderdate as date))")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+            ((day + 3) % 7).alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q112_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(regexp_replace(
+            lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t != ''))
+            AS token
+        FROM documents
+    ),
+    tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    top AS (
+        SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS r
+        FROM tf QUALIFY r <= 1000
+    ),
+    xy AS (
+        SELECT CAST(ROUND(ln(r), 6) AS DECIMAL(10,6)) AS x,
+               CAST(ROUND(ln(tf), 6) AS DECIMAL(10,6)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope
+    FROM s
+    """,
+)
+def q112_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law slope: least-squares fit of ln(frequency) against
+    ln(rank) over the top-1000 terms — the standard corpus-health
+    diagnostic (natural text ≈ −1; generated/templated corpora deviate).
+    Float policy: per-row logs are rounded to 1e-6 (absorbing libm
+    1-ulp differences between JVM and C), then ALL power sums run in
+    exact DECIMAL, and the closed-form slope is derived with identical
+    IEEE arithmetic — so a regression over a million points would still
+    hash-match.
+
+    Scale: term frequencies shuffle on token; top-1000 selection is
+    TakeOrdered (no global sort); the regression itself reduces 1000
+    rows. Reuses the session-cached token table shared by q20-q26.
+    """
+    from yelp_recommender_spark.queries.text import _docs_tokens
+
+    toks = _docs_tokens(spark, sf_dir).select(
+        F.explode("toks").alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # TakeOrderedAndProject (no global sort): per-partition top-1000
+    # merged on the driver side of the exchange
+    top = tf.orderBy(F.desc("tf"), F.col("token")).limit(1000)
+    r_w = Window.orderBy(F.desc("tf"), F.col("token"))
+    xy = top.select(
+        F.round(F.log(F.row_number().over(r_w)), 6)
+        .cast("decimal(10,6)")
+        .alias("x"),
+        F.round(F.log("tf"), 6).cast("decimal(10,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return s.select(
+        n.alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "slope"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q113_split_manifest",
+    oracle="""
+    WITH u AS (
+        SELECT source,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) + 1) / 281474976710657.0 AS u
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM u GROUP BY source, split
+    """,
+)
+def q113_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split manifest per source:
+    the split is a pure function of md5(doc_id) (the q37 hash-gate
+    construction), so it is reproducible across engines, runs, retries,
+    and scale-ups — re-ingesting the corpus never migrates a document
+    between splits, the property that prevents silent train/test
+    leakage over pipeline re-runs.
+
+    Scale: map-only split assignment + one low-cardinality aggregate;
+    the same expression tags the full corpus at write time with zero
+    coordination (no global sampling pass).
+    """
+    from yelp_recommender_spark.functions.sampling import md5_uniform
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    u = md5_uniform("doc_id")
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
