@@ -1174,3 +1174,63 @@ def q113_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q114_ewma_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT l_returnflag,
+               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   AS day,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+                    AS DOUBLE) AS rev
+        FROM lineitem GROUP BY l_returnflag, day
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_days,
+           ROUND(list_reduce(list(rev ORDER BY day),
+                             (acc, x) -> acc * (1.0 - 0.2) + 0.2 * x),
+                 4) AS ewma_last
+    FROM daily GROUP BY l_returnflag
+    """,
+)
+def q114_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily revenue series per return flag
+    (α = 0.2), reporting each series' final smoothed level — the
+    grouped-map Arrow showcase for genuinely recursive computations
+    (see :mod:`yelp_recommender_spark.operators.ewma` for why no bounded
+    SQL window can express it). The oracle runs the SAME left-fold
+    recurrence via DuckDB ``list_reduce``; rounding to 1e-4 absorbs the
+    recurrence-form float drift (pandas' kernel may compute
+    y + α(x−y) instead of (1−α)y + αx — equal in ℝ, ~1e-11 apart in
+    float on 1e5-scale values).
+
+    Scale: the smoothed input is the per-day AGGREGATE (one shuffle),
+    so each key's series is ~thousands of rows; the recurrence is
+    sequential per key by nature and parallel across keys.
+    """
+    from yelp_recommender_spark.operators.ewma import ewma_by_key
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    daily = (
+        li.withColumn("day", F.expr("unix_date(cast(l_shipdate as date))"))
+        .groupBy("l_returnflag", "day")
+        .agg(dsum("l_extendedprice").alias("rev"))
+    )
+    smoothed = ewma_by_key(
+        daily, ["l_returnflag"], "day", "rev", alpha=0.2
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("day"))
+    wall = Window.partitionBy("l_returnflag")
+    return (
+        smoothed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_days", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_returnflag",
+            "n_days",
+            F.round("ewma", 4).alias("ewma_last"),
+        )
+    )
