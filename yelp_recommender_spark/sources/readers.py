@@ -76,3 +76,18 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     clusters hand data over as ORC as often as Parquet). Same free
     predicate pushdown / column pruning as the parquet path."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with SCHEMA EVOLUTION: long-lived ingest paths gain
+    columns over time, and a default scan takes the schema from a single
+    (arbitrary) footer — files written before the column silently lose
+    or gain nothing and a mixed directory can even fail. ``mergeSchema``
+    unions the footers' schemas; rows from pre-evolution files surface
+    NULL for later columns, the standard additive-evolution contract.
+
+    Scale note: footer merging touches every file's metadata at planning
+    time — for 100-TB tables, prefer an explicit authoritative schema
+    (``spark.read.schema(s).parquet(...)``) once evolution settles, and
+    keep this reader for the migration window."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

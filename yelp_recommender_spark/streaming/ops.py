@@ -584,3 +584,37 @@ def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
+
+
+def idempotent_parquet_sink(path: str):
+    """foreachBatch sink whose CONTENT is exactly-once under micro-batch
+    replays. After a failure, Structured Streaming re-runs the last
+    uncommitted batch with the SAME batch_id; a plain ``mode("append")``
+    sink (cf. ``incremental_dedup_stream``'s note) then duplicates that
+    batch's rows — at-least-once. Writing every batch into its own
+    ``batch_id=N`` partition with DYNAMIC partition overwrite turns a
+    replay into a rewrite of exactly that partition: other batches'
+    partitions are untouched, re-delivery converges to the same bytes,
+    and downstream batch readers see each record once.
+
+    This is the table-format-free version of what transactional sinks do
+    with commit logs; it requires only a filesystem with atomic directory
+    rename. Returns the ``batch_fn`` to pass to
+    ``writeStream.foreachBatch``.
+
+    Scale: the overwrite scopes to the arriving partition (never the
+    table), and batch_id partitioning composes with
+    :func:`~yelp_recommender_spark.operators.compact.compact_parquet`
+    for the periodic small-file sweep the per-batch layout implies.
+    """
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return batch_fn
