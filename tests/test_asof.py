@@ -4,6 +4,8 @@ verifies it at table scale; these pin the edge rules."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import spark  # noqa: F401 (fixture)
 
 
@@ -55,3 +57,49 @@ def test_asof_tolerance_ages_out_matches(spark):  # noqa: F811
         "l3": 3.0,   # age 0
         "l4": None,
     }
+
+
+def _canon(df, key_cols):
+    return sorted(tuple(r) for r in df.select(*key_cols).collect())
+
+
+def test_cogrouped_asof_matches_relational(spark):  # noqa: F811
+    """The Arrow-cogrouped twin must be row-identical to the relational
+    union+window composition on a dense mixed fixture (ties, missing
+    partners, tolerance cutoffs, right-only keys)."""
+    from yelp_recommender_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t * 10 + k, float(t)) for k in range(4) for t in range(25)],
+        "k int, ts long, lv double",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, t * 37 % 240 + k, float(t * 100))
+            for k in range(5)  # key 4 is right-only
+            for t in range(13)
+        ],
+        "k int, ts long, rv double",
+    ).groupBy("k", "ts").agg(F.max("rv").alias("rv"))
+
+    cols = ["k", "ts", "lv", "rv_asof"]
+    for tol in (None, 30):
+        a = asof_join(left, right, ["k"], "ts", ["rv"], tolerance=tol)
+        b = asof_join_cogrouped(
+            left, right, ["k"], "ts", ["rv"], tolerance=tol
+        )
+        assert _canon(a, cols) == _canon(b, cols), f"tolerance={tol}"
+
+
+def test_cogrouped_asof_left_only_key_gets_nulls(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.asof import asof_join_cogrouped
+
+    left = spark.createDataFrame([(1, 5, 2.0)], "k int, ts long, lv double")
+    right = spark.createDataFrame([(2, 1, 9.0)], "k int, ts long, rv double")
+    rows = asof_join_cogrouped(
+        left, right, ["k"], "ts", ["rv"]
+    ).collect()
+    assert len(rows) == 1 and rows[0].rv_asof is None

@@ -89,3 +89,72 @@ def asof_join(
         for c, cc in zip(value_cols, carried)
     ]
     return u.filter(F.col("_side") == 1).select(*lcols, *out_vals)
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    tolerance: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Same contract as :func:`asof_join`, implemented as a COGROUPED
+    Arrow map: ``left.groupBy(keys).cogroup(right.groupBy(keys))``
+    aligns both sides' rows for a key in one pandas call, where
+    ``pandas.merge_asof`` runs the backward scan in C.
+
+    Exists as the cross-check twin (pytest pins it row-identical to the
+    relational composition on the same inputs) and as the template for
+    per-key logic that genuinely needs both sides materialized —
+    irregular resampling, per-key model scoring, custom alignment rules
+    — where the union-window trick no longer applies.
+
+    Scale trade vs :func:`asof_join`: same single co-partitioning
+    shuffle, but each key's FULL left+right row sets materialize in
+    worker memory as pandas frames (the relational form streams through
+    a window), and rows cross the JVM↔Arrow boundary twice. Prefer the
+    relational form when the semantics fit it; measure before choosing
+    this one for hot paths.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f"{c}{suffix}", right.schema[c].dataType)
+        for c in value_cols
+    ]
+    schema = T.StructType(out_fields)
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lp = lpdf.sort_values(ts_col, kind="mergesort")
+        out_names = [f"{c}{suffix}" for c in value_cols]
+        if rpdf.empty:
+            res = lp.copy()
+            for n in out_names:
+                res[n] = None
+            return res[[f.name for f in out_fields]]
+        rp = (
+            rpdf[[ts_col, *value_cols]]
+            .rename(columns=dict(zip(value_cols, out_names)))
+            .sort_values(ts_col, kind="mergesort")
+        )
+        res = pd.merge_asof(
+            lp,
+            rp,
+            on=ts_col,
+            direction="backward",
+            tolerance=tolerance,
+            suffixes=("", "_r"),
+        )
+        return res[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(align, schema)
+    )
