@@ -1234,3 +1234,91 @@ def q114_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ewma", 4).alias("ewma_last"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q115_quality_report",
+    oracle="""
+    SELECT 'not_null:l_orderkey' AS check_name,
+           CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+               AS n_violations,
+           COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_quantity[1,40]',
+           COUNT(CASE WHEN l_quantity IS NOT NULL
+                       AND (l_quantity < 1 OR l_quantity > 40)
+                      THEN 1 END),
+           COUNT(CASE WHEN l_quantity IS NOT NULL
+                       AND (l_quantity < 1 OR l_quantity > 40)
+                      THEN 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_discount[0.0,0.1]',
+           COUNT(CASE WHEN l_discount IS NOT NULL
+                       AND (l_discount < 0.0 OR l_discount > 0.1)
+                      THEN 1 END),
+           COUNT(CASE WHEN l_discount IS NOT NULL
+                       AND (l_discount < 0.0 OR l_discount > 0.1)
+                      THEN 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values:l_returnflag',
+           COUNT(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 END),
+           COUNT(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)),
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'foreign_key:l_orderkey->o_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) = 0
+    """,
+)
+def q115_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over lineitem (Deequ/expectations
+    shape): nullability, two ranges, accepted values, key uniqueness,
+    and referential integrity to orders — compiled to one scan for ALL
+    row-level checks plus one distinct-count and one broadcast anti-join
+    (see :mod:`yelp_recommender_spark.operators.quality`). The
+    range:l_quantity[1,40] and uniqueness checks FAIL on this data by
+    design — a quality report that can only pass gates nothing.
+
+    Scale: row-level constraint count doesn't change the scan count
+    (conditional counts fuse into one aggregate); each declared key set
+    adds exactly one keyed shuffle; the FK probe broadcasts the distinct
+    referenced keys.
+    """
+    from yelp_recommender_spark.operators.quality import check_constraints
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    suite = [
+        {"type": "not_null", "col": "l_orderkey"},
+        {"type": "range", "col": "l_quantity", "lo": 1, "hi": 40},
+        {"type": "range", "col": "l_discount", "lo": 0.0, "hi": 0.1},
+        {
+            "type": "accepted_values",
+            "col": "l_returnflag",
+            "values": ["A", "N", "R"],
+        },
+        {"type": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {
+            "type": "foreign_key",
+            "col": "l_orderkey",
+            "ref": t["orders"],
+            "ref_col": "o_orderkey",
+        },
+    ]
+    return check_constraints(t["lineitem"], suite)
