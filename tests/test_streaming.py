@@ -351,3 +351,73 @@ def test_incremental_dedup_stream_batch_parity(spark, tmp_path):  # noqa: F811
         .collect()
     }
     assert got_novel == all_stream - rejected
+
+
+def test_attribution_outer_join_watermark_frontier(spark):  # noqa: F811
+    """Left-outer stream-stream join: matched pairs equal the batch
+    inner join; null-match rows emit ONLY for conversions strictly older
+    than the final watermark (min of both sides' max event time − the
+    2h delay) — younger nulls are withheld, which is the state-eviction
+    contract, not data loss."""
+    import datetime
+
+    from yelp_recommender_spark.streaming import (
+        attribution_join_outer_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    got = run_to_memory(
+        attribution_join_outer_stream(
+            read_events_stream(spark, SF_DIR), horizon="1 hour"
+        ),
+        "attr_outer_t",
+        output_mode="append",
+    )
+    g_match = {
+        (r.user_id, r.convert_event_id, r.trigger_event_id)
+        for r in got.filter(F.col("trigger_event_id").isNotNull()).collect()
+    }
+    g_null = {
+        (r.user_id, r.convert_event_id)
+        for r in got.filter(F.col("trigger_event_id").isNull()).collect()
+    }
+
+    ev = _batch_events(spark)
+    trig = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("trigger_event_id"),
+        F.col("event_ts").alias("trigger_ts"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("convert_event_id"),
+        F.col("event_ts").alias("convert_ts"),
+    )
+    cond = F.expr(
+        "user_id = t_user AND trigger_ts <= convert_ts"
+        " AND trigger_ts >= convert_ts - INTERVAL 1 hour"
+    )
+    e_match = {
+        (r.user_id, r.convert_event_id, r.trigger_event_id)
+        for r in conv.join(trig, cond).collect()
+    }
+    assert g_match == e_match and g_match
+
+    wm = min(
+        trig.agg(F.max("trigger_ts")).head()[0],
+        conv.agg(F.max("convert_ts")).head()[0],
+    ) - datetime.timedelta(hours=2)
+    nulls = conv.join(trig, cond, "leftOuter").filter(
+        F.col("trigger_event_id").isNull()
+    )
+    e_null = {
+        (r.user_id, r.convert_event_id)
+        for r in nulls.filter(F.col("convert_ts") < F.lit(wm)).collect()
+    }
+    withheld = {
+        (r.user_id, r.convert_event_id)
+        for r in nulls.filter(F.col("convert_ts") >= F.lit(wm)).collect()
+    }
+    assert g_null == e_null and g_null
+    assert not (g_null & withheld)

@@ -168,6 +168,72 @@ def q72_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "q116_streaming_attribution_outer",
+    oracle="""
+    WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(us) FROM t), (SELECT MAX(us) FROM c))
+                  - 7200000000 AS frontier),
+    lj AS (
+        SELECT c.user_id,
+               c.event_id AS convert_event_id,
+               c.us AS convert_us,
+               t.event_id AS trigger_event_id,
+               t.us AS trigger_us
+        FROM c LEFT JOIN t
+          ON c.user_id = t.user_id
+         AND t.us <= c.us
+         AND t.us >= c.us - 3600000000::BIGINT
+    )
+    SELECT * FROM lj WHERE trigger_event_id IS NOT NULL
+    UNION ALL
+    SELECT lj.* FROM lj, wm
+    WHERE trigger_event_id IS NULL AND convert_us < frontier
+    """,
+)
+def q116_streaming_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join run as a real streaming
+    query (:func:`~yelp_recommender_spark.streaming.ops.attribution_join_outer_stream`):
+    q72 plus visibility of UNCONVERTED purchases — and, unlike q72, the
+    oracle must model the WATERMARK ITSELF. A null-match row may only
+    emit once the watermark proves no qualifying view can still arrive,
+    so the emitted set is: all matched pairs, plus the batch left-join
+    nulls whose convert time lies strictly before the final watermark
+    (min of both sides' max event time, minus the 2-hour delay). The
+    younger nulls are correctly ABSENT — the stream hasn't proven their
+    non-match yet. Gating that frontier in SQL pins Spark's outer-join
+    state-eviction semantics, not just the join predicate.
+
+    Event times surface as epoch-µs longs, timezone-representation-free
+    on both engines."""
+    from yelp_recommender_spark.streaming.ops import (
+        attribution_join_outer_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = attribution_join_outer_stream(
+        read_events_stream(spark, sf_dir),
+        trigger_type="view",
+        convert_type="purchase",
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    out = run_to_memory(stream, "q116_attr_outer", output_mode="append")
+    return out.select(
+        "user_id",
+        "convert_event_id",
+        F.unix_micros("convert_ts").alias("convert_us"),
+        "trigger_event_id",
+        F.unix_micros("trigger_ts").alias("trigger_us"),
+    )
+
+
+@query(
     "q79_stream_static_enrich",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment,

@@ -11,6 +11,7 @@ incremental state" contract.
 """
 
 from yelp_recommender_spark.streaming.ops import (
+    attribution_join_outer_stream,
     attribution_join_stream,
     dedup_stream,
     hourly_counts_stream,
@@ -30,6 +31,7 @@ __all__ = [
     "sliding_counts_stream",
     "running_totals_stream",
     "attribution_join_stream",
+    "attribution_join_outer_stream",
     "top_events_per_window_foreachbatch",
     "run_to_memory",
 ]

@@ -618,3 +618,65 @@ def idempotent_parquet_sink(path: str):
         )
 
     return batch_fn
+
+
+def attribution_join_outer_stream(
+    events: DataFrame,
+    trigger_type: str = "view",
+    convert_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — ``attribution_join_stream``
+    with unconverted-conversion visibility: every ``convert_type`` event
+    eventually emits, with NULL trigger columns when no ``trigger_type``
+    event preceded it within ``horizon``.
+
+    The semantic difference from the inner join is WHEN the null row can
+    be emitted: only once the watermark proves no matching trigger can
+    still arrive (any trigger with ``trigger_ts <= convert_ts`` would by
+    then be later than the watermark allows). So outer results trail the
+    watermark by design — and rows younger than the final watermark at
+    stream end remain unemitted, which is correct, not lossy: the stream
+    hasn't proven their non-match yet. The parity test pins exactly this
+    frontier: matched rows equal the batch join; emitted null rows equal
+    the batch left-join nulls OLDER than the final watermark.
+
+    State bounds are identical to the inner form (watermark + explicit
+    time-range predicate ⇒ eviction at ``trigger_ts + horizon``)."""
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("trigger_event_id"),
+            F.col("event_ts").alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    conv = (
+        events.filter(F.col("event_type") == convert_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("convert_event_id"),
+            F.col("event_ts").alias("convert_ts"),
+        )
+        .withWatermark("convert_ts", watermark)
+    )
+    joined = conv.join(
+        trig,
+        F.expr(
+            f"""
+            user_id = t_user
+            AND trigger_ts <= convert_ts
+            AND trigger_ts >= convert_ts - INTERVAL {horizon}
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "user_id",
+        "convert_event_id",
+        "convert_ts",
+        "trigger_event_id",
+        "trigger_ts",
+    )
