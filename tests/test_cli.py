@@ -225,3 +225,59 @@ def test_cli_evaluate_untagged_predictions(spark, tmp_path):  # noqa: F811
     result = cli.evaluate(spark, str(preds), str(truth))
     assert result["rmse"] == 1.0
     assert result["by_decision"] == {"untagged": {"n": 1, "rmse": 1.0}}
+
+
+def test_cli_maintain_compacts_and_reports(spark, tmp_path):  # noqa: F811
+    import json
+
+    from yelp_recommender_spark.cli import main
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 5000).selectExpr("id", "id * 2 as v").repartition(
+        16
+    ).write.parquet(src)
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(
+            [
+                "maintain",
+                "--input", src,
+                "--output", dst,
+                "--target-mb", "1024",
+                "--order-cols", "id",
+                "--not-null", "id,v",
+            ]
+        )
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["files"] == 1
+    assert all(c["passed"] for c in report["checks"])
+    assert spark.read.parquet(dst).count() == 5000
+
+
+def test_cli_maintain_fails_on_violation(spark, tmp_path):  # noqa: F811
+    import contextlib, io
+
+    import pytest
+
+    from yelp_recommender_spark.cli import main
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "out2")
+    spark.createDataFrame(
+        [(1, "a"), (None, "b")], "id long, v string"
+    ).write.parquet(src)
+    with contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(SystemExit) as exc:
+            main(
+                [
+                    "maintain",
+                    "--input", src,
+                    "--output", dst,
+                    "--not-null", "id",
+                ]
+            )
+    assert exc.value.code == 2

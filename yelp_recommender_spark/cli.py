@@ -385,6 +385,25 @@ def main(argv: list[str] | None = None) -> None:
     )
     cu.add_argument("--benchmark-source", default=None)
     cu.add_argument("--mixture-alpha", type=float, default=0.5)
+    mt = sub.add_parser(
+        "maintain",
+        help="table maintenance: small-file compaction (+ optional "
+        "range clustering) and a data-quality constraint report",
+    )
+    mt.add_argument("--input", required=True, help="parquet table path")
+    mt.add_argument("--output", required=True, help="compacted output path")
+    mt.add_argument("--target-mb", type=int, default=128)
+    mt.add_argument(
+        "--order-cols",
+        default=None,
+        help="comma-separated columns to range-cluster (zone-map layout)",
+    )
+    mt.add_argument(
+        "--not-null",
+        default=None,
+        help="comma-separated columns that must be non-null (checked on "
+        "the compacted output; nonzero exit on violation)",
+    )
     args = ap.parse_args(argv)
 
     from yelp_recommender_spark.session import get_spark
@@ -392,6 +411,44 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "evaluate":
         spark = get_spark(app_name="yelp_recommender_evaluate")
         evaluate(spark, args.predictions, args.truth, args.output)
+        return
+    if args.cmd == "maintain":
+        from yelp_recommender_spark.operators.compact import compact_parquet
+        from yelp_recommender_spark.operators.quality import (
+            check_constraints,
+        )
+
+        spark = get_spark(app_name="yelp_recommender_maintain")
+        order = args.order_cols.split(",") if args.order_cols else None
+        n_files = compact_parquet(
+            spark,
+            args.input,
+            args.output,
+            target_bytes=args.target_mb * 1024 * 1024,
+            order_cols=order,
+        )
+        report: dict = {"files": n_files, "checks": []}
+        failed = False
+        if args.not_null:
+            suite = [
+                {"type": "not_null", "col": c}
+                for c in args.not_null.split(",")
+            ]
+            rows = check_constraints(
+                spark.read.parquet(args.output), suite
+            ).collect()
+            report["checks"] = [
+                {
+                    "check": r.check_name,
+                    "n_violations": r.n_violations,
+                    "passed": r.passed,
+                }
+                for r in rows
+            ]
+            failed = any(not r.passed for r in rows)
+        print(json.dumps(report, sort_keys=True))
+        if failed:
+            raise SystemExit(2)
         return
     if args.cmd == "curate":
         from yelp_recommender_spark.curate import curate_corpus
