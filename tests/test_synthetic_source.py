@@ -53,3 +53,39 @@ def test_planted_duplicates_and_dedup_interop(spark):  # noqa: F811
     )
     kept = df.join(winners.select("doc_id"), "doc_id", "left_semi")
     assert kept.count() == df.select(F.md5("text")).distinct().count()
+
+
+def test_read_json_quarantines_corrupt_lines(spark, tmp_path):  # noqa: F811
+    """Malformed JSON lines must surface as quarantine rows (raw line in
+    the corrupt column, NULL data fields), never crash the scan or
+    silently vanish."""
+    from pyspark.sql import types as T
+
+    from yelp_recommender_spark.sources.readers import read_json
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 3, "v": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema, corrupt_col="_bad").cache()
+    good = df.filter("_bad IS NULL")
+    quarantine = df.filter("_bad IS NOT NULL")
+    assert {(r.id, r.v) for r in good.collect()} == {
+        (1, "ok"),
+        (3, "also ok"),
+    }
+    bad = quarantine.collect()
+    assert len(bad) == 1 and bad[0]._bad.startswith("{broken")
+    assert bad[0].id is None
+    df.unpersist()
+
+    # without the option the scan stays schema-only (no extra column)
+    assert read_json(spark, str(p), schema).columns == ["id", "v"]

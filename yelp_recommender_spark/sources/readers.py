@@ -22,14 +22,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """Line-delimited JSON scan with a fixed schema (S1).
 
     ``mode=PERMISSIVE`` mirrors the reference's tolerance of missing keys
     (``dict.get(k, default)`` accesses): absent fields become nulls and
     are defaulted downstream with ``coalesce``.
+
+    ``corrupt_col`` opts into QUARANTINE ingestion: malformed lines
+    surface as rows whose other fields are NULL and whose ``corrupt_col``
+    holds the raw line — so a 100-TB ingest neither crashes on one bad
+    record (FAILFAST) nor silently drops it (DROPMALFORMED); the caller
+    splits the frame on ``corrupt_col IS NULL`` and routes the quarantine
+    to a dead-letter sink with full provenance.
     """
-    return spark.read.schema(schema).json(path)
+    if corrupt_col is None:
+        return spark.read.schema(schema).json(path)
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
