@@ -1322,3 +1322,43 @@ def q115_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
     return check_constraints(t["lineitem"], suite)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q117_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT c_custkey AS node, c_custkey // 10 AS anc
+        FROM customer WHERE c_custkey >= 1
+    ),
+    cl AS (
+        SELECT node, anc, 1 AS depth FROM e
+        UNION ALL
+        SELECT cl.node, e.anc, cl.depth + 1
+        FROM cl JOIN e ON cl.anc = e.node
+    )
+    SELECT node, anc, MIN(depth) AS depth FROM cl GROUP BY node, anc
+    """,
+)
+def q117_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (the WITH RECURSIVE gap): the full
+    ancestor closure with hop depth over a synthetic decimal-digit
+    hierarchy on customer keys (parent = key div 10 — a forest rooted at
+    0, ~5 levels at sf0.1). The oracle IS a recursive CTE; Spark runs
+    the same fixpoint as a frontier-join loop
+    (:func:`yelp_recommender_spark.operators.hierarchy.ancestors`).
+
+    Scale: each round joins only the PREVIOUS round's paths (the
+    frontier) against the once-partitioned edge table — |closure| total
+    rows ever move, the minimum for closure materialization; rounds =
+    hierarchy height, bounded against cyclic data bugs.
+    """
+    from yelp_recommender_spark.operators.hierarchy import ancestors
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    edges = cust.filter(F.col("c_custkey") >= 1).select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey div 10").alias("parent"),
+    )
+    return ancestors(edges)
