@@ -60,7 +60,9 @@ def test_asof_tolerance_ages_out_matches(spark):  # noqa: F811
 
 
 def _canon(df, key_cols):
-    return sorted(tuple(r) for r in df.select(*key_cols).collect())
+    return sorted(
+        (tuple(r) for r in df.select(*key_cols).collect()), key=repr
+    )
 
 
 def test_cogrouped_asof_matches_relational(spark):  # noqa: F811
@@ -103,3 +105,28 @@ def test_cogrouped_asof_left_only_key_gets_nulls(spark):  # noqa: F811
         left, right, ["k"], "ts", ["rv"]
     ).collect()
     assert len(rows) == 1 and rows[0].rv_asof is None
+
+
+def test_cogrouped_asof_null_timestamps_match_relational(spark):  # noqa: F811
+    """merge_asof rejects null keys; the cogrouped twin must instead
+    mirror the relational contract — null-ts left rows emit with a null
+    match, null-ts right rows match nothing (review fix)."""
+    from yelp_recommender_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5, 2.0), (1, None, 3.0), (2, None, 4.0)],
+        "k int, ts long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 9.0), (1, None, 8.0)], "k int, ts long, rv double"
+    )
+    cols = ["k", "ts", "lv", "rv_asof"]
+    a = _canon(asof_join(left, right, ["k"], "ts", ["rv"]), cols)
+    b = _canon(
+        asof_join_cogrouped(left, right, ["k"], "ts", ["rv"]), cols
+    )
+    assert a == b
+    assert len(b) == 3  # every left row present

@@ -419,7 +419,11 @@ def main(argv: list[str] | None = None) -> None:
         )
 
         spark = get_spark(app_name="yelp_recommender_maintain")
-        order = args.order_cols.split(",") if args.order_cols else None
+        order = (
+            [c.strip() for c in args.order_cols.split(",") if c.strip()]
+            if args.order_cols
+            else None
+        )
         n_files = compact_parquet(
             spark,
             args.input,
@@ -431,8 +435,9 @@ def main(argv: list[str] | None = None) -> None:
         failed = False
         if args.not_null:
             suite = [
-                {"type": "not_null", "col": c}
+                {"type": "not_null", "col": c.strip()}
                 for c in args.not_null.split(",")
+                if c.strip()
             ]
             rows = check_constraints(
                 spark.read.parquet(args.output), suite

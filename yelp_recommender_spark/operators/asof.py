@@ -129,29 +129,42 @@ def asof_join_cogrouped(
     schema = T.StructType(out_fields)
 
     def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in out_fields]
         if lpdf.empty:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
-        lp = lpdf.sort_values(ts_col, kind="mergesort")
+            return pd.DataFrame(columns=cols)
         out_names = [f"{c}{suffix}" for c in value_cols]
-        if rpdf.empty:
+        # merge_asof rejects null keys outright; the relational form
+        # simply matches nothing for them — split them off, stamp null
+        # outputs, and fold them back (same for null right timestamps:
+        # they can never be a backward match)
+        l_null = lpdf[lpdf[ts_col].isna()].copy()
+        lp = lpdf[lpdf[ts_col].notna()].sort_values(
+            ts_col, kind="mergesort"
+        )
+        for n in out_names:
+            l_null[n] = None
+        rp = rpdf[rpdf[ts_col].notna()] if not rpdf.empty else rpdf
+        if lp.empty or rp.empty:
             res = lp.copy()
             for n in out_names:
                 res[n] = None
-            return res[[f.name for f in out_fields]]
-        rp = (
-            rpdf[[ts_col, *value_cols]]
-            .rename(columns=dict(zip(value_cols, out_names)))
-            .sort_values(ts_col, kind="mergesort")
-        )
-        res = pd.merge_asof(
-            lp,
-            rp,
-            on=ts_col,
-            direction="backward",
-            tolerance=tolerance,
-            suffixes=("", "_r"),
-        )
-        return res[[f.name for f in out_fields]]
+        else:
+            rp = (
+                rp[[ts_col, *value_cols]]
+                .rename(columns=dict(zip(value_cols, out_names)))
+                .sort_values(ts_col, kind="mergesort")
+            )
+            res = pd.merge_asof(
+                lp,
+                rp,
+                on=ts_col,
+                direction="backward",
+                tolerance=tolerance,
+                suffixes=("", "_r"),
+            )
+        if not l_null.empty:
+            res = pd.concat([res[cols], l_null[cols]], ignore_index=True)
+        return res[cols]
 
     return (
         left.groupBy(*keys)

@@ -44,9 +44,12 @@ def compact_parquet(
     order_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet table at ``src_path`` into
-    ceil(source_bytes / target_bytes) files at ``dst_path``; returns the
-    output file count. ``order_cols`` range-clusters the rewrite so
-    per-file min/max statistics become disjoint on the leading column.
+    ~ceil(source_bytes / target_bytes) files at ``dst_path``; returns
+    the ACTUAL number of data files written (range partitioning can
+    produce fewer than planned when the clustering key has fewer
+    distinct values than planned partitions — empty partitions write no
+    file). ``order_cols`` range-clusters the rewrite so per-file min/max
+    statistics become disjoint on the leading column.
 
     Note the sizing reads COMPRESSED source bytes — the right proxy,
     since the rewrite re-compresses with the same codec family.
@@ -61,4 +64,13 @@ def compact_parquet(
     else:
         shaped = df.repartition(n_out)
     shaped.write.mode("overwrite").parquet(dst_path)
-    return n_out
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dst_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n_files = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n_files += 1
+    return n_files

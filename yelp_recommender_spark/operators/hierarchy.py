@@ -6,14 +6,15 @@ exactly like :mod:`~yelp_recommender_spark.operators.cc` and
 fixpoints.
 
 ``ancestors`` computes the transitive closure of a child→parent edge set
-with hop depth. The loop joins the current FRONTIER (paths discovered in
+with hop depth. The loop joins the current FRONTIER (pairs discovered in
 the previous round only — not the whole closure) against the edge table,
-so each round's join is |frontier|·avg-fanout, and the loop ends when a
-round adds nothing; for a forest of height h that is h rounds. Cycles
-are cut by bounding rounds at ``max_depth`` (a closure over a cyclic
-graph would otherwise never converge and is almost always a data bug —
-the caller gets the partial closure plus the knowledge that the bound
-was hit).
+then BFS-dedups: parallel paths collapse to one row per (node, anc) and
+already-known pairs are anti-joined away. That keeps every round bounded
+by |closure| even on braided DAGs whose raw PATH count is exponential,
+makes first discovery = shortest depth, and lets cyclic graphs converge
+naturally (everything reachable gets seen once); ``max_depth`` stays as
+a hard bound against pathological data. For a forest of height h the
+loop is h rounds.
 
 Scale: edges are repartitioned on the child key once and persisted; each
 round shuffles only the shrinking frontier; lineage is truncated with
@@ -41,13 +42,21 @@ def ancestors(
             F.col(child).alias("node"), F.col(parent).alias("anc")
         )
         .distinct()
-        .repartition("anc")
+        # partitioned on the column each round's join PROBES (the hop
+        # source, aliased to "anc" in the join below) so the persisted
+        # layout is actually reused — partitioning survives the alias
+        .repartition("node")
         .persist()
     )
-    closure = e.withColumn("depth", F.lit(1))
+    closure = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
     frontier = closure
     for _ in range(max_depth - 1):
-        # extend last round's paths by one hop: frontier.anc == e.node
+        # extend last round's paths by one hop: frontier.anc == e.node,
+        # then BFS-dedup the frontier — collapse parallel paths to one
+        # row per (node, anc) and drop pairs the closure already holds.
+        # Without this a braided DAG's path count grows exponentially
+        # while its closure stays O(nodes·height); with it each round is
+        # bounded by |closure| and first discovery = shortest depth.
         nxt = (
             frontier.join(
                 e.select(
@@ -61,6 +70,9 @@ def ancestors(
                 F.col("anc2").alias("anc"),
                 (F.col("depth") + 1).alias("depth"),
             )
+            .groupBy("node", "anc")
+            .agg(F.min("depth").alias("depth"))
+            .join(closure, ["node", "anc"], "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
@@ -68,8 +80,6 @@ def ancestors(
         closure = closure.unionByName(nxt)
         frontier = nxt
     e.unpersist()
-    # a DAG (diamond) can reach an ancestor via several paths — keep the
-    # shortest, making the result a relation, not a path multiset
-    return closure.groupBy("node", "anc").agg(
-        F.min("depth").alias("depth")
-    )
+    # every (node, anc) enters the closure exactly once, at its first
+    # (= shortest) discovery depth — the result is already a relation
+    return closure

@@ -119,12 +119,22 @@ def check_constraints(
                 )
             )
         elif c["type"] == "foreign_key":
+            from yelp_recommender_spark.operators.ann import (
+                estimated_size_bytes,
+            )
+
             ref = c["ref"].select(
                 F.col(c["ref_col"]).alias(c["col"])
             ).distinct()
-            orphans = df.select(c["col"]).join(
-                F.broadcast(ref), c["col"], "left_anti"
-            )
+            # hint broadcast only when plan stats prove the referenced
+            # key side is dimension-sized — a forced hint on a 100-TB
+            # referenced table would override the broadcast threshold
+            # and OOM; unhinted, Catalyst still auto-broadcasts small
+            # sides and shuffles large ones (enrich_stream's guard)
+            size = estimated_size_bytes(ref)
+            if size is not None and 0 < size <= (64 << 20):
+                ref = F.broadcast(ref)
+            orphans = df.select(c["col"]).join(ref, c["col"], "left_anti")
             reports.append(
                 orphans.agg(
                     F.count(F.lit(1)).alias("n_violations")

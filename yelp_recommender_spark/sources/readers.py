@@ -40,6 +40,12 @@ def read_json(
     record (FAILFAST) nor silently drops it (DROPMALFORMED); the caller
     splits the frame on ``corrupt_col IS NULL`` and routes the quarantine
     to a dead-letter sink with full provenance.
+
+    CAVEAT (Spark contract): a query may not reference ONLY the corrupt
+    column of the raw scan (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN``) — ``.cache()`` the returned frame (as the tests do)
+    or keep at least one data column in the quarantine projection before
+    splitting.
     """
     if corrupt_col is None:
         return spark.read.schema(schema).json(path)
