@@ -43,22 +43,34 @@ def pagerank(
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    # partitioned on DESTINATION: when the rank vector is small enough
+    # to broadcast, each iteration's join is then map-side and the
+    # contribution aggregate reuses e's _dst partitioning — the whole
+    # iteration runs shuffle-free (partial aggs only). When the node set
+    # is too large to broadcast (the 100-TB graph case), the join
+    # shuffles the RANK VECTOR to e's layout — still never the edges.
     e = (
         edges.join(out_deg, src)
         .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "out_deg")
-        .repartition("_src")
+        .repartition("_dst")
         .persist()
     )
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    from yelp_recommender_spark.operators.ann import estimated_size_bytes
+
+    nsize = estimated_size_bytes(nodes)
+    small_ranks = nsize is not None and 0 < nsize <= (32 << 20)
     teleport = 1.0 - damping
     ranks = nodes.withColumn("rank", F.lit(1.0).cast(T.DoubleType()))
     for i in range(iters):
+        r = F.broadcast(ranks) if small_ranks else ranks
         contribs = (
-            e.join(ranks, e["_src"] == ranks["id"])
+            e.join(r, e["_src"] == ranks["id"])
             .select(
                 F.col("_dst").alias("id"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -66,6 +78,10 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
+        # left-outer broadcast-hash requires the BUILD (right) side
+        # hinted — contribs is ≤ |nodes| rows after its aggregate
+        if small_ranks:
+            contribs = F.broadcast(contribs)
         ranks = nodes.join(contribs, "id", "left").select(
             "id",
             (
