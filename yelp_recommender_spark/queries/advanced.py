@@ -1362,3 +1362,52 @@ def q117_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_custkey div 10").alias("parent"),
     )
     return ancestors(edges)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q118_embedding_norms",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                   AS norm_r
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(norm_r AS DECIMAL(17,6))) AS DOUBLE) / COUNT(*)
+               AS avg_norm,
+           MIN(norm_r) AS min_norm,
+           MAX(norm_r) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q118_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit per label — the preprocessing diagnostic run
+    before choosing cosine vs dot-product indexing (unnormalized models
+    hide magnitude signal that cosine throws away; the audit makes the
+    decision data-driven). The norm is a pure higher-order column
+    expression (cast → square → left-fold → sqrt), reproduced
+    operation-for-operation by the oracle, then rounded and aggregated
+    under the exact-DECIMAL policy.
+
+    Scale: map-only per-row fold + one tiny keyed aggregate; this is the
+    cheap pass :func:`~yelp_recommender_spark.operators.embed_prep.l2_normalize`
+    shares its kernel with.
+    """
+    from yelp_recommender_spark.operators.embed_prep import vector_norm
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = emb.select(
+        "label", F.round(vector_norm("embedding"), 6).alias("norm_r")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("norm_r").cast("decimal(17,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+        F.min("norm_r").alias("min_norm"),
+        F.max("norm_r").alias("max_norm"),
+    )
