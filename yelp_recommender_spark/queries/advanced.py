@@ -1411,3 +1411,83 @@ def q118_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm_r").alias("min_norm"),
         F.max("norm_r").alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q119_stats_family",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(27,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS sy,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+                   AS sxy,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS sxx,
+               SUM(CAST(l_extendedprice * l_extendedprice
+                        AS DECIMAL(27,6))) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_qty_price,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def q119_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate family (corr / regr_slope / regr_intercept
+    per group) computed from EXACT decimal power sums with the closed
+    forms evaluated in identical IEEE order — NOT the builtin
+    ``corr``/``regr_*`` aggregates, whose accumulation-order float drift
+    differs between engines by more than any reasonable rounding can
+    absorb at hash-exact gating (the reason q51's Pearson uses the same
+    construction). At a million rows the power sums are still exact;
+    determinism is scale-independent.
+
+    Scale: one shuffle on a 3-value key with map-side decimal partials —
+    the six power sums ride the same aggregate.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    dec = "decimal(27,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
