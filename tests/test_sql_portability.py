@@ -34,7 +34,7 @@ PORTABLE = [
     "q96_dominant_suppliers", "q100_cube_revenue",
     "q101_fuzzy_part_names", "q104_frequent_items_gate",
     "q105_incremental_agg", "q109_pagerank", "q110_window_family",
-    "q115_quality_report",
+    "q115_quality_report", "q119_stats_family",
 ]
 
 
