@@ -1491,3 +1491,93 @@ def q119_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q120_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+         r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM r),
+         ix AS (SELECT * FROM a INTERSECT ALL SELECT * FROM r)
+    SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+    FROM ex GROUP BY l_partkey
+    UNION ALL
+    SELECT 'intersect_all', l_partkey, COUNT(*)
+    FROM ix GROUP BY l_partkey
+    """,
+)
+def q120_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operators (EXCEPT ALL / INTERSECT ALL) — the
+    multiset complements of q06/q10's distinct-set membership: per-part
+    'A'-shipment multiplicity minus/intersected-with 'R'-shipment
+    multiplicity. Both engines implement the SQL-standard bag algebra
+    (max(m−n, 0) and min(m, n) copies), which the grouped counts expose
+    value-for-value.
+
+    Scale: Spark plans ``exceptAll``/``intersectAll`` as a count-
+    difference aggregate + generator (one shuffle on the value, no
+    pairwise join) — the right plan at any cardinality; the final
+    grouped count reuses the same hash key.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    ex = (
+        a.exceptAll(r)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_partkey", "n")
+    )
+    ix = (
+        a.intersectAll(r)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_partkey", "n")
+    )
+    return ex.unionByName(ix)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q121_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lpad(p_name, 15, '.') AS padded,
+           translate(p_name, 'aeiou', '#####') AS devoweled,
+           reverse(p_name) AS rev,
+           instr(p_name, 'ol') AS pos_ol,
+           length(replace(p_name, ' ', '')) AS n_nonspace,
+           substr(p_name, 1, 3) || '…' || split_part(p_name, ' ', 2)
+               AS abbrev
+    FROM part
+    """,
+)
+def q121_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface parity: upper / lpad / translate /
+    reverse / instr / replace+length / substr / concat / token
+    extraction, all as JVM codegen'd builtins evaluated identically by
+    both engines — the everyday SQL string toolkit a reference user
+    expects to keep working after switching engines.
+
+    Scale: map-only projection folded into the scan; no shuffle at all.
+    """
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lpad("p_name", 15, ".").alias("padded"),
+        F.translate("p_name", "aeiou", "#####").alias("devoweled"),
+        F.reverse("p_name").alias("rev"),
+        F.instr(F.col("p_name"), "ol").alias("pos_ol"),
+        F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))).alias(
+            "n_nonspace"
+        ),
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("…"),
+            F.split("p_name", " ").getItem(1),
+        ).alias("abbrev"),
+    )
