@@ -1581,3 +1581,72 @@ def q121_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("p_name", " ").getItem(1),
         ).alias("abbrev"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q122_array_hof",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_items,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_hi,
+           CAST(COALESCE(SUM(CASE WHEN l_quantity > 25
+                    THEN CAST(l_quantity AS DECIMAL(17,6)) END), 0)
+                AS DOUBLE) AS sum_hi_qty,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(17,6)))
+                AS DOUBLE) AS disc_qty,
+           MAX(l_quantity) AS max_q
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q122_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface: per-order line quantities as
+    a deterministic sorted array, processed entirely with HOFs —
+    ``transform`` (struct field extraction), ``filter`` (quantity gate),
+    ``zip_with`` (quantity×discount), and a TYPE-STABLE decimal
+    ``aggregate`` fold ((acc + cast(x)).cast(acc_type) — the cast-back
+    keeps the fold's accumulator type fixed, which Spark requires, while
+    staying exact). The oracle computes the identical values relationally
+    — gating that the array algebra equals the relational algebra it
+    re-expresses.
+
+    Scale: one shuffle to build per-order arrays; all HOFs are row-local
+    JVM expressions over the collected line array (bounded by lines per
+    order, ~7 — the legitimate collect_list case, unlike unbounded
+    per-user event arrays which q102 caps before collecting).
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    g = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").alias("q"),
+                F.col("l_discount").alias("d"),
+            ).alias("s"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+    )
+    qs = F.transform("arr", lambda s: s["q"])
+    hi = F.filter(qs, lambda x: x > 25)
+    prods = F.zip_with(
+        qs, F.transform("arr", lambda s: s["d"]), lambda q, d: q * d
+    )
+
+    def dec_sum(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(27,6)"),
+            lambda acc, x: (acc + x.cast("decimal(17,6)")).cast(
+                "decimal(27,6)"
+            ),
+        ).cast("double")
+
+    return g.select(
+        "l_orderkey",
+        F.size("arr").cast("long").alias("n_items"),
+        F.size(hi).cast("long").alias("n_hi"),
+        dec_sum(hi).alias("sum_hi_qty"),
+        dec_sum(prods).alias("disc_qty"),
+        F.array_max(qs).alias("max_q"),
+    )
