@@ -1,16 +1,22 @@
-"""Catalog entries for the non-SQL-expressible pipeline surfaces
-(SURVEY.md §2.11 streaming + the multimodal binary-column plumbing), so
-the driver's correctness gate exercises them every round instead of
-pytest alone. Both are rows-only by design:
+"""Catalog entries for the streaming + multimodal pipeline surfaces
+(SURVEY.md §2.11), each run as an ACTUAL Structured Streaming query (or
+Arrow decode pipeline) and — wherever the emission set is relationally
+definable — gated by a full DuckDB oracle that models the watermark
+frontier itself (the q116 pattern, generalized in round 5):
 
-- q59: Structured Streaming's append-mode emission set depends on the
-  watermark frontier after the final micro-batch — deterministic for a
-  fixed backlog, but defined by the streaming state machine, not by a
-  relational expression a SQL oracle could state. The batch-parity
-  *values* are pinned by ``tests/test_streaming.py``.
-- q60: the deterministic fake codec is byte-level (sha256 stream) — not
-  SQL-expressible; the Arrow batch shape and feature contract are pinned
-  by ``tests/test_multimodal.py``.
+- The testdata backlog is one parquet file and ``maxFilesPerTrigger=1``,
+  so the whole stream lands in a single micro-batch; availableNow then
+  runs a final no-data batch whose watermark is ``max(event_ts) − delay``
+  (Spark tracks event-time stats in MILLISECONDS, so the max is
+  ms-truncated before the delay subtracts — the oracles reproduce that
+  with ``(MAX(us) // 1000) * 1000``). Append-mode emission is exactly
+  the batch aggregate restricted to windows/sessions closed by that
+  final frontier — a pure relational predicate.
+- q60 stays rows-only: its output is the fake codec's per-image feature
+  vector itself (byte-level sha256 stream math); the Arrow batch shape
+  and feature values are pinned by ``tests/test_multimodal.py``. q64, in
+  contrast, reduces the codec output to the planted-duplicate pair set —
+  a deterministic relation the oracle states literally.
 """
 
 from __future__ import annotations
@@ -21,13 +27,34 @@ from pyspark.sql import functions as F
 from yelp_recommender_spark.queries.registry import query
 
 
-@query("q59_streaming_hourly_counts")  # rows-only: append-mode frontier
+@query(
+    "q59_streaming_hourly_counts",
+    oracle="""
+    WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    wm AS (SELECT (MAX(us) // 1000) * 1000 - 7200000000 AS frontier FROM ev),
+    w AS (SELECT (us // 3600000000) * 3600000000 AS window_start_us,
+                 event_type,
+                 COUNT(*) AS n_events,
+                 ROUND(SUM(value), 6) AS total_value
+          FROM ev GROUP BY 1, 2)
+    SELECT window_start_us, event_type, n_events, total_value
+    FROM w, wm WHERE window_start_us + 3600000000 <= frontier
+    """,
+)
 def q59_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts over the events backlog run as
     an actual Structured Streaming query (``trigger(availableNow=True)``,
     append mode) — the streaming twin of q16. Emits every window closed
     by the final watermark (max event time − 2 h); the last few open
-    windows stay in state, exactly as they would on a live stream."""
+    windows stay in state, exactly as they would on a live stream.
+
+    FULL oracle (was rows-only through r4): the emitted set is the batch
+    hourly aggregate restricted to ``window_end <= final watermark``, and
+    the single-file backlog makes that frontier a relational expression —
+    ms-truncated max event time minus the 2 h delay (module docstring).
+    Window starts surface as epoch-µs longs (timezone-representation-free
+    on both engines); the order-dependent double sum rounds at 6 on both
+    sides per the registry's float policy."""
     from yelp_recommender_spark.streaming.ops import (
         hourly_counts_stream,
         read_events_stream,
@@ -37,18 +64,53 @@ def q59_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
     out = run_to_memory(stream, "q59_hourly", output_mode="append")
     # stable ordering-independent output (the driver sorts by columns)
-    return out.select("window_start", "event_type", "n_events", "total_value")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
 
 
-@query("q61_streaming_sessions")  # rows-only: append-mode frontier
+@query(
+    "q61_streaming_sessions",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    wm AS (SELECT (MAX(us) // 1000) * 1000 - 7200000000 AS frontier FROM ev),
+    o AS (SELECT user_id, us,
+                 CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                           IS NULL
+                       OR us - LAG(us) OVER (PARTITION BY user_id
+                                             ORDER BY us) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev),
+    g AS (SELECT user_id, us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    s AS (SELECT user_id,
+                 MIN(us) AS session_start_us,
+                 MAX(us) + 1800000000 AS session_end_us,
+                 COUNT(*) AS n_events
+          FROM g GROUP BY user_id, sid)
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM s, wm WHERE session_end_us <= frontier
+    """,
+)
 def q61_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user (``session_window``, 30-min
     gap) run as a real streaming query — gates the STATEFUL merging
     window op, not just tumbling counts (VERDICT r3 #8). Append mode
     emits each session once it can no longer grow (watermark passes its
-    end + gap); boundaries are pure event-time arithmetic, so the emitted
-    set is deterministic for a fixed backlog. Batch-parity values are
-    pinned by ``tests/test_streaming.py``."""
+    end = last event + gap).
+
+    FULL oracle (was rows-only through r4): session merging is the
+    classic gap-and-island — a new island starts when the gap to the
+    previous event is ≥ 30 min (``session_window`` merges an event that
+    lands strictly inside the previous event + gap), session end = last
+    event + gap, and the emitted set is the islands whose end ≤ the
+    final ms-truncated watermark frontier (module docstring). Bounds
+    surface as epoch-µs longs."""
     from yelp_recommender_spark.streaming.ops import (
         read_events_stream,
         run_to_memory,
@@ -57,16 +119,30 @@ def q61_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sessionize_stream(read_events_stream(spark, sf_dir))
     out = run_to_memory(stream, "q61_sessions", output_mode="append")
-    return out.select("user_id", "session_start", "session_end", "n_events")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
 
 
-@query("q62_streaming_dedup")  # rows-only: stateful dedup emission set
+@query(
+    "q62_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def q62_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` — one
     row per (user_id, event_type) seen within the watermark horizon.
     Only the dedup KEY columns are returned: which physical row the
     state store keeps (its ts/value payload) is an arrival-order detail,
-    but the emitted key set is deterministic for a fixed backlog."""
+    but the emitted key set is deterministic for a fixed backlog.
+
+    FULL oracle (was rows-only through r4): dedup emission is NOT held
+    back by the watermark (the watermark only bounds state retention —
+    re-emission could occur only for key recurrences farther apart than
+    the horizon ACROSS micro-batches), and the single-file backlog is one
+    micro-batch, so the emitted set is exactly the distinct key set."""
     from yelp_recommender_spark.streaming.ops import (
         dedup_stream,
         read_events_stream,
@@ -80,15 +156,26 @@ def q62_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
-@query("q63_streaming_running_totals")  # rows-only: stateful changelog
+@query(
+    "q63_streaming_running_totals",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q63_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-(user, event_type) running count/sum emitted as a changelog in
     update mode. Over the bounded backlog the final emission per key
-    equals the batch aggregate — that parity is pinned by
-    ``tests/test_streaming.py``; the driver gates rows here (the
-    changelog emission set is defined by the micro-batch sequence, not a
-    relational expression)."""
+    equals the batch aggregate.
+
+    FULL oracle (was rows-only through r4): the changelog emission set is
+    defined by the micro-batch sequence — and the single-file backlog IS
+    one micro-batch, so the changelog holds exactly one row per key: the
+    final state, i.e. the plain batch group-by the oracle states. The
+    order-dependent double sum rounds at 6 on both sides."""
     from yelp_recommender_spark.streaming.ops import (
         read_events_stream,
         run_to_memory,
@@ -270,7 +357,15 @@ def q79_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "c_mktsegment", "value")
 
 
-@query("q64_multimodal_neardup")  # rows-only: byte-level fake codec
+@query(
+    "q64_multimodal_neardup",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id1,
+           CAST(i + 1000 AS BIGINT) AS id2,
+           CAST(1.0 AS DOUBLE) AS cos
+    FROM range(8) t(i)
+    """,
+)
 def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end modality composition — the shape a curation pipeline
     actually runs: image payloads (with planted byte-identical
@@ -284,7 +379,17 @@ def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviations, where only true duplicates stay at cosine 1 — the
     standard standardize-before-cosine move. The planted (i, i+1000)
     duplicate pairs are exactly what must survive; deterministic, pinned
-    by tests/test_multimodal.py."""
+    by tests/test_multimodal.py.
+
+    FULL oracle (was rows-only through r4): the emitted relation is
+    derivable without replaying the codec — byte-identical payloads give
+    byte-identical feature vectors, so each planted pair scores cosine
+    exactly 1.0 (survives the 6-digit round), and no distinct images may
+    cross the 0.99 threshold after centering. The oracle states that
+    relation literally: the 8 planted pairs at cos 1.0. A false negative
+    (a lost planted pair) OR a false positive (a spurious near-dup, i.e.
+    broken centering) breaks the hash — this pins the whole decode →
+    center → planner → matmul chain, not a constant."""
     from yelp_recommender_spark.cache import register_persist
     from yelp_recommender_spark.multimodal import (
         extract_image_features,
@@ -349,7 +454,49 @@ def q60_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("q89_streaming_incremental_dedup")  # rows-only: foreachBatch pipeline
+def _q89_oracle() -> str:
+    from yelp_recommender_spark.queries.dedup import (
+        DUCK_BANDS8,
+        DUCK_MINHASH16,
+        DUCK_SHINGLES3,
+        DUCK_TOKS,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    shs AS (SELECT doc_id, {DUCK_SHINGLES3} AS sh FROM t WHERE len(toks) >= 3),
+    sigs AS (SELECT doc_id, sh, {DUCK_MINHASH16} AS sig FROM shs),
+    bands AS (SELECT doc_id, unnest({DUCK_BANDS8}) AS bk FROM sigs),
+    bb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+    partners AS (
+        SELECT doc_id, bk, TRUE AS corp FROM bands WHERE doc_id % 10 < 8
+        UNION ALL
+        SELECT doc_id, bk, FALSE FROM bb
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, p.doc_id AS d2
+        FROM bb a JOIN partners p
+          ON a.bk = p.bk AND (p.corp OR p.doc_id < a.doc_id)
+    ),
+    verified AS (
+        SELECT DISTINCT d1
+        FROM cand
+        JOIN shs x ON d1 = x.doc_id
+        JOIN shs y ON d2 = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))
+              / (len(x.sh) + len(y.sh)
+                 - len(list_intersect(x.sh, y.sh))) >= 0.8
+    ),
+    s AS (SELECT COUNT(*) AS n_stream FROM documents WHERE doc_id % 10 >= 8),
+    d AS (SELECT COUNT(*) AS n_rejected FROM verified)
+    SELECT s.n_stream,
+           s.n_stream - d.n_rejected AS n_novel,
+           d.n_rejected
+    FROM s, d
+    """
+
+
+@query("q89_streaming_incremental_dedup", oracle=_q89_oracle())
 def q89_streaming_incremental_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -358,9 +505,17 @@ def q89_streaming_incremental_dedup(
     stream and each micro-batch is MinHash-matched against the static
     corpus index (doc_id % 10 < 8) in a foreachBatch sink; only novel
     docs are appended to the output. Output: one row
-    (n_stream, n_novel, n_rejected) — rows-only (the per-batch pipeline
-    is the q70 operator, whose values the q70 oracle and
-    tests/test_streaming.py's parity test pin).
+    (n_stream, n_novel, n_rejected).
+
+    FULL oracle (was rows-only through r4): the single-file backlog is
+    one micro-batch, so the rejected set is exactly q70's operator over
+    the same batch/corpus split — the oracle replays that CTE chain and
+    counts it. The catalog entry runs the PORTABLE md5 MinHash family
+    (``fast=False``) so candidate generation is hash-for-hash
+    reproducible in DuckDB; the default xxhash64 fast path differs only
+    in which near-threshold pairs the LSH surfaces (q70's probabilistic
+    candidate story) and stays the production default, parity-pinned by
+    ``tests/test_streaming.py``.
 
     Scale: the corpus index is the persisted shingle/signature table
     (computed once, reused across cycles); per micro-batch the join is
@@ -383,7 +538,7 @@ def q89_streaming_incremental_dedup(
     out_path = os.path.join(
         tempfile.gettempdir(), f"q89_novel_{uuid.uuid4().hex[:8]}"
     )
-    incremental_dedup_stream(stream, corpus, out_path)
+    incremental_dedup_stream(stream, corpus, out_path, fast=False)
     novel = spark.read.parquet(out_path)
     n_stream_df = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")

@@ -495,6 +495,7 @@ def incremental_dedup_stream(
     shingle_k: int = 3,
     timeout_s: int = 300,
     state_partitions: int | None = None,
+    fast: bool = True,
 ) -> None:
     """Streaming ingest dedup — the production shape of
     ``incremental_minhash_dedup``: each micro-batch of incoming
@@ -537,7 +538,7 @@ def incremental_dedup_stream(
             n_hashes=n_hashes,
             bands=bands,
             threshold=threshold,
-            fast=True,
+            fast=fast,
         ).select("doc_id")
         novel = batch_df.join(dups, "doc_id", "left_anti")
         novel.write.mode("append").parquet(out_path)
