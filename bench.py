@@ -7,6 +7,12 @@
 
 Each query is executed to completion (count + a cheap checksum collect) so
 the timing covers scan→shuffle→agg, not plan construction.
+
+Loss-proofing: the full payload is also rewritten to ``BENCH_local.json``
+(override with ``$SPARK_GRAFT_BENCH_OUT``) after every completed query, and
+each query prints a progress line to stderr — a truncated stdout capture or
+a mid-run crash can never lose the per-query record again (BENCH_r04 lost
+q01-q34 to exactly that).
 """
 
 from __future__ import annotations
@@ -27,6 +33,29 @@ def _sf_from_dir(d: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+ARTIFACT = os.environ.get(
+    "SPARK_GRAFT_BENCH_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+)
+
+
+def _payload(timings: dict[str, float]) -> dict:
+    return {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+
+def _write_artifact(timings: dict[str, float]) -> None:
+    tmp = ARTIFACT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(_payload(timings), f, indent=1)
+    os.replace(tmp, ARTIFACT)
 
 
 def main() -> None:
@@ -57,6 +86,12 @@ def main() -> None:
             ok = False
         if ok:
             timings[name] = round(time.perf_counter() - start, 4)
+            # progress line per query (stderr — stdout stays one JSON line)
+            print(f"# {name} {timings[name]:.3f}s", file=sys.stderr)
+            # loss-proof artifact: rewrite the full dict after EVERY query
+            # so a truncated stdout capture (BENCH_r04 lost q01-q34) or a
+            # mid-run crash can never destroy the record
+            _write_artifact(timings)
 
     # release every registry-tracked cache (token/shingle/signature
     # tables) — the run is the pipeline boundary; without this the
@@ -65,18 +100,8 @@ def main() -> None:
 
     clear_caches()
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    _write_artifact(timings)
+    print(json.dumps(_payload(timings)))
     spark.stop()
 
 
