@@ -83,3 +83,17 @@ def test_pca_whitening_gives_unit_variance(spark):  # noqa: F811
     ).head()
     for i in range(3):
         assert stats[f"v{i}"] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_whiten_degenerate_rank_fails_loudly(spark):  # noqa: F811
+    """ADVICE r4: whitening a component with (near-)zero sample variance
+    must raise instead of silently emitting NaN/Inf vectors."""
+    import pytest
+
+    from yelp_recommender_spark.operators.embed_prep import pca_project
+
+    # rank-1 data: any k >= 2 has a zero-variance second component
+    rows = [(i, [float(i), 2.0 * i, 3.0 * i]) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="zero variance"):
+        pca_project(df, k=2, whiten=True)

@@ -73,3 +73,29 @@ def test_pagerank_zero_iters_returns_init(spark):  # noqa: F811
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     ranks = {r.id: r.rank for r in pagerank(edges, iters=0).collect()}
     assert ranks == {1: 1.0, 2: 1.0}
+
+
+def test_pagerank_large_graph_path_matches_broadcast_path(
+    spark, monkeypatch
+):  # noqa: F811
+    """The non-broadcast (large-graph) code path — rank vector shuffled to
+    the persisted _src edge layout instead of broadcast — must produce the
+    same ranks as the broadcast path (ADVICE r4: the layout now follows
+    the rank-vector strategy)."""
+    import yelp_recommender_spark.operators.pagerank as pr
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    small = {
+        r.id: round(r.rank, 10) for r in pr.pagerank(edges, iters=4).collect()
+    }
+    # force the planner's "too large to broadcast" branch
+    monkeypatch.setattr(
+        "yelp_recommender_spark.operators.ann.estimated_size_bytes",
+        lambda df: 1 << 40,
+    )
+    big = {
+        r.id: round(r.rank, 10) for r in pr.pagerank(edges, iters=4).collect()
+    }
+    assert small == big

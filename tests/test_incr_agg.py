@@ -4,6 +4,8 @@ newly-appearing groups, and stay DECIMAL-exact."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import spark  # noqa: F401 (fixture)
 
 
@@ -87,3 +89,37 @@ def test_empty_delta_feed_is_identity(spark):  # noqa: F811
     assert _collect(out.select("k", "n", merged_sum("v"))) == _collect(
         state.select("k", "n", merged_sum("v"))
     )
+
+
+def test_all_null_measures_yield_null_sum_like_recompute(spark):  # noqa: F811
+    """ADVICE r4: a surviving key whose measure values are all NULL must
+    maintain sum = NULL (SQL SUM semantics), not 0 — bit-identical to a
+    from-scratch recompute of the updated fact set."""
+    from yelp_recommender_spark.operators.incr_agg import (
+        agg_state,
+        merge_deltas,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("b", None)], "k string, v double"
+    )
+    # retract a's only non-null row; insert another NULL row for b
+    deltas = spark.createDataFrame(
+        [("a", 5.0, -1), ("b", None, 1)], "k string, v double, sign int"
+    )
+    maintained = merge_deltas(
+        agg_state(base, ["k"], ["v"]), deltas, ["k"], ["v"]
+    )
+    updated_facts = spark.createDataFrame(
+        [("a", None), ("b", None), ("b", None)], "k string, v double"
+    )
+    recomputed = agg_state(updated_facts, ["k"], ["v"])
+    cols = ["k", "n", "nn_v", "sum_v"]
+    got = sorted(
+        maintained.select("k", "n", "nn_v", F.col("sum_v")).collect()
+    )
+    want = sorted(
+        recomputed.select("k", "n", "nn_v", F.col("sum_v")).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r.sum_v is None for r in got)  # the SQL-SUM NULL answer

@@ -91,6 +91,20 @@ def pca_project(
                 for i in range(k)
             ]
         ).head()
+        # fail loudly on degenerate components (k ≥ intrinsic rank,
+        # constant direction, or n=1 → sample variance 0/None): a 0
+        # scale would silently emit NaN/Inf whitened vectors (ADVICE r4)
+        degenerate = [
+            i
+            for i in range(k)
+            if stats[f"v{i}"] is None or float(stats[f"v{i}"]) < 1e-12
+        ]
+        if degenerate:
+            raise ValueError(
+                f"pca_project(whiten=True): components {degenerate} have "
+                "(near-)zero variance — the input's intrinsic rank is "
+                f"below k={k}; lower k or skip whitening"
+            )
         scales = [float(stats[f"v{i}"]) ** 0.5 for i in range(k)]
         whitened = F.array(
             *[

@@ -11,14 +11,15 @@ Dangling nodes (no out-edges) simply contribute nothing — the standard
 simplification when the caller symmetrizes or the graph has none; the
 docstring of the catalog query states which.
 
-Scale: the edge table is joined on src every iteration — it is
-repartitioned on src ONCE and persisted, so each of the k iterations
-reuses the same co-located edge partitions and only the (tiny, one row
-per node) rank vector moves. ``localCheckpoint`` every few iterations
-truncates the growing lineage (the same guard cc.py uses) — without it
-plan size and scheduler overhead grow linearly in k. Per iteration: one
-join + one aggregate, both keyed — no driver-side state beyond loop
-control.
+Scale: the edge table is partitioned ONCE and persisted, with the layout
+chosen by the rank-vector strategy — on dst when the vector broadcasts
+(map-side join, aggregate reuses the layout: shuffle-free iterations) and
+on src when it doesn't (the join reuses the persisted edge partitions;
+only the rank vector and the post-partial-agg contribution stream move —
+never the edges). ``localCheckpoint`` every few iterations truncates the
+growing lineage (the same guard cc.py uses) — without it plan size and
+scheduler overhead grow linearly in k. Per iteration: one join + one
+aggregate, both keyed — no driver-side state beyond loop control.
 """
 
 from __future__ import annotations
@@ -43,18 +44,6 @@ def pagerank(
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
-    # partitioned on DESTINATION: when the rank vector is small enough
-    # to broadcast, each iteration's join is then map-side and the
-    # contribution aggregate reuses e's _dst partitioning — the whole
-    # iteration runs shuffle-free (partial aggs only). When the node set
-    # is too large to broadcast (the 100-TB graph case), the join
-    # shuffles the RANK VECTOR to e's layout — still never the edges.
-    e = (
-        edges.join(out_deg, src)
-        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "out_deg")
-        .repartition("_dst")
-        .persist()
-    )
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -65,6 +54,21 @@ def pagerank(
 
     nsize = estimated_size_bytes(nodes)
     small_ranks = nsize is not None and 0 < nsize <= (32 << 20)
+    # Edge layout follows the rank-vector strategy (ADVICE r4): with a
+    # BROADCAST rank vector the join is map-side wherever e lives, so
+    # partition on _dst — the contribution aggregate then reuses it and
+    # the whole iteration is shuffle-free. With a too-large-to-broadcast
+    # vector (the 100-TB graph case) the join itself needs _src
+    # co-location: partition on _src ONCE so every iteration reuses the
+    # persisted edge partitions and shuffles only the rank vector in and
+    # the (≤ one row per in-edge-bearing node after partial aggs)
+    # contribution stream out — never the edges.
+    e = (
+        edges.join(out_deg, src)
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "out_deg")
+        .repartition("_dst" if small_ranks else "_src")
+        .persist()
+    )
     teleport = 1.0 - damping
     ranks = nodes.withColumn("rank", F.lit(1.0).cast(T.DoubleType()))
     for i in range(iters):

@@ -328,8 +328,15 @@ def q100_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(disc_price).alias("revenue"),
         )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            # dispatch on the grouping FLAG, not coalesce: a genuine data
+            # NULL (grouping = 0) must stay NULL, only the rollup-NULL
+            # becomes 'ALL' — mirrors the oracle's CASE WHEN GROUPING(...)
+            F.when(F.col("g_flag") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("flag"),
+            F.when(F.col("g_status") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("status"),
             "g_flag",
             "g_status",
             "n_rows",
@@ -572,7 +579,7 @@ def q103_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT SUM(n) AS total FROM c)
     SELECT event_type, n, TRUE AS sketch_found
-    FROM c, t WHERE n >= 0.1 * total
+    FROM c, t WHERE n > 0.1 * total
     """,
 )
 def q104_frequent_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,9 +587,12 @@ def q104_frequent_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df.stat.freqItems`` — Spark's single-pass misra-gries-family
     sketch — must return a SUPERSET of the truly frequent values (that is
     its documented guarantee; false positives allowed, false negatives
-    not). The query emits every exactly-frequent value (count ≥ 10% of
-    rows) with ``sketch_found`` = membership in the sketch result; the
-    oracle pins the guarantee by emitting literal TRUE.
+    not). The query emits every exactly-frequent value with
+    ``sketch_found`` = membership in the sketch result; the oracle pins
+    the guarantee by emitting literal TRUE. The exact filter is STRICT
+    (count > 10% of rows) because that is the sketch's guarantee
+    boundary: an item landing exactly ON support×total may legitimately
+    be absent from the sketch (ADVICE r4).
 
     Scale: the sketch is one map-side pass with bounded state (≤ 1/
     support candidates per partition) merged on the driver — the exact
@@ -598,7 +608,7 @@ def q104_frequent_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_w = Window.partitionBy()
     return (
         counts.withColumn("total", F.sum("n").over(total_w))
-        .filter(F.col("n") >= support * F.col("total"))
+        .filter(F.col("n") > support * F.col("total"))
         .select(
             "event_type",
             "n",
