@@ -65,3 +65,51 @@ def test_range_join_plans_a_hash_join(spark):  # noqa: F811
     assert sorted((r.pid, r.iid) for r in out.collect()) == sorted(
         (r.pid, r.iid) for r in naive.collect()
     )
+
+
+def test_auto_bucket_width_caps_outlier_explode(spark):  # noqa: F811
+    """VERDICT r4: the width must come from the interval-length stats —
+    median-sized for typical spans, widened so one whole-history outlier
+    explodes to at most max_explode buckets."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.rangejoin import (
+        auto_bucket_width,
+        range_join_points,
+    )
+
+    # 99 short spans (length 10) + one 100_000-long outlier
+    rows = [(1, i * 100, i * 100 + 10) for i in range(99)]
+    rows.append((1, 0, 100_000))
+    iv = spark.createDataFrame(rows, "k long, s long, e long")
+    w = auto_bucket_width(iv, "s", "e", max_explode=64)
+    assert w >= 100_000 // 64  # cap binds: outlier explodes to <= 64+1
+    assert w <= 100_000  # but not degenerate single-bucket-for-everything
+
+    # correctness with the derived width: every point in every covering
+    # span, exactly once (three probe points, hand-checked)
+    pts = spark.createDataFrame(
+        [(1, 5), (1, 105), (1, 99_999)], "k long, p long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in range_join_points(
+            pts, iv, keys=["k"], pt_col="p", start_col="s", end_col="e"
+        )
+        .select("p", "s", "e")
+        .collect()
+    )
+    assert got == [
+        (5, 0, 10),        # first short span
+        (5, 0, 100_000),   # outlier covers everything
+        (105, 0, 100_000),
+        (105, 100, 110),
+        (99_999, 0, 100_000),
+    ]
+
+
+def test_auto_bucket_width_empty_intervals(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.rangejoin import auto_bucket_width
+
+    iv = spark.createDataFrame([], "k long, s long, e long")
+    assert auto_bucket_width(iv, "s", "e") == 1

@@ -13,13 +13,59 @@ exactly once: no dedup pass.
 
 ``bucket_width`` trades explode factor (long intervals → many buckets)
 against join selectivity (wide buckets → more post-filtered pairs);
-size it near the median interval length.
+size it near the median interval length — or omit it and let
+:func:`auto_bucket_width` derive exactly that from the data (one cheap
+aggregate), with the per-interval explode factor capped so a few
+whole-history outlier spans can't blow the exploded row count up.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def auto_bucket_width(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_explode: int = 64,
+) -> int:
+    """Derive a bucket width from the interval-length distribution: the
+    MEDIAN length (the docstring's sizing rule), raised when necessary so
+    the LONGEST interval explodes to at most ``max_explode`` buckets.
+
+    One single-pass aggregate (approx_percentile sketch + max) over the
+    interval side only — at 100× the time range the width grows with the
+    spans, keeping the exploded row count bounded instead of linear in
+    span length (VERDICT r4). When the cap binds (heavily skewed lengths:
+    median ≪ max) a warning records the trade — wider buckets mean more
+    post-filtered candidate pairs, the audit-don't-silently-degrade rule
+    q35 uses."""
+    length = (F.col(end_col) - F.col(start_col)).cast("double")
+    row = intervals.select(
+        F.expr(
+            f"approx_percentile({end_col} - {start_col}, 0.5)"
+        ).alias("med"),
+        F.max(length).alias("mx"),
+    ).head()
+    if row is None or row["med"] is None:
+        return 1  # empty interval side: any width joins nothing
+    median_len = max(1, int(row["med"]))
+    cap_width = int(float(row["mx"]) / max_explode) + 1
+    if cap_width > median_len:
+        logger.warning(
+            "auto_bucket_width: interval lengths are skewed (median %d, "
+            "max %.0f) — widening buckets %d -> %d so the longest "
+            "interval explodes to <= %d buckets (more post-filter "
+            "candidates in exchange)",
+            median_len, float(row["mx"]), median_len, cap_width, max_explode,
+        )
+    return max(median_len, cap_width)
 
 
 def range_join_points(
@@ -29,12 +75,15 @@ def range_join_points(
     pt_col: str,
     start_col: str,
     end_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Inner join of each point to every interval (same ``keys``) with
     ``start <= pt <= end``. Output: all point columns + all interval
     columns (minus the duplicated keys). Intervals with end < start are
-    dropped (empty by definition)."""
+    dropped (empty by definition). ``bucket_width=None`` derives the
+    width from the interval-length stats (:func:`auto_bucket_width`)."""
+    if bucket_width is None:
+        bucket_width = auto_bucket_width(intervals, start_col, end_col)
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     p = points.withColumn(

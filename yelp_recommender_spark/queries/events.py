@@ -262,17 +262,27 @@ def q66_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join: each purchase counted against the
     per-(user, event_type) activity spans containing it. Spark plans the
     raw inequality join as a nested loop; the operator
-    (operators/rangejoin.py) bucketizes (1-day buckets), explodes
-    intervals to covered buckets, and equi-joins on (user, bucket) +
-    exact between-filter — one hash join, each qualifying pair emitted
-    exactly once. The oracle states the plain inequality join (fine at
-    test scale) and must agree row-for-row."""
+    (operators/rangejoin.py) bucketizes, explodes intervals to covered
+    buckets, and equi-joins on (user, bucket) + exact between-filter —
+    one hash join, each qualifying pair emitted exactly once. The bucket
+    width is DERIVED from the span-length stats (median, explode-capped
+    — r4's hardcoded 1-day constant scaled linearly with the time
+    range), so a 100× wider history widens the buckets instead of the
+    exploded row count. The oracle states the plain inequality join
+    (fine at test scale) and must agree row-for-row."""
     from yelp_recommender_spark.operators.rangejoin import range_join_points
 
+    from yelp_recommender_spark.cache import register_persist
+
     ev = with_ts_us(load_tables(spark, sf_dir, ["events"])["events"])
-    spans = ev.groupBy("user_id", "event_type").agg(
-        F.min("ts_us").alias("span_start"),
-        F.max("ts_us").alias("span_end"),
+    # persisted (session registry): the span table feeds BOTH the
+    # auto-width stats probe and the bucketized join — without the cache
+    # the events scan + span aggregate would run twice
+    spans = register_persist(
+        ev.groupBy("user_id", "event_type").agg(
+            F.min("ts_us").alias("span_start"),
+            F.max("ts_us").alias("span_end"),
+        )
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us"
@@ -283,7 +293,6 @@ def q66_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, spans.drop("event_type"),
         keys=["user_id"], pt_col="ts_us",
         start_col="span_start", end_col="span_end",
-        bucket_width=86_400_000_000,  # 1 day in µs
     )
     return joined.groupBy("event_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_spans")
