@@ -1,0 +1,60 @@
+"""Scale-sweep regression gate (VERDICT r4 #4): the five structurally
+expensive operators must grow ≲ linearly with data size — measured, not
+argued from plan inspection. Each is timed at sf0.01 and sf0.1 (10× the
+rows) in one harness; the wall-clock growth ratio must stay under a
+generous linear-ish bound that tolerates CI contention but catches a
+quadratic blowup (10× data quadratic → ~100× time ≫ the bound).
+
+Caches are cleared between runs so shared intermediates (token/shingle
+tables) can't flatter a later query, and the denominator is floored so
+fixed per-job overhead at the small scale can't inflate the ratio."""
+
+from __future__ import annotations
+
+import time
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+SWEEP_QUERIES = [
+    "q31_ngram_jaccard_pairs",
+    "q43_ann_ivf_recall",
+    "q66_range_join",
+    "q70_dedup_incremental",
+    "q109_pagerank",
+]
+MAX_GROWTH = 25.0  # 10× rows; linear ≈ 10× minus fixed overhead
+FLOOR_S = 0.5  # damp job-overhead-dominated small-scale timings
+
+
+def _timed(spark, name: str, sf_dir: str) -> float:  # noqa: F811
+    from yelp_recommender_spark.cache import clear_caches
+    from yelp_recommender_spark.queries import QUERIES
+
+    clear_caches()
+    start = time.perf_counter()
+    QUERIES[name](spark, sf_dir).count()
+    elapsed = time.perf_counter() - start
+    clear_caches()
+    return elapsed
+
+
+def test_expensive_operators_grow_linearish(spark):  # noqa: F811
+    from yelp_recommender_spark.queries import QUERIES
+
+    # warm the JVM + Python worker pool once (same move as bench.py) so
+    # the first timed query doesn't pay daemon spawn + imports
+    QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.01").count()
+    ncpu = spark.sparkContext.defaultParallelism
+    spark.range(0, ncpu, 1, ncpu).mapInPandas(lambda it: it, "id long").count()
+
+    failures = []
+    for name in SWEEP_QUERIES:
+        t_small = _timed(spark, name, "/root/testdata/sf0.01")
+        t_big = _timed(spark, name, "/root/testdata/sf0.1")
+        ratio = t_big / max(t_small, FLOOR_S)
+        if ratio >= MAX_GROWTH:
+            failures.append(
+                f"{name}: {t_small:.2f}s @sf0.01 -> {t_big:.2f}s @sf0.1 "
+                f"(ratio {ratio:.1f} >= {MAX_GROWTH})"
+            )
+    assert not failures, "superlinear growth detected:\n" + "\n".join(failures)
