@@ -339,3 +339,94 @@ def test_curate_lm_perplexity_filter(spark, tmp_path):  # noqa: F811
         for r in spark.read.parquet(os.path.join(out2, "documents")).collect()
     }
     assert 99 in kept2
+
+
+def test_curate_cli_standing_corpus_rejects_prior_run_dups(
+    spark, tmp_path
+):  # noqa: F811
+    """VERDICT r4 #7: the curate CLI's --corpus-index mode is the
+    production ingest loop — run 2 must reject duplicates of run 1's
+    survivors via the PERSISTED band-key index, and only novel docs may
+    survive and be appended."""
+    import json
+
+    from yelp_recommender_spark import cli
+
+    def _doc(i, words):
+        return (i, " ".join(words), "en", "web")
+
+    base_words = [
+        ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs",
+         f"tail{i}", "tonight"]
+        for i in range(6)
+    ]
+    run1 = [_doc(i, base_words[i]) for i in range(6)]
+    # run 2: 3 exact copies of run-1 texts (new ids) + 3 genuinely novel
+    novel_words = [
+        ["galaxies", "rotate", "slowly", "beneath", "ancient", "silent",
+         "telescopes", "watching", f"star{i}", "maps"]
+        for i in range(3)
+    ]
+    run2 = [_doc(100 + i, base_words[i]) for i in range(3)] + [
+        _doc(200 + i, novel_words[i]) for i in range(3)
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    p1 = str(tmp_path / "run1.parquet")
+    p2 = str(tmp_path / "run2.parquet")
+    spark.createDataFrame(run1, schema).write.parquet(p1)
+    spark.createDataFrame(run2, schema).write.parquet(p2)
+
+    idx = str(tmp_path / "corpus_index")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    cli.main(
+        ["curate", "--input", p1, "--output", out1, "--corpus-index", idx]
+    )
+    # index now holds run 1's survivors + the family meta
+    assert json.load(open(idx + "/meta.json"))["bands"] == 16
+    n_idx_docs = (
+        spark.read.parquet(idx + "/band_keys").select("doc_id").distinct()
+    ).count()
+    assert n_idx_docs == 6
+
+    cli.main(
+        ["curate", "--input", p2, "--output", out2, "--corpus-index", idx]
+    )
+    survivors2 = {
+        r.doc_id for r in spark.read.parquet(out2 + "/documents").collect()
+    }
+    assert survivors2 == {200, 201, 202}  # copies rejected, novel kept
+    # index grew by exactly the novel survivors
+    n_idx_after = (
+        spark.read.parquet(idx + "/band_keys").select("doc_id").distinct()
+    ).count()
+    assert n_idx_after == 9
+
+
+def test_curate_standing_corpus_report_counts(spark, tmp_path):  # noqa: F811
+    from yelp_recommender_spark.curate import curate_corpus
+
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta unique{i} end", "en", "w")
+        for i in range(4)
+    ]
+    p = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(p)
+    idx = str(tmp_path / "idx")
+    r1 = curate_corpus(
+        spark, p, str(tmp_path / "o1"), corpus_index_dir=idx
+    )
+    assert r1["n_near_dup_rejected"] == 0 and r1["corpus_index"] == idx
+    # identical batch under new ids: every doc rejected by the index
+    docs2 = [(10 + i, t, la, s) for (i, t, la, s) in docs]
+    p2 = str(tmp_path / "in2.parquet")
+    spark.createDataFrame(
+        docs2, "doc_id long, text string, lang string, source string"
+    ).write.parquet(p2)
+    r2 = curate_corpus(
+        spark, p2, str(tmp_path / "o2"), corpus_index_dir=idx
+    )
+    assert r2["n_near_dup_rejected"] == 4
+    assert r2["n_curated"] == 0

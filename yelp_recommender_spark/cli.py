@@ -385,6 +385,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     cu.add_argument("--benchmark-source", default=None)
     cu.add_argument("--mixture-alpha", type=float, default=0.5)
+    cu.add_argument(
+        "--corpus-index",
+        default=None,
+        help="standing-corpus LSH index dir: near-dedup this batch "
+        "against every prior run's survivors and append this run's "
+        "(production ingest loop)",
+    )
     mt = sub.add_parser(
         "maintain",
         help="table maintenance: small-file compaction (+ optional "
@@ -471,6 +478,7 @@ def main(argv: list[str] | None = None) -> None:
             max_bits_per_token=args.max_bits_per_token,
             benchmark_source=args.benchmark_source,
             mixture_alpha=args.mixture_alpha,
+            corpus_index_dir=args.corpus_index,
         )
         print(json.dumps(report, sort_keys=True))
         return

@@ -52,10 +52,48 @@ from yelp_recommender_spark.functions.curation import (
 from yelp_recommender_spark.functions.text import tokens_col
 from yelp_recommender_spark.operators.cc import dedup_representatives
 from yelp_recommender_spark.operators.dedup import (
+    band_key_index,
+    incremental_minhash_dedup_indexed,
     minhash_lsh_pairs,
     token_shingles,
 )
 from yelp_recommender_spark.operators.prefix import with_prefix_sum
+
+# LSH family for the standing-corpus index — band keys are
+# hash-family-specific, so these are pinned per index and validated
+# against its meta.json on reuse (same params as the in-run pair path).
+_INDEX_PARAMS = {"n_hashes": 64, "bands": 16, "fast": True}
+
+
+def _index_meta_path(corpus_index_dir: str) -> str:
+    return os.path.join(corpus_index_dir, "meta.json")
+
+
+def _validate_index_meta(corpus_index_dir: str) -> None:
+    """A band-key index only answers queries under the hash family it was
+    built with — reject a params mismatch instead of silently returning
+    zero candidates."""
+    import json
+
+    path = _index_meta_path(corpus_index_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            meta = json.load(f)
+        if meta != _INDEX_PARAMS:
+            raise ValueError(
+                f"corpus index at {corpus_index_dir} was built with "
+                f"{meta}, engine expects {_INDEX_PARAMS}"
+            )
+
+
+def _write_index_meta(corpus_index_dir: str) -> None:
+    import json
+
+    path = _index_meta_path(corpus_index_dir)
+    if not os.path.exists(path):
+        os.makedirs(corpus_index_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_INDEX_PARAMS, f)
 
 
 def curate_corpus(
@@ -72,6 +110,7 @@ def curate_corpus(
     benchmark_source: str | None = None,
     decontam_gram_n: int = 5,
     mixture_alpha: float = 0.5,
+    corpus_index_dir: str | None = None,
 ) -> dict:
     """Run the full curation pipeline; returns the stage-count report.
 
@@ -79,7 +118,16 @@ def curate_corpus(
     ``documents.parquet``), or ``synthetic:rows=N[,partitions=P]
     [,dup_rate=F]`` to curate a generated corpus of any size
     (:mod:`yelp_recommender_spark.sources.synthetic` — no files, scale
-    is a read option)."""
+    is a read option).
+
+    ``corpus_index_dir`` switches the near-dup stage to STANDING-CORPUS
+    mode — the production ingest loop: the batch is MinHash-matched
+    against the persisted band-key index of every PRIOR run's survivors
+    (plus smaller-id docs of the same batch, keep-first), and this run's
+    survivors are appended to the index afterwards, so run N+1 rejects
+    run N's duplicates without ever recomputing corpus signatures. doc_ids
+    must be unique across runs. Without it the near-dup stage dedups
+    within the input only (connected-components representatives)."""
     cache_mark = registry_mark()
     if input_path.startswith("synthetic:"):
         from yelp_recommender_spark.sources.synthetic import register
@@ -128,23 +176,50 @@ def curate_corpus(
         exact.withColumn("shingles", token_shingles("toks", k=3))
     )
     n_exact = shingled.count()  # materializes the persisted boundary
-    pairs = minhash_lsh_pairs(
-        shingled,
-        id_col="doc_id",
-        shingle_col="shingles",
-        n_hashes=64,
-        bands=16,
-        threshold=near_dup_threshold,
-        fast=True,
-    )
-    reps = dedup_representatives(shingled, pairs, id_col="doc_id")
-    deduped = shingled.join(
-        reps.filter(F.col("doc_id") == F.col("representative")).select(
-            "doc_id"
-        ),
-        "doc_id",
-        "left_semi",
-    )
+    n_near_dup_rejected: int | None = None
+    if corpus_index_dir is not None:
+        idx_bk_path = os.path.join(corpus_index_dir, "band_keys")
+        idx_sh_path = os.path.join(corpus_index_dir, "shingles")
+        _validate_index_meta(corpus_index_dir)
+        if os.path.exists(idx_bk_path):
+            idx_bk = spark.read.parquet(idx_bk_path)
+            idx_sh = spark.read.parquet(idx_sh_path)
+        else:  # first run: empty corpus, within-batch keep-first only
+            idx_bk = spark.createDataFrame([], "doc_id long, bk string")
+            idx_sh = spark.createDataFrame(
+                [], "doc_id long, shingles array<string>"
+            )
+        rejected = register_persist(
+            incremental_minhash_dedup_indexed(
+                shingled,
+                idx_bk,
+                idx_sh,
+                id_col="doc_id",
+                shingle_col="shingles",
+                threshold=near_dup_threshold,
+                **_INDEX_PARAMS,
+            ).select("doc_id")
+        )
+        n_near_dup_rejected = rejected.count()
+        deduped = shingled.join(rejected, "doc_id", "left_anti")
+    else:
+        pairs = minhash_lsh_pairs(
+            shingled,
+            id_col="doc_id",
+            shingle_col="shingles",
+            n_hashes=64,
+            bands=16,
+            threshold=near_dup_threshold,
+            fast=True,
+        )
+        reps = dedup_representatives(shingled, pairs, id_col="doc_id")
+        deduped = shingled.join(
+            reps.filter(F.col("doc_id") == F.col("representative")).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
 
     # ---- optional perplexity filter (bigram LM trained on the deduped
     # survivors themselves — the standard post-dedup placement: training
@@ -201,6 +276,26 @@ def curate_corpus(
         os.path.join(output_dir, "documents")
     )
 
+    if corpus_index_dir is not None:
+        # append THIS run's survivors to the standing index — signatures
+        # computed once here, never again (map-only; append scopes to the
+        # new files, the existing index bytes are untouched)
+        surviving = shingled.join(
+            curated.select("doc_id"), "doc_id", "left_semi"
+        )
+        band_key_index(
+            surviving,
+            id_col="doc_id",
+            shingle_col="shingles",
+            n_hashes=_INDEX_PARAMS["n_hashes"],
+            bands=_INDEX_PARAMS["bands"],
+            fast=_INDEX_PARAMS["fast"],
+        ).write.mode("append").parquet(idx_bk_path)
+        surviving.select("doc_id", "shingles").write.mode("append").parquet(
+            idx_sh_path
+        )
+        _write_index_meta(corpus_index_dir)
+
     mixture = mixture_weights(
         curated.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -236,6 +331,12 @@ def curate_corpus(
         "n_input": n_input,
         "n_after_quality": int(n_quality),
         "n_after_exact_dedup": int(n_exact),
+        "n_near_dup_rejected": (
+            int(n_near_dup_rejected)
+            if n_near_dup_rejected is not None
+            else None
+        ),
+        "corpus_index": corpus_index_dir,
         "n_lm_filtered": int(n_lm_filtered),
         "n_curated": int(n_curated),
         "n_training_blocks": int(n_blocks_row.m) + 1

@@ -506,23 +506,71 @@ def incremental_minhash_dedup(
     Scale: corpus signatures/band keys are a map-only pass that an ingest
     pipeline computes ONCE and persists alongside the corpus (the
     signature table IS the dedup index — append the surviving batch's
-    signatures each cycle); per cycle the work is band-join of the small
-    batch against the indexed corpus keys, never corpus × corpus."""
-    from yelp_recommender_spark.operators.topk import top_n_per_key
+    signatures each cycle, which is exactly what
+    :func:`incremental_minhash_dedup_indexed` + the curate pipeline's
+    standing-corpus mode do); per cycle the work is band-join of the
+    small batch against the indexed corpus keys, never corpus × corpus."""
+    return incremental_minhash_dedup_indexed(
+        batch,
+        band_key_index(
+            corpus, id_col=id_col, shingle_col=shingle_col,
+            n_hashes=n_hashes, bands=bands, fast=fast,
+        ),
+        corpus.select(id_col, shingle_col),
+        id_col=id_col,
+        shingle_col=shingle_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=threshold,
+        fast=fast,
+    )
 
+
+def band_key_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    n_hashes: int = 16,
+    bands: int = 8,
+    fast: bool = False,
+) -> DataFrame:
+    """The persistable LSH dedup index: one (id, band-key) row per band
+    per document — the map-only table an ingest pipeline stores alongside
+    the corpus and appends each cycle's survivors to. Band keys are
+    hash-family-specific: an index must be queried with the SAME
+    (n_hashes, bands, fast) it was built with."""
     rows = n_hashes // bands
     sig_fn = minhash_signature_fast if fast else minhash_signature
+    sigs = docs.select(id_col, sig_fn(shingle_col, n_hashes).alias("_sig"))
+    return sigs.select(
+        id_col, F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk")
+    )
 
-    def band_keys(docs: DataFrame) -> DataFrame:
-        sigs = docs.select(
-            id_col, sig_fn(shingle_col, n_hashes).alias("_sig")
-        )
-        return sigs.select(
-            id_col, F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk")
-        )
 
-    bk_batch = band_keys(batch)
-    partners = band_keys(corpus).withColumn(
+def incremental_minhash_dedup_indexed(
+    batch: DataFrame,
+    corpus_band_keys: DataFrame,
+    corpus_features: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    fast: bool = False,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup` against a PRECOMPUTED corpus
+    index: ``corpus_band_keys`` is the persisted (id, bk) table
+    (:func:`band_key_index`) and ``corpus_features`` the (id, shingles)
+    table used for exact Jaccard verification — the standing-corpus
+    production loop where corpus signatures are never recomputed.
+    Semantics and output are identical to the non-indexed form."""
+    from yelp_recommender_spark.operators.topk import top_n_per_key
+
+    bk_batch = band_key_index(
+        batch, id_col=id_col, shingle_col=shingle_col,
+        n_hashes=n_hashes, bands=bands, fast=fast,
+    )
+    partners = corpus_band_keys.select(id_col, "bk").withColumn(
         "corp", F.lit(True)
     ).unionByName(bk_batch.withColumn("corp", F.lit(False)))
     lhs = bk_batch.select(F.col(id_col).alias("d1"), "bk")
@@ -536,7 +584,7 @@ def incremental_minhash_dedup(
         .select("d1", "d2")
         .distinct()
     )
-    features = corpus.select(id_col, shingle_col).unionByName(
+    features = corpus_features.select(id_col, shingle_col).unionByName(
         batch.select(id_col, shingle_col)
     )
     verified = jaccard_verify_pairs(
