@@ -10,7 +10,7 @@ import json
 
 import pytest
 
-from tests.conftest import spark  # noqa: F401 (fixture)
+from tests.conftest import SF_DIR, spark  # noqa: F401 (fixture)
 
 from yelp_recommender_spark import fixtures as FX
 
@@ -281,3 +281,27 @@ def test_cli_maintain_fails_on_violation(spark, tmp_path):  # noqa: F811
                 ]
             )
     assert exc.value.code == 2
+
+
+def test_cli_explain_audits_a_query(spark, tmp_path, capsys):  # noqa: F811
+    """The explain subcommand dumps PLANS.md-style node counts — the
+    plan-pin methodology as a user-facing tool (VERDICT r4 #8)."""
+    import pytest
+
+    from yelp_recommender_spark import cli
+
+    md = str(tmp_path / "audit.md")
+    cli.main(
+        ["explain", "--query", "q01_pricing_summary", "--markdown", md,
+         "--sf-dir", SF_DIR]
+    )
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary: exchanges: 1" in out
+    assert "1 with pushed filters" in out
+    content = open(md).read()
+    assert "## q01_pricing_summary" in content
+
+    with pytest.raises(SystemExit):
+        cli.main(["explain", "--query", "nonexistent_query"])
+    with pytest.raises(SystemExit):
+        cli.main(["explain"])

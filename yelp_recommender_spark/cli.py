@@ -352,6 +352,27 @@ def evaluate(
 
 
 # --------------------------------------------------------------------------
+_PLANS_HEADER = """# PLANS — physical-plan audit of the query catalog
+
+Node counts from `explain('formatted')` at sf0.001 — each physical
+node appears once (cached/reused subtrees are referenced, not
+re-expanded). Plan SHAPE is scale-independent; AQE may swap a
+shuffled join to broadcast at runtime when a side turns out small.
+Generated by `python -m yelp_recommender_spark.cli explain --all
+--markdown PLANS.md`. Notes:
+
+- `InMemoryTableScan` = reads of the session cache registry's shared
+  tables (token/shingle/signature tables computed once per session).
+- A `BroadcastNestedLoopJoin` over a 1-row side (scalar fold such as
+  n_docs) is benign; the catalog-wide no-CartesianProduct rule is
+  enforced by tests/test_plans.py, as are per-query pins (pruned
+  scans, broadcast dims, exchange counts).
+- Streaming / iterative-ML entries are excluded (their plans live in
+  execution harnesses, not the returned batch frame).
+
+"""
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="yelp_recommender_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -391,6 +412,25 @@ def main(argv: list[str] | None = None) -> None:
         help="standing-corpus LSH index dir: near-dedup this batch "
         "against every prior run's survivors and append this run's "
         "(production ingest loop)",
+    )
+    ex = sub.add_parser(
+        "explain",
+        help="physical-plan audit: PLANS.md-style node counts for a "
+        "catalog query (or --all), plus the full formatted plan on "
+        "demand",
+    )
+    ex.add_argument("--query", default=None, help="catalog query name")
+    ex.add_argument(
+        "--all", action="store_true", help="audit the whole catalog"
+    )
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--full", action="store_true",
+        help="also print the full explain('formatted') text",
+    )
+    ex.add_argument(
+        "--markdown", default=None,
+        help="write the audit as a PLANS.md-style markdown file",
     )
     mt = sub.add_parser(
         "maintain",
@@ -461,6 +501,34 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(report, sort_keys=True))
         if failed:
             raise SystemExit(2)
+        return
+    if args.cmd == "explain":
+        from yelp_recommender_spark.planaudit import (
+            audit_catalog,
+            audit_line,
+            formatted_plan,
+            plan_node_counts,
+        )
+        from yelp_recommender_spark.queries import QUERIES
+
+        if not args.all and not args.query:
+            raise SystemExit("explain: pass --query NAME or --all")
+        spark = get_spark(app_name="yelp_recommender_explain")
+        names = None if args.all else [args.query]
+        if names and names[0] not in QUERIES:
+            raise SystemExit(f"unknown query {names[0]!r}")
+        audits = audit_catalog(spark, args.sf_dir, names)
+        lines = []
+        for name, counts in audits.items():
+            lines.append(f"## {name}")
+            lines.append(f"- {audit_line(counts)}")
+            lines.append("")
+            print(f"{name}: {audit_line(counts)}")
+        if args.full and args.query:
+            print(formatted_plan(QUERIES[args.query](spark, args.sf_dir)))
+        if args.markdown:
+            with open(args.markdown, "w") as f:
+                f.write(_PLANS_HEADER + "\n".join(lines))
         return
     if args.cmd == "curate":
         from yelp_recommender_spark.curate import curate_corpus
