@@ -429,13 +429,63 @@ def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q60_multimodal_image_features")  # rows-only: byte-level fake codec
+def _q60_oracle() -> str:
+    """Independent pure-Python replay of the q60 chain (payload synth →
+    fake decode → channel means + 8-bin histogram → feature mean),
+    emitted as a literal VALUES table. The replay shares only numpy/
+    hashlib with the engine — none of the Spark/Arrow/mapInPandas
+    machinery the query gates — and the fold order matches Spark's
+    ``F.aggregate`` left fold exactly (plain in-order sum from 0.0), so
+    the rounded values are bit-identical."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(64):
+        w, h, c = 16 + (i % 4) * 8, 16 + (i % 3) * 8, 3
+        need = w * h * c
+        out = bytearray()
+        counter = 0
+        while len(out) < need:
+            out.extend(
+                hashlib.sha256(f"{i}:{counter}".encode()).digest()
+            )
+            counter += 1
+        img = np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(
+            h, w, c
+        )
+        means = img.reshape(-1, c).mean(axis=0) / 255.0
+        hist = np.bincount(
+            (img.ravel().astype(np.int64) * 8) // 256, minlength=8
+        ).astype(np.float64)
+        hist = hist / hist.sum()
+        feats = np.concatenate([means, hist]).tolist()
+        acc = 0.0
+        for x in feats:  # F.aggregate's left fold, same order
+            acc += x
+        rows.append(f"({i}, {len(feats)}, {acc / len(feats)!r})")
+    values = ",\n           ".join(rows)
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_features AS INT) AS n_features,
+           round(CAST(mean_raw AS DOUBLE), 6) AS mean_feature
+    FROM (VALUES {values}) AS t(media_id, n_features, mean_raw)
+    """
+
+
+@query("q60_multimodal_image_features", oracle=_q60_oracle())
 def q60_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: a deterministic 64-image media
     table (binary payload + typed meta struct) → Arrow-batched
     ``mapInPandas`` decode + feature extraction (channel means + 8-bin
     histogram) → per-image feature summary. Map-only; payloads never
-    cross a shuffle (they are projected away before the final select)."""
+    cross a shuffle (they are projected away before the final select).
+
+    FULL oracle (was rows-only through r4): the codec is deterministic
+    byte math, so the whole chain replays in pure Python at oracle-build
+    time (:func:`_q60_oracle`) — the oracle pins every per-image value
+    the Spark/Arrow pipeline produces, independent of that pipeline."""
     from yelp_recommender_spark.multimodal import (
         extract_image_features,
         synthesize_media,
