@@ -8,6 +8,9 @@
 Each query is executed to completion (count + a cheap checksum collect) so
 the timing covers scan→shuffle→agg, not plan construction.
 
+``$SPARK_GRAFT_BENCH_QUERIES`` (comma-separated names) restricts the run
+to a subset — the iteration loop for optimizing one query.
+
 Loss-proofing: the full payload is also rewritten to ``BENCH_local.json``
 (override with ``$SPARK_GRAFT_BENCH_OUT``) after every completed query, and
 each query prints a progress line to stderr — a truncated stdout capture or
@@ -73,8 +76,18 @@ def main() -> None:
     ncpu = spark.sparkContext.defaultParallelism
     spark.range(0, ncpu, 1, ncpu).mapInPandas(lambda it: it, "id long").count()
 
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = (
+        [n.strip() for n in subset.split(",") if n.strip()]
+        if subset
+        else sorted(QUERIES)
+    )
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in names:
         fn = QUERIES[name]
         start = time.perf_counter()
         try:

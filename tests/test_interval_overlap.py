@@ -70,3 +70,26 @@ def test_key_scoping(spark):  # noqa: F811
     right = [(1, 9, 5, 6), (2, 8, 50, 60)]
     got = _pairs(spark, left, right, ["k"], 4)
     assert got == _brute(left, right, with_key=True) == [(1, 9)]
+
+
+def test_overlap_join_auto_width_matches_explicit(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 10), (1, 20, 30), (2, 5, 50)], "k long, s1 long, e1 long"
+    )
+    b = spark.createDataFrame(
+        [(1, 8, 25), (2, 0, 4), (2, 40, 60)], "k long, s2 long, e2 long"
+    )
+
+    def rows(width):
+        return sorted(
+            tuple(r)
+            for r in interval_overlap_join(
+                a, b, ["k"], "s1", "e1", "s2", "e2", bucket_width=width
+            ).collect()
+        )
+
+    assert rows(None) == rows(7) and len(rows(None)) == 3

@@ -113,11 +113,13 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Interval × interval overlap join: every (left, right) pair sharing
     ``keys`` with ``l_start <= r_end AND r_start <= l_end`` (closed
-    intervals), emitted exactly once.
+    intervals), emitted exactly once. ``bucket_width=None`` derives the
+    width from BOTH sides' interval-length stats (both explode here, so
+    the sizing pool is their union).
 
     Unlike the point case, BOTH sides explode to their covered buckets,
     so an overlapping pair meets in every bucket their spans share; the
@@ -131,6 +133,15 @@ def interval_overlap_join(
     (one hot time range) respond to AQE skew splitting since the join is
     a plain equi-join.
     """
+    if bucket_width is None:
+        lengths = left.select(
+            (F.col(l_end) - F.col(l_start)).alias("_len")
+        ).unionByName(
+            right.select((F.col(r_end) - F.col(r_start)).alias("_len"))
+        )
+        bucket_width = auto_bucket_width(
+            lengths.withColumn("_zero", F.lit(0)), "_zero", "_len"
+        )
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
 
