@@ -150,3 +150,55 @@ def test_log_exclusions_warns_on_fully_hot_docs(spark, caplog):  # noqa: F811
             docs, threshold=0.5, df_cap=2, log_exclusions=True
         ).collect()
     assert any("invisible" in r.message for r in caplog.records)
+
+
+def test_indexed_dedup_survives_parquet_round_trip(spark, tmp_path):  # noqa: F811
+    """The standing-corpus contract: band keys + shingles written to
+    parquet and read back must give the same rejections as the in-memory
+    corpus path (the index IS the persisted form)."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.dedup import (
+        band_key_index,
+        incremental_minhash_dedup,
+        incremental_minhash_dedup_indexed,
+        token_shingles,
+    )
+
+    texts = [
+        (i, f"one two three four five six seven unique{i} tail")
+        for i in range(8)
+    ] + [(100, "one two three four five six seven unique3 tail")]  # dup of 3
+    docs = (
+        spark.createDataFrame(texts, "doc_id long, text string")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("shingles", token_shingles("toks", k=3))
+        .select("doc_id", "shingles")
+    )
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+
+    direct = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            batch, corpus, n_hashes=16, bands=8, threshold=0.8
+        ).collect()
+    )
+
+    bk_path = str(tmp_path / "band_keys")
+    sh_path = str(tmp_path / "shingles")
+    band_key_index(corpus, n_hashes=16, bands=8).write.parquet(bk_path)
+    corpus.write.parquet(sh_path)
+    via_disk = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup_indexed(
+            batch,
+            spark.read.parquet(bk_path),
+            spark.read.parquet(sh_path),
+            n_hashes=16,
+            bands=8,
+            threshold=0.8,
+        ).collect()
+    )
+    assert direct == via_disk
+    assert len(direct) == 1 and direct[0][0] == 100  # the planted dup
