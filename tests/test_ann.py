@@ -349,3 +349,47 @@ def test_similarity_planner_routes_by_cardinality(neardup_df):
         )
     )
     assert direct_lsh == brute
+
+
+def test_ivf_index_persists_and_serves(spark, tmp_path):  # noqa: F811
+    """The production IVF loop: train once, persist assignments +
+    centers to parquet, serve query batches from the reloaded index —
+    results identical to the inline train-and-query path."""
+    from tests.conftest import SF_DIR
+
+    from yelp_recommender_spark.operators.ann import (
+        centers_from_df,
+        centers_to_df,
+        ivf_fit_assign,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").limit(300)
+    queries = emb.limit(20)
+
+    inline = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            queries, emb, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    )
+
+    assigned, centers = ivf_fit_assign(emb, n_centroids=8)
+    a_path, c_path = str(tmp_path / "assign"), str(tmp_path / "centers")
+    assigned.write.parquet(a_path)
+    centers_to_df(spark, centers).write.parquet(c_path)
+    served = sorted(
+        tuple(r)
+        for r in ivf_topk_indexed(
+            queries,
+            spark.read.parquet(a_path),
+            centers_from_df(spark.read.parquet(c_path)),
+            k=5,
+            n_probe=8,
+        ).collect()
+    )
+    # n_probe = n_centroids ⇒ both paths score the full index: results
+    # must be identical even though the two KMeans fits could seed-match
+    # or not — scoring covers everything either way
+    assert inline == served and len(served) > 0

@@ -602,6 +602,27 @@ def ivf_topk(
     assigned, centers = ivf_fit_assign(
         index, id_col, vec_col, n_centroids, seed, max_iter
     )
+    return ivf_topk_indexed(
+        queries, assigned, centers, k, n_probe, id_col, vec_col
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centers: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` served from a PREBUILT index — ``assignments``
+    is the (id, vec, centroid_id) table :func:`ivf_fit_assign` produced
+    (typically read back from parquet) and ``centers`` its routing
+    matrix (:func:`centers_from_df`). This is the production serving
+    loop: train once, persist assignments + centers alongside the
+    corpus, answer every query batch map-only against the persisted
+    table — the quantizer is never refit per batch."""
     spark = queries.sparkSession
     n_probe = min(n_probe, centers.shape[0])
     q_ids, q_mat, route = probe_routing(
@@ -651,7 +672,7 @@ def ivf_topk(
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
     cand = (
-        assigned.mapInPandas(score, pair_schema)
+        assignments.mapInPandas(score, pair_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a vector can sit in several probed lists of one query → dedup
         .groupBy("query_id", "neighbor_id")
@@ -666,6 +687,35 @@ def ivf_topk(
         rank_col="rank",
         keep_rank=True,
     ).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def centers_to_df(spark, centers: np.ndarray) -> DataFrame:
+    """The IVF routing matrix as a relational table (centroid_id,
+    center) — persist with ``.write.parquet`` next to the assignment
+    table; together they ARE the serving index for
+    :func:`ivf_topk_indexed` (the PQ twin is
+    :func:`~yelp_recommender_spark.operators.pq.codebooks_to_df`)."""
+    rows = [
+        (i, [float(x) for x in centers[i]]) for i in range(centers.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, center array<double>"
+    )
+
+
+def centers_from_df(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`centers_to_df` (row order irrelevant — positions
+    come from centroid_id). Raises on empty or ragged input."""
+    rows = df.select("centroid_id", "center").collect()
+    if not rows:
+        raise ValueError("centers_from_df: empty table")
+    dim = len(rows[0][1])
+    centers = np.zeros((max(r[0] for r in rows) + 1, dim), dtype=np.float64)
+    for cid, center in rows:
+        if len(center) != dim:
+            raise ValueError("centers_from_df: ragged center arrays")
+        centers[cid] = center
+    return centers
 
 
 def estimated_size_bytes(df: DataFrame) -> int | None:
