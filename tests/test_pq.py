@@ -205,3 +205,54 @@ def test_codebook_parquet_round_trip(neardup_df, spark, tmp_path):  # noqa: F811
     a = {r.vec_id: tuple(r.codes) for r in pq_encode(neardup_df, books).collect()}
     b = {r.vec_id: tuple(r.codes) for r in pq_encode(neardup_df, back).collect()}
     assert a == b
+
+
+def test_ivfpq_index_persists_and_serves(spark, tmp_path):  # noqa: F811
+    """Train + encode once, persist codes/centers/codebooks to parquet,
+    serve from the reloaded artifacts — identical to the inline path."""
+    from tests.conftest import SF_DIR
+
+    from yelp_recommender_spark.operators.ann import (
+        centers_from_df,
+        centers_to_df,
+        ivf_fit_assign,
+    )
+    from yelp_recommender_spark.operators.pq import (
+        codebooks_from_df,
+        codebooks_to_df,
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        pq_encode,
+        train_codebooks,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").limit(300)
+    queries = emb.limit(15)
+    kw = dict(k=5, n_centroids=8, n_probe=8, m=4, ksub=16)
+
+    inline = sorted(
+        tuple(r) for r in ivfpq_topk(queries, emb, **kw).collect()
+    )
+
+    assigned, centers = ivf_fit_assign(emb, n_centroids=8)
+    books = train_codebooks(assigned, vec_col="vec", m=4, ksub=16)
+    coded = pq_encode(assigned, books, "vec_id", "vec",
+                      passthrough=["centroid_id"])
+    for df, name in [
+        (coded, "codes"),
+        (centers_to_df(spark, centers), "centers"),
+        (codebooks_to_df(spark, books), "books"),
+    ]:
+        df.write.parquet(str(tmp_path / name))
+    served = sorted(
+        tuple(r)
+        for r in ivfpq_topk_indexed(
+            queries,
+            spark.read.parquet(str(tmp_path / "codes")),
+            centers_from_df(spark.read.parquet(str(tmp_path / "centers"))),
+            codebooks_from_df(spark.read.parquet(str(tmp_path / "books"))),
+            k=5,
+            n_probe=8,
+        ).collect()
+    )
+    assert inline == served and len(served) > 0

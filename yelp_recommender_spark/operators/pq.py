@@ -426,9 +426,34 @@ def ivfpq_topk(
     coded = pq_encode(
         assigned, books, id_col, "vec", passthrough=["centroid_id"]
     )
+    return ivfpq_topk_indexed(
+        queries, coded, centers, books, k, n_probe, id_col, vec_col
+    )
 
+
+def ivfpq_topk_indexed(
+    queries: DataFrame,
+    coded: DataFrame,
+    centers: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivfpq_topk` served from a PREBUILT index — ``coded`` is
+    the (id, codes, centroid_id) table :func:`pq_encode` produced over
+    the IVF assignments (typically read back from parquet), ``centers``
+    the routing matrix
+    (:func:`~yelp_recommender_spark.operators.ann.centers_from_df`) and
+    ``books`` the codebooks (:func:`codebooks_from_df`). The production
+    serving loop: train + encode once, persist the three artifacts,
+    answer every query batch map-only against the persisted code table
+    — quantizers are never refit per batch."""
     from yelp_recommender_spark.operators.ann import probe_routing
+    from yelp_recommender_spark.operators.topk import top_n_per_key
 
+    spark = queries.sparkSession
     n_probe = min(n_probe, centers.shape[0])
     m_, ksub_, dsub = books.shape
     q_ids, q_mat, route = probe_routing(
