@@ -393,3 +393,44 @@ def test_ivf_index_persists_and_serves(spark, tmp_path):  # noqa: F811
     # must be identical even though the two KMeans fits could seed-match
     # or not — scoring covers everything either way
     assert inline == served and len(served) > 0
+
+
+def test_ann_cli_build_query_round_trip(spark, tmp_path, capsys):  # noqa: F811
+    """ann-build persists a self-describing index; ann-query serves
+    top-k from it without refitting — the CLI face of the train-once
+    serving loop, for both tiers."""
+    import json
+
+    from tests.conftest import SF_DIR
+
+    from yelp_recommender_spark import cli
+
+    src = SF_DIR + "/embeddings.parquet"
+    qp = str(tmp_path / "queries")
+    spark.read.parquet(src).limit(10).write.parquet(qp)
+
+    for tier in ("ivf", "ivfpq"):
+        idx = str(tmp_path / f"idx_{tier}")
+        out = str(tmp_path / f"out_{tier}")
+        cli.main(
+            ["ann-build", "--input", src, "--index-dir", idx,
+             "--tier", tier, "--n-centroids", "8", "--m", "4",
+             "--ksub", "16"]
+        )
+        built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert built["tier"] == tier and built["n_indexed"] > 0
+        cli.main(
+            ["ann-query", "--index-dir", idx, "--queries", qp,
+             "--output", out, "--k", "5", "--n-probe", "8"]
+        )
+        queried = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert queried["n_results"] > 0
+        res = spark.read.parquet(out)
+        score = "cos" if tier == "ivf" else "cos_pq"
+        assert set(res.columns) == {"query_id", "neighbor_id", score, "rank"}
+        # every query got at most k rows, ranked from 1
+        per_q = res.groupBy("query_id").count().collect()
+        assert all(r["count"] <= 5 for r in per_q)
+        assert res.filter("rank = 1").count() == len(per_q)

@@ -1,0 +1,150 @@
+"""Persisted ANN index lifecycle — build once / serve many, as a library
+and CLI surface (``cli.py ann-build`` / ``ann-query``).
+
+An index directory is self-describing:
+
+    <dir>/meta.json       tier + build params (validated at query time)
+    <dir>/assignments/    IVF: (id, vec, centroid_id) parquet
+    <dir>/codes/          IVF-PQ: (id, codes, centroid_id) parquet
+    <dir>/centers/        routing matrix (centroid_id, center)
+    <dir>/codebooks/      IVF-PQ: (subspace, code, center)
+
+Scale: building is the train-once cost (distributed KMeans + map-only
+encode); querying refits nothing — the routing table and codebooks are a
+few hundred KB of driver state regardless of corpus size, and scoring is
+the map-only Arrow pass over the persisted table
+(:func:`~yelp_recommender_spark.operators.ann.ivf_topk_indexed`,
+:func:`~yelp_recommender_spark.operators.pq.ivfpq_topk_indexed`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TIERS = ("ivf", "ivfpq")
+
+
+def build_ann_index(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    tier: str = "ivf",
+    n_centroids: int = 64,
+    m: int = 8,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Train + persist an ANN index over a parquet table of embeddings;
+    returns the build report (row counts + artifact paths)."""
+    from yelp_recommender_spark.operators.ann import (
+        centers_to_df,
+        ivf_fit_assign,
+    )
+
+    if tier not in TIERS:
+        raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
+    df = spark.read.parquet(input_path)
+    assigned, centers = ivf_fit_assign(
+        df, id_col, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    n_rows: int
+    if tier == "ivf":
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "assignments")
+        )
+        n_rows = spark.read.parquet(
+            os.path.join(index_dir, "assignments")
+        ).count()
+    else:
+        from yelp_recommender_spark.cache import clear_caches, register_persist, registry_mark
+        from yelp_recommender_spark.operators.pq import (
+            codebooks_to_df,
+            pq_encode,
+            train_codebooks,
+        )
+
+        mark = registry_mark()
+        assigned = register_persist(assigned)  # codebook sample + encode
+        books = train_codebooks(
+            assigned, id_col=id_col, vec_col="vec", m=m, ksub=ksub,
+            seed=seed,
+        )
+        pq_encode(
+            assigned, books, id_col, "vec", passthrough=["centroid_id"]
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+        codebooks_to_df(spark, books).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "codebooks")
+        )
+        n_rows = spark.read.parquet(os.path.join(index_dir, "codes")).count()
+        clear_caches(since=mark)
+    centers_to_df(spark, centers).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centers")
+    )
+    meta = {
+        "tier": tier,
+        "n_centroids": n_centroids,
+        "m": m,
+        "ksub": ksub,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "seed": seed,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"tier": tier, "n_indexed": int(n_rows), "index_dir": index_dir}
+
+
+def query_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame | str,
+    k: int = 10,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Top-k neighbors for a query table (DataFrame or parquet path)
+    against a persisted index — dispatches on the index's meta.json."""
+    from yelp_recommender_spark.operators.ann import (
+        centers_from_df,
+        ivf_topk_indexed,
+    )
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if isinstance(queries, str):
+        queries = spark.read.parquet(queries)
+    centers = centers_from_df(
+        spark.read.parquet(os.path.join(index_dir, "centers"))
+    )
+    if meta["tier"] == "ivf":
+        return ivf_topk_indexed(
+            queries,
+            spark.read.parquet(os.path.join(index_dir, "assignments")),
+            centers,
+            k=k,
+            n_probe=n_probe,
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+        )
+    from yelp_recommender_spark.operators.pq import (
+        codebooks_from_df,
+        ivfpq_topk_indexed,
+    )
+
+    return ivfpq_topk_indexed(
+        queries,
+        spark.read.parquet(os.path.join(index_dir, "codes")),
+        centers,
+        codebooks_from_df(
+            spark.read.parquet(os.path.join(index_dir, "codebooks"))
+        ),
+        k=k,
+        n_probe=n_probe,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )

@@ -432,6 +432,28 @@ def main(argv: list[str] | None = None) -> None:
         "--markdown", default=None,
         help="write the audit as a PLANS.md-style markdown file",
     )
+    ab = sub.add_parser(
+        "ann-build",
+        help="train + persist an ANN index (ivf or ivfpq) over an "
+        "embeddings parquet table",
+    )
+    ab.add_argument("--input", required=True, help="embeddings parquet")
+    ab.add_argument("--index-dir", required=True)
+    ab.add_argument("--tier", choices=["ivf", "ivfpq"], default="ivf")
+    ab.add_argument("--n-centroids", type=int, default=64)
+    ab.add_argument("--m", type=int, default=8)
+    ab.add_argument("--ksub", type=int, default=64)
+    ab.add_argument("--id-col", default="vec_id")
+    ab.add_argument("--vec-col", default="embedding")
+    aq = sub.add_parser(
+        "ann-query",
+        help="top-k neighbors from a persisted ANN index (no refit)",
+    )
+    aq.add_argument("--index-dir", required=True)
+    aq.add_argument("--queries", required=True, help="query parquet")
+    aq.add_argument("--output", required=True, help="result parquet")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--n-probe", type=int, default=8)
     mt = sub.add_parser(
         "maintain",
         help="table maintenance: small-file compaction (+ optional "
@@ -501,6 +523,35 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(report, sort_keys=True))
         if failed:
             raise SystemExit(2)
+        return
+    if args.cmd == "ann-build":
+        from yelp_recommender_spark.ann_index import build_ann_index
+
+        spark = get_spark(app_name="yelp_recommender_ann_build")
+        report = build_ann_index(
+            spark,
+            args.input,
+            args.index_dir,
+            tier=args.tier,
+            n_centroids=args.n_centroids,
+            m=args.m,
+            ksub=args.ksub,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        print(json.dumps(report, sort_keys=True))
+        return
+    if args.cmd == "ann-query":
+        from yelp_recommender_spark.ann_index import query_ann_index
+
+        spark = get_spark(app_name="yelp_recommender_ann_query")
+        out = query_ann_index(
+            spark, args.index_dir, args.queries, k=args.k,
+            n_probe=args.n_probe,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"n_results": int(n), "output": args.output}))
         return
     if args.cmd == "explain":
         from yelp_recommender_spark.planaudit import (
