@@ -38,10 +38,15 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-ARTIFACT = os.environ.get(
-    "SPARK_GRAFT_BENCH_OUT",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+# a SUBSET run must not clobber the full-catalog record with a partial
+# payload — it gets its own default artifact
+_DEFAULT_ARTIFACT = (
+    os.path.join(_REPO_DIR, "BENCH_subset.json")
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    else os.path.join(_REPO_DIR, "BENCH_local.json")
 )
+ARTIFACT = os.environ.get("SPARK_GRAFT_BENCH_OUT", _DEFAULT_ARTIFACT)
 
 
 def _payload(timings: dict[str, float]) -> dict:

@@ -430,3 +430,52 @@ def test_curate_standing_corpus_report_counts(spark, tmp_path):  # noqa: F811
     )
     assert r2["n_near_dup_rejected"] == 4
     assert r2["n_curated"] == 0
+
+
+def test_corpus_index_guards_reject_bad_state(spark, tmp_path):  # noqa: F811
+    """The standing index refuses silently-wrong states: data without
+    provenance (no meta.json) and a torn update (band_keys/shingles
+    covering different doc sets) both raise instead of admitting dups."""
+    import json
+    import shutil
+
+    import pytest
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    docs = [
+        (i, f"red orange yellow green blue indigo violet mark{i}", "en", "w")
+        for i in range(3)
+    ]
+    p = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(p)
+
+    idx = str(tmp_path / "idx")
+    curate_corpus(spark, p, str(tmp_path / "o1"), corpus_index_dir=idx)
+
+    # 1) provenance gone: data present, meta absent → reject
+    import os
+
+    os.remove(idx + "/meta.json")
+    with pytest.raises(ValueError, match="no\\s+meta.json"):
+        curate_corpus(spark, p, str(tmp_path / "o2"), corpus_index_dir=idx)
+    with open(idx + "/meta.json", "w") as f:
+        json.dump({"n_hashes": 64, "bands": 16, "fast": True}, f)
+
+    # 2) wrong family → reject
+    with open(idx + "/meta.json", "w") as f:
+        json.dump({"n_hashes": 16, "bands": 8, "fast": False}, f)
+    with pytest.raises(ValueError, match="built with"):
+        curate_corpus(spark, p, str(tmp_path / "o3"), corpus_index_dir=idx)
+    with open(idx + "/meta.json", "w") as f:
+        json.dump({"n_hashes": 64, "bands": 16, "fast": True}, f)
+
+    # 3) torn update: drop the shingles table → reject
+    shutil.rmtree(idx + "/shingles")
+    spark.createDataFrame(
+        [], "doc_id long, shingles array<string>"
+    ).write.parquet(idx + "/shingles")
+    with pytest.raises(ValueError, match="torn"):
+        curate_corpus(spark, p, str(tmp_path / "o4"), corpus_index_dir=idx)

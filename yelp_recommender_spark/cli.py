@@ -565,18 +565,23 @@ def main(argv: list[str] | None = None) -> None:
         if not args.all and not args.query:
             raise SystemExit("explain: pass --query NAME or --all")
         spark = get_spark(app_name="yelp_recommender_explain")
-        names = None if args.all else [args.query]
-        if names and names[0] not in QUERIES:
-            raise SystemExit(f"unknown query {names[0]!r}")
-        audits = audit_catalog(spark, args.sf_dir, names)
         lines = []
+        if args.query:
+            if args.query not in QUERIES:
+                raise SystemExit(f"unknown query {args.query!r}")
+            # build the frame ONCE: counts and --full share it (some
+            # queries do eager work — stats probes, cache registration)
+            df = QUERIES[args.query](spark, args.sf_dir)
+            audits = {args.query: plan_node_counts(df)}
+            if args.full:
+                print(formatted_plan(df))
+        else:
+            audits = audit_catalog(spark, args.sf_dir)
         for name, counts in audits.items():
             lines.append(f"## {name}")
             lines.append(f"- {audit_line(counts)}")
             lines.append("")
             print(f"{name}: {audit_line(counts)}")
-        if args.full and args.query:
-            print(formatted_plan(QUERIES[args.query](spark, args.sf_dir)))
         if args.markdown:
             with open(args.markdown, "w") as f:
                 f.write(_PLANS_HEADER + "\n".join(lines))

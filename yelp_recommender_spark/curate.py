@@ -72,7 +72,10 @@ def _index_meta_path(corpus_index_dir: str) -> str:
 def _validate_index_meta(corpus_index_dir: str) -> None:
     """A band-key index only answers queries under the hash family it was
     built with — reject a params mismatch instead of silently returning
-    zero candidates."""
+    zero candidates. An index that HAS data but NO meta.json is equally
+    rejected (unknown provenance — e.g. a hand-copied index or a crash
+    before the meta stamp): querying it could silently admit every
+    duplicate and then stamping it would mask the mismatch forever."""
     import json
 
     path = _index_meta_path(corpus_index_dir)
@@ -84,6 +87,12 @@ def _validate_index_meta(corpus_index_dir: str) -> None:
                 f"corpus index at {corpus_index_dir} was built with "
                 f"{meta}, engine expects {_INDEX_PARAMS}"
             )
+    elif os.path.exists(os.path.join(corpus_index_dir, "band_keys")):
+        raise ValueError(
+            f"corpus index at {corpus_index_dir} has data but no "
+            "meta.json — unknown hash-family provenance; rebuild the "
+            "index (or restore its meta.json)"
+        )
 
 
 def _write_index_meta(corpus_index_dir: str) -> None:
@@ -94,6 +103,22 @@ def _write_index_meta(corpus_index_dir: str) -> None:
         os.makedirs(corpus_index_dir, exist_ok=True)
         with open(path, "w") as f:
             json.dump(_INDEX_PARAMS, f)
+
+
+def _check_index_consistency(idx_bk, idx_sh, corpus_index_dir: str) -> None:
+    """Detect a torn index update (a crash between the two appends): the
+    band-key and feature tables must cover the SAME document set, else
+    docs present in one but not the other silently stop matching —
+    candidates vanish either at generation (no band keys) or at the
+    Jaccard verify join (no features), admitting their duplicates."""
+    n_bk = idx_bk.select("doc_id").distinct().count()
+    n_sh = idx_sh.select("doc_id").distinct().count()
+    if n_bk != n_sh:
+        raise ValueError(
+            f"corpus index at {corpus_index_dir} is torn: band_keys "
+            f"covers {n_bk} docs but shingles covers {n_sh} — a prior "
+            "run crashed mid-append; rebuild the index"
+        )
 
 
 def curate_corpus(
@@ -184,6 +209,7 @@ def curate_corpus(
         if os.path.exists(idx_bk_path):
             idx_bk = spark.read.parquet(idx_bk_path)
             idx_sh = spark.read.parquet(idx_sh_path)
+            _check_index_consistency(idx_bk, idx_sh, corpus_index_dir)
         else:  # first run: empty corpus, within-batch keep-first only
             idx_bk = spark.createDataFrame([], "doc_id long, bk string")
             idx_sh = spark.createDataFrame(
@@ -279,7 +305,11 @@ def curate_corpus(
     if corpus_index_dir is not None:
         # append THIS run's survivors to the standing index — signatures
         # computed once here, never again (map-only; append scopes to the
-        # new files, the existing index bytes are untouched)
+        # new files, the existing index bytes are untouched). Meta is
+        # stamped FIRST (provenance exists before any data), and a crash
+        # between the two appends is caught by the load-time torn-index
+        # check (_check_index_consistency) on the next run.
+        _write_index_meta(corpus_index_dir)
         surviving = shingled.join(
             curated.select("doc_id"), "doc_id", "left_semi"
         )
@@ -294,7 +324,6 @@ def curate_corpus(
         surviving.select("doc_id", "shingles").write.mode("append").parquet(
             idx_sh_path
         )
-        _write_index_meta(corpus_index_dir)
 
     mixture = mixture_weights(
         curated.groupBy("source").agg(

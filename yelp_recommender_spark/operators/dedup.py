@@ -538,10 +538,22 @@ def band_key_index(
     per document — the map-only table an ingest pipeline stores alongside
     the corpus and appends each cycle's survivors to. Band keys are
     hash-family-specific: an index must be queried with the SAME
-    (n_hashes, bands, fast) it was built with."""
+    (n_hashes, bands, fast) it was built with.
+
+    The signature projection is persisted (session cache registry)
+    before banding, the same move :func:`minhash_lsh_pairs` documents:
+    ``lsh_band_keys`` references the signature once per band inside a
+    HOF lambda, and against an INLINED expression (CollapseProject
+    merges the projection into the lambda) the full MinHash fold would
+    recompute ``bands`` times per row — against the cached attribute
+    each band slices a materialized array."""
+    from yelp_recommender_spark.cache import register_persist
+
     rows = n_hashes // bands
     sig_fn = minhash_signature_fast if fast else minhash_signature
-    sigs = docs.select(id_col, sig_fn(shingle_col, n_hashes).alias("_sig"))
+    sigs = register_persist(
+        docs.select(id_col, sig_fn(shingle_col, n_hashes).alias("_sig"))
+    )
     return sigs.select(
         id_col, F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk")
     )

@@ -527,21 +527,30 @@ def incremental_dedup_stream(
     spark = docs_stream.sparkSession
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        sh = (
-            batch_df.withColumn("toks", tokens_col("text"))
-            .filter(F.size("toks") >= shingle_k)
-            .withColumn("shingles", token_shingles("toks", k=shingle_k))
-        )
-        dups = incremental_minhash_dedup(
-            sh,
-            corpus_shingled,
-            n_hashes=n_hashes,
-            bands=bands,
-            threshold=threshold,
-            fast=fast,
-        ).select("doc_id")
-        novel = batch_df.join(dups, "doc_id", "left_anti")
-        novel.write.mode("append").parquet(out_path)
+        from yelp_recommender_spark.cache import clear_caches, registry_mark
+
+        # the dedup pipeline registers per-batch caches (signature
+        # tables); release them once this batch's output is on disk —
+        # a long-running stream must not accumulate one cache per batch
+        mark = registry_mark()
+        try:
+            sh = (
+                batch_df.withColumn("toks", tokens_col("text"))
+                .filter(F.size("toks") >= shingle_k)
+                .withColumn("shingles", token_shingles("toks", k=shingle_k))
+            )
+            dups = incremental_minhash_dedup(
+                sh,
+                corpus_shingled,
+                n_hashes=n_hashes,
+                bands=bands,
+                threshold=threshold,
+                fast=fast,
+            ).select("doc_id")
+            novel = batch_df.join(dups, "doc_id", "left_anti")
+            novel.write.mode("append").parquet(out_path)
+        finally:
+            clear_caches(since=mark)
 
     name = f"incdedup_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
