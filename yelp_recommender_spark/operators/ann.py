@@ -457,8 +457,9 @@ def ivf_fit_assign(
     n_centroids: int = 64,
     seed: int = 42,
     max_iter: int = 8,
+    sample_n: int = 65_536,
 ):
-    """Fit a KMeans coarse quantizer on L2-NORMALIZED vectors and assign
+    """Fit the coarse quantizer on L2-NORMALIZED vectors and assign
     every vector to its nearest centroid (on normalized vectors,
     Euclidean NN order == cosine NN order, so the quantizer partitions
     by the metric the queries use — spherical-kmeans-style).
@@ -468,12 +469,18 @@ def ivf_fit_assign(
     (n_centroids, dim) numpy matrix (driver-side by construction — it IS
     the index's routing table, a few KB).
 
-    Scale: the KMeans fit is MLlib's distributed Lloyd iteration; the
-    assignment is one model.transform (map-only). Persist the result to
+    Scale: quantizer training is the one legitimately driver-side step
+    of IVF, exactly like PQ codebooks — seeded Lloyd on a deterministic
+    bounded sample (``orderBy(id).limit(sample_n)``: a distributed
+    top-k, never a full-corpus shuffle or scan-per-iteration), so the
+    fit is O(sample_n · k · dim) regardless of corpus size. FAISS
+    trains its coarse quantizer the same way. Assignment is then ONE
+    map-only Arrow pass with the (n_centroids × dim) center matrix in
+    the task closure — no distributed iteration ever touches the full
+    corpus. (The previous MLlib-KMeans fit Lloyd-scanned the whole
+    index max_iter times: the right shape for a one-off clustering, the
+    wrong one for quantizer training at 100 TB.) Persist the result to
     amortize over many query batches."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     feat = df.select(
         id_col,
         F.col(vec_col).cast("array<double>").alias("_raw"),
@@ -496,41 +503,43 @@ def ivf_fit_assign(
         )
         .alias("vec"),
     )
-    # Pin the fit input (Lloyd re-scans once per iteration — the persist
-    # pays for itself after the first) and size its partitions by VOLUME,
-    # not core count: a single-file index arrives as 1-3 scan partitions
-    # (serializing every iteration), but blasting a small fit across all
-    # cores is worse — per-iteration task overhead dominates (measured at
-    # sf0.1: 3 parts 7.5s, 32 parts 9.2s, 4 parts 4.9s). Volume comes
-    # from the plan-stats size probe (no job; sizeInBytes is defined for
-    # every plan, unlike rowCount); unknown stats keep the scan's own
-    # partitioning, which at real scale is already volume-proportional.
-    # (Partition-order float sums can move centers at the last ulp — IVF
-    # is recall-dialed, not hash-gated, by design.)
-    spark = df.sparkSession
-    feat = feat.withColumn("_fv", array_to_vector("vec"))
-    size = estimated_size_bytes(feat)
-    if size is not None:
-        # ~16 MB of vectors per fit partition, clamped to [4, 4×cores]
-        target = max(4, min(size // (16 << 20) + 1,
-                            spark.sparkContext.defaultParallelism * 4))
-        feat = feat.repartition(int(target))
-    feat = feat.persist()
-    try:
-        model = KMeans(
-            k=n_centroids,
-            seed=seed,
-            maxIter=max_iter,  # a coarse quantizer needs partitions, not
-            # convergence — recall is set by n_probe, not centroid polish
-            initMode="random",  # k-means||'s extra init passes buy init
-            # quality a Lloyd-refined coarse quantizer doesn't need
-            featuresCol="_fv",
-            predictionCol="centroid_id",
-        ).fit(feat)
-        assigned = model.transform(feat).select(id_col, "vec", "centroid_id")
-        centers = np.array(model.clusterCenters(), dtype=np.float64)
-    finally:
-        feat.unpersist()
+    # Deterministic bounded training sample: distributed TakeOrdered by
+    # id, never a full shuffle. (Partition-order float sums could move
+    # centers at the last ulp in the old distributed fit; the sampled
+    # driver-side Lloyd is bit-deterministic for a given sample —
+    # IVF stays recall-dialed, not hash-gated, regardless.)
+    from yelp_recommender_spark.operators.pq import _lloyd
+
+    sample = feat.orderBy(id_col).limit(int(sample_n)).select("vec").collect()
+    if not sample:
+        raise ValueError("ivf_fit_assign: cannot fit a quantizer on an "
+                         "empty index (guard upstream, as ivf_topk does)")
+    X = np.array([r["vec"] for r in sample], dtype=np.float64)
+    centers = _lloyd(X, n_centroids, seed=seed, n_iter=max_iter)
+    # a coarse quantizer needs partitions, not convergence — recall is
+    # set by n_probe, not centroid polish, so max_iter stays small
+
+    C = centers  # closure-captured: (k × dim) float64, a few KB
+    c2 = (C * C).sum(axis=1)
+    out_schema = f"{id_col} long, vec array<double>, centroid_id int"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.array(pdf["vec"].to_list(), dtype=np.float64)
+            # exact Euclidean argmin: ||x||² is per-row constant, so
+            # argmin(-2x·c + ||c||²) == argmin ||x - c||²
+            near = (-2.0 * (Xb @ C.T) + c2).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "vec": pdf["vec"],
+                    "centroid_id": near.astype(np.int32),
+                }
+            )
+
+    assigned = feat.mapInPandas(assign, out_schema)
     return assigned, centers
 
 
