@@ -21,6 +21,11 @@ SWEEP_QUERIES = [
     "q66_range_join",
     "q70_dedup_incremental",
     "q109_pagerank",
+    # r5 additions: the two heaviest stall-free catalog entries not yet
+    # swept — iterative closure (frontier dedup bounds the join fan-out)
+    # and LSH-bucketed near-dup over hashed text vectors
+    "q117_hierarchy_closure",
+    "q88_hashed_vector_neardup",
 ]
 MAX_GROWTH = 25.0  # 10× rows; linear ≈ 10× minus fixed overhead
 FLOOR_S = 0.5  # damp job-overhead-dominated small-scale timings
