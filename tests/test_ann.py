@@ -434,3 +434,22 @@ def test_ann_cli_build_query_round_trip(spark, tmp_path, capsys):  # noqa: F811
         per_q = res.groupBy("query_id").count().collect()
         assert all(r["count"] <= 5 for r in per_q)
         assert res.filter("rank = 1").count() == len(per_q)
+
+
+def test_ivf_fit_assign_carries_string_ids(spark):  # noqa: F811
+    """The assignment schema derives the id type from the input —
+    string keys (document ids, URLs) survive the Arrow pass instead of
+    being coerced to the catalog's bigint vec_id shape."""
+    from yelp_recommender_spark.operators.ann import ivf_fit_assign
+
+    rows = [(f"doc-{i}", [float(i % 3) + 0.1, float(i % 5) - 0.2])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_key string, embedding array<double>")
+    assigned, centers = ivf_fit_assign(
+        df, id_col="doc_key", vec_col="embedding", n_centroids=4
+    )
+    out = assigned.collect()
+    assert assigned.schema["doc_key"].dataType.simpleString() == "string"
+    assert len(out) == 40
+    assert {r["doc_key"] for r in out} == {f"doc-{i}" for i in range(40)}
+    assert all(0 <= r["centroid_id"] < 4 for r in out)

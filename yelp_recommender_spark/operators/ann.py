@@ -521,7 +521,10 @@ def ivf_fit_assign(
 
     C = centers  # closure-captured: (k × dim) float64, a few KB
     c2 = (C * C).sum(axis=1)
-    out_schema = f"{id_col} long, vec array<double>, centroid_id int"
+    # carry the caller's id type through (string keys are legal here —
+    # only the catalog happens to use bigint vec_id)
+    id_type = feat.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, vec array<double>, centroid_id int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
