@@ -471,8 +471,10 @@ def ivf_fit_assign(
 
     Scale: quantizer training is the one legitimately driver-side step
     of IVF, exactly like PQ codebooks — seeded Lloyd on a deterministic
-    bounded sample (``orderBy(id).limit(sample_n)``: a distributed
-    top-k, never a full-corpus shuffle or scan-per-iteration), so the
+    PSEUDORANDOM bounded sample (``orderBy(xxhash64(id), id).limit``:
+    a distributed top-k, never a full-corpus shuffle or
+    scan-per-iteration; hash order keeps the sample uniform over the
+    corpus even when ids correlate with ingest time/source), so the
     fit is O(sample_n · k · dim) regardless of corpus size. FAISS
     trains its coarse quantizer the same way. Assignment is then ONE
     map-only Arrow pass with the (n_centroids × dim) center matrix in
@@ -503,14 +505,20 @@ def ivf_fit_assign(
         )
         .alias("vec"),
     )
-    # Deterministic bounded training sample: distributed TakeOrdered by
-    # id, never a full shuffle. (Partition-order float sums could move
-    # centers at the last ulp in the old distributed fit; the sampled
-    # driver-side Lloyd is bit-deterministic for a given sample —
-    # IVF stays recall-dialed, not hash-gated, regardless.)
+    # Deterministic pseudorandom bounded training sample: distributed
+    # TakeOrdered on xxhash64(id) (id tie-break), never a full shuffle.
+    # (Partition-order float sums could move centers at the last ulp in
+    # the old distributed fit; the sampled driver-side Lloyd is
+    # bit-deterministic for a given sample — IVF stays recall-dialed,
+    # not hash-gated, regardless.)
     from yelp_recommender_spark.operators.pq import _lloyd
 
-    sample = feat.orderBy(id_col).limit(int(sample_n)).select("vec").collect()
+    sample = (
+        feat.orderBy(F.xxhash64(F.col(id_col)), id_col)
+        .limit(int(sample_n))
+        .select("vec")
+        .collect()
+    )
     if not sample:
         raise ValueError("ivf_fit_assign: cannot fit a quantizer on an "
                          "empty index (guard upstream, as ivf_topk does)")

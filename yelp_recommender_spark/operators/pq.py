@@ -122,16 +122,21 @@ def train_codebooks(
     n_iter: int = 15,
 ) -> np.ndarray:
     """Train the (m, ksub, dsub) PQ codebooks on a deterministic bounded
-    sample of ``df`` (first ``sample_n`` rows by ``id_col`` — a
-    distributed top-k, no shuffle of the full table; at 100 TB the
-    sample bound is what keeps training O(1) in corpus size).
+    sample of ``df`` — the ``sample_n`` rows whose ``xxhash64(id)`` is
+    smallest (id tie-break), i.e. a deterministic PSEUDORANDOM sample
+    via a distributed top-k, no shuffle of the full table. Hash order
+    matters at 100 TB: ids correlate with ingest time/source, so
+    "first N by id" would train the codebooks on one unrepresentative
+    slice of the corpus; hash order is uniform over the whole table
+    while staying reproducible run-to-run. The sample bound is what
+    keeps training O(1) in corpus size.
 
     Raises ``ValueError`` on an empty input (there is nothing to
     quantize — callers with maybe-empty inputs should guard first, as
     :func:`pq_topk` does)."""
     rows = (
         df.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), id_col)
         .limit(int(sample_n))
         .collect()
     )
