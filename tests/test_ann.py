@@ -453,3 +453,50 @@ def test_ivf_fit_assign_carries_string_ids(spark):  # noqa: F811
     assert len(out) == 40
     assert {r["doc_key"] for r in out} == {f"doc-{i}" for i in range(40)}
     assert all(0 <= r["centroid_id"] < 4 for r in out)
+
+
+def test_string_id_index_serves_end_to_end(spark, tmp_path):  # noqa: F811
+    """String document keys survive the FULL serving path, not just the
+    build: ann-build over a string-id table, then query_ann_index for
+    both tiers — neighbor ids come back as the original keys (no int64
+    coercion inside the Arrow scoring kernels), and the exact
+    brute-force tier agrees on the same keys."""
+    from yelp_recommender_spark.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+    from yelp_recommender_spark.operators.ann import cosine_topk
+
+    rows = [
+        (f"doc-{i:03d}", [float(i % 7) + 0.3, float(i % 11) - 0.5, 1.0])
+        for i in range(60)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_key string, embedding array<double>"
+    ).write.parquet(src)
+    queries = spark.read.parquet(src).limit(8)
+
+    keys = {r[0] for r in rows}
+    for tier in ("ivf", "ivfpq"):
+        idx = str(tmp_path / f"idx_{tier}")
+        report = build_ann_index(
+            spark, src, idx, tier=tier, n_centroids=4, m=3, ksub=8,
+            id_col="doc_key",
+        )
+        assert report["n_indexed"] == 60
+        res = query_ann_index(spark, idx, queries, k=5, n_probe=4)
+        got = res.collect()
+        assert len(got) > 0
+        assert res.schema["query_id"].dataType.simpleString() == "string"
+        assert res.schema["neighbor_id"].dataType.simpleString() == "string"
+        assert all(r["query_id"] in keys and r["neighbor_id"] in keys
+                   for r in got)
+        assert all(r["query_id"] != r["neighbor_id"] for r in got)
+
+    exact = cosine_topk(
+        queries, spark.read.parquet(src), k=5,
+        id_col="doc_key", vec_col="embedding",
+    ).collect()
+    assert len(exact) > 0
+    assert all(r["neighbor_id"] in keys for r in exact)

@@ -38,6 +38,14 @@ from pyspark.sql import types as T
 logger = logging.getLogger(__name__)
 
 
+def _id_type(df: DataFrame, id_col: str) -> T.DataType:
+    """The caller's id type, carried through to the pair outputs —
+    string document keys are legal index ids everywhere in this module
+    (the catalog merely happens to use bigint ``vec_id``), so no output
+    schema or kernel may hardcode int64."""
+    return df.schema[id_col].dataType
+
+
 def _normalized_index(
     index_df: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -50,7 +58,9 @@ def _normalized_index(
     An empty index yields a (0, 0) matrix — downstream matmuls then
     produce empty similarity blocks instead of an axis error."""
     rows = index_df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # dtype inferred from the data: int64 for bigint ids (the fast
+    # path), unicode/object for string keys — never forced to int64
+    ids = np.array([r[0] for r in rows])
     if not rows:
         return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -76,8 +86,8 @@ def cosine_pairs_above(
 
     schema = T.StructType(
         [
-            T.StructField("id1", T.LongType()),
-            T.StructField("id2", T.LongType()),
+            T.StructField("id1", _id_type(df, id_col)),
+            T.StructField("id2", _id_type(df, id_col)),
             T.StructField("cos", T.DoubleType()),
         ]
     )
@@ -87,7 +97,7 @@ def cosine_pairs_above(
         for pdf in batches:
             if len(pdf) == 0 or idx_ids.size == 0:
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_ids = pdf[id_col].to_numpy()
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0.0] = 1.0
@@ -126,8 +136,8 @@ def cosine_topk(
 
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", _id_type(queries, id_col)),
+            T.StructField("neighbor_id", _id_type(index, id_col)),
             T.StructField("cos", T.DoubleType()),
             T.StructField("rank", T.IntegerType()),
         ]
@@ -138,7 +148,7 @@ def cosine_topk(
         for pdf in batches:
             if len(pdf) == 0 or idx_ids.size == 0:
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_ids = pdf[id_col].to_numpy()
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0.0] = 1.0
@@ -166,10 +176,12 @@ def cosine_topk(
                 out_n.extend(cand_ids[sel])
                 out_c.extend(cand_s[sel])
                 out_r.extend(range(1, take + 1))
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "query_id": np.array(out_q),
+                    "neighbor_id": np.array(out_n),
                     "cos": np.array(out_c, dtype=np.float64),
                     "rank": np.array(out_r, dtype=np.int32),
                 }
@@ -382,8 +394,9 @@ def cosine_pairs_above_lsh(
     head = df.select(vec_col).head(1)
     if not head or head[0][0] is None:
         # empty input (or null first vector): the contract result is empty
+        idt = _id_type(df, id_col).simpleString()
         return df.sparkSession.createDataFrame(
-            [], "id1 bigint, id2 bigint, cos double"
+            [], f"id1 {idt}, id2 {idt}, cos double"
         )
     dim = len(head[0][0])
     cand = lsh_bucket_candidates(
@@ -616,8 +629,10 @@ def ivf_topk(
     q43 is that dial."""
     if not index.select(id_col).head(1):
         # KMeans cannot fit an empty index; the contract result is empty
+        qt = _id_type(queries, id_col).simpleString()
+        nt = _id_type(index, id_col).simpleString()
         return queries.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos double, rank int"
+            [], f"query_id {qt}, neighbor_id {nt}, cos double, rank int"
         )
     assigned, centers = ivf_fit_assign(
         index, id_col, vec_col, n_centroids, seed, max_iter
@@ -652,8 +667,8 @@ def ivf_topk_indexed(
 
     pair_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", _id_type(queries, id_col)),
+            T.StructField("neighbor_id", _id_type(assignments, id_col)),
             T.StructField("cos", T.DoubleType()),
         ]
     )
@@ -663,7 +678,7 @@ def ivf_topk_indexed(
         for pdf in batches:
             if len(pdf) == 0 or ids_q.size == 0:
                 continue
-            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_ids = pdf[id_col].to_numpy()
             X = np.array(list(pdf["vec"]), dtype=np.float64)  # normalized
             cent = pdf["centroid_id"].to_numpy()
             out = []

@@ -236,11 +236,15 @@ def pq_topk(
     (tiny matmul) + an (N, m) byte-gather sum instead of an (N, dim)
     float matmul. Beyond the raised ceiling, compose with IVF routing
     (IVF-PQ) — both operators share the (id, codes) contract."""
+    from yelp_recommender_spark.operators.ann import _id_type
+
     spark = queries.sparkSession
     if not index.select(id_col).head(1):
+        qt = _id_type(queries, id_col).simpleString()
+        nt = _id_type(index, id_col).simpleString()
         return spark.createDataFrame(
             [],
-            "query_id bigint, neighbor_id bigint, cos_pq double, rank int",
+            f"query_id {qt}, neighbor_id {nt}, cos_pq double, rank int",
         )
     if codebooks is None:
         codebooks = train_codebooks(
@@ -249,7 +253,8 @@ def pq_topk(
         )
     m, ksub, dsub = codebooks.shape
     encoded = pq_encode(index, codebooks, id_col, vec_col).collect()
-    idx_ids = np.array([r[0] for r in encoded], dtype=np.int64)
+    # dtype inferred — string ids stay strings (see ann._id_type)
+    idx_ids = np.array([r[0] for r in encoded])
     idx_codes = np.array([r[1] for r in encoded], dtype=np.int32)
     if ksub <= 256:
         idx_codes = idx_codes.astype(np.uint8)  # the 64× memory win
@@ -257,8 +262,8 @@ def pq_topk(
 
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", _id_type(queries, id_col)),
+            T.StructField("neighbor_id", _id_type(index, id_col)),
             T.StructField("cos_pq", T.DoubleType()),
             T.StructField("rank", T.IntegerType()),
         ]
@@ -271,7 +276,7 @@ def pq_topk(
         for pdf in batches:
             if len(pdf) == 0 or ids.size == 0:
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_ids = pdf[id_col].to_numpy()
             q = _pad_to_multiple(
                 _normalize_rows(
                     np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -306,10 +311,12 @@ def pq_topk(
                 out_n.extend(cand_ids[sel])
                 out_c.extend(cand_s[sel])
                 out_r.extend(range(1, take + 1))
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "query_id": np.array(out_q),
+                    "neighbor_id": np.array(out_n),
                     "cos_pq": np.array(out_c, dtype=np.float64),
                     "rank": np.array(out_r, dtype=np.int32),
                 }
@@ -405,11 +412,15 @@ def ivfpq_topk(
     from yelp_recommender_spark.operators.ann import ivf_fit_assign
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
+    from yelp_recommender_spark.operators.ann import _id_type
+
     spark = queries.sparkSession
     if not index.select(id_col).head(1):
+        qt = _id_type(queries, id_col).simpleString()
+        nt = _id_type(index, id_col).simpleString()
         return spark.createDataFrame(
             [],
-            "query_id bigint, neighbor_id bigint, cos_pq double, rank int",
+            f"query_id {qt}, neighbor_id {nt}, cos_pq double, rank int",
         )
     assigned, centers = ivf_fit_assign(
         index, id_col, vec_col, n_centroids, seed, max_iter
@@ -475,10 +486,12 @@ def ivfpq_topk_indexed(
     )
     b = spark.sparkContext.broadcast((q_ids, luts, route))
 
+    from yelp_recommender_spark.operators.ann import _id_type
+
     pair_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", _id_type(queries, id_col)),
+            T.StructField("neighbor_id", _id_type(coded, id_col)),
             T.StructField("cos_pq", T.DoubleType()),
         ]
     )
@@ -488,7 +501,7 @@ def ivfpq_topk_indexed(
         for pdf in batches:
             if len(pdf) == 0 or ids_q.size == 0:
                 continue
-            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_ids = pdf[id_col].to_numpy()
             codes = np.array(list(pdf["codes"]), dtype=np.intp)  # (B, m)
             cent = pdf["centroid_id"].to_numpy()
             out = []
