@@ -32,7 +32,9 @@ this is the north-star training-data surface composed end-to-end.
 
 from __future__ import annotations
 
+import logging
 import os
+import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +60,8 @@ from yelp_recommender_spark.operators.dedup import (
     token_shingles,
 )
 from yelp_recommender_spark.operators.prefix import with_prefix_sum
+
+logger = logging.getLogger(__name__)
 
 # LSH family for the standing-corpus index — band keys are
 # hash-family-specific, so these are pinned per index and validated
@@ -105,20 +109,74 @@ def _write_index_meta(corpus_index_dir: str) -> None:
             json.dump(_INDEX_PARAMS, f)
 
 
-def _check_index_consistency(idx_bk, idx_sh, corpus_index_dir: str) -> None:
-    """Detect a torn index update (a crash between the two appends): the
-    band-key and feature tables must cover the SAME document set, else
-    docs present in one but not the other silently stop matching —
-    candidates vanish either at generation (no band keys) or at the
-    Jaccard verify join (no features), admitting their duplicates."""
-    n_bk = idx_bk.select("doc_id").distinct().count()
-    n_sh = idx_sh.select("doc_id").distinct().count()
-    if n_bk != n_sh:
+def _load_standing_index(
+    spark: SparkSession, corpus_index_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """Load the standing index's COMMITTED runs, or None when no run has
+    committed yet (first ingest).
+
+    Crash safety is by construction, not by scanning: each run writes its
+    band-key and shingle data under run-scoped subdirectories and only
+    then drops a marker in ``commits/`` — the commit point. A crash
+    anywhere before the marker leaves stray data directories that every
+    later run simply ignores (warned, harmless); a marker whose data is
+    missing means the index itself was damaged after commit, which raises
+    the torn-index error. Validation is therefore an O(#runs) directory
+    listing — never the pair of full-index distinct-count scans the first
+    implementation ran, which grew linearly with the accumulated corpus
+    and broke the mode's own O(batch)-per-cycle contract."""
+    commits_dir = os.path.join(corpus_index_dir, "commits")
+    bk_root = os.path.join(corpus_index_dir, "band_keys")
+    sh_root = os.path.join(corpus_index_dir, "shingles")
+    runs = sorted(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else []
+    if not runs:
+        if os.path.isdir(bk_root):
+            raise ValueError(
+                f"corpus index at {corpus_index_dir} has band-key data "
+                "but no commit log — unknown or pre-commit-log layout; "
+                "rebuild the index"
+            )
+        return None
+    bk_paths = [os.path.join(bk_root, f"run_id={r}") for r in runs]
+    sh_paths = [os.path.join(sh_root, f"run_id={r}") for r in runs]
+    missing = [p for p in [*bk_paths, *sh_paths] if not os.path.isdir(p)]
+    if missing:
         raise ValueError(
-            f"corpus index at {corpus_index_dir} is torn: band_keys "
-            f"covers {n_bk} docs but shingles covers {n_sh} — a prior "
-            "run crashed mid-append; rebuild the index"
+            f"corpus index at {corpus_index_dir} is torn: committed run "
+            f"data is missing ({missing[0]}) — index files were removed "
+            "after commit; rebuild the index"
         )
+    committed = set(runs)
+    stray = [
+        e for e in os.listdir(bk_root)
+        if e.startswith("run_id=") and e[len("run_id="):] not in committed
+    ]
+    if stray:
+        logger.warning(
+            "corpus index at %s: ignoring %d uncommitted run(s) from "
+            "crashed ingests (%s) — their docs are not in the index",
+            corpus_index_dir, len(stray), ", ".join(sorted(stray)[:3]),
+        )
+    return spark.read.parquet(*bk_paths), spark.read.parquet(*sh_paths)
+
+
+def _append_standing_index(
+    band_keys: DataFrame, shingles: DataFrame, corpus_index_dir: str
+) -> None:
+    """Append one run's survivors to the standing index: data first,
+    commit marker last (the transaction-log ordering — see
+    :func:`_load_standing_index` for why this makes crashes harmless)."""
+    run_id = uuid.uuid4().hex
+    band_keys.write.parquet(
+        os.path.join(corpus_index_dir, "band_keys", f"run_id={run_id}")
+    )
+    shingles.write.parquet(
+        os.path.join(corpus_index_dir, "shingles", f"run_id={run_id}")
+    )
+    commits_dir = os.path.join(corpus_index_dir, "commits")
+    os.makedirs(commits_dir, exist_ok=True)
+    with open(os.path.join(commits_dir, run_id), "w"):
+        pass  # the commit point
 
 
 def curate_corpus(
@@ -202,19 +260,26 @@ def curate_corpus(
     )
     n_exact = shingled.count()  # materializes the persisted boundary
     n_near_dup_rejected: int | None = None
+    bk_batch: DataFrame | None = None
     if corpus_index_dir is not None:
-        idx_bk_path = os.path.join(corpus_index_dir, "band_keys")
-        idx_sh_path = os.path.join(corpus_index_dir, "shingles")
         _validate_index_meta(corpus_index_dir)
-        if os.path.exists(idx_bk_path):
-            idx_bk = spark.read.parquet(idx_bk_path)
-            idx_sh = spark.read.parquet(idx_sh_path)
-            _check_index_consistency(idx_bk, idx_sh, corpus_index_dir)
-        else:  # first run: empty corpus, within-batch keep-first only
+        loaded = _load_standing_index(spark, corpus_index_dir)
+        if loaded is None:  # first run: within-batch keep-first only
             idx_bk = spark.createDataFrame([], "doc_id long, bk string")
             idx_sh = spark.createDataFrame(
                 [], "doc_id long, shingles array<string>"
             )
+        else:
+            idx_bk, idx_sh = loaded
+        # the batch's band keys are computed HERE, once — the dedup stage
+        # probes with them and the index append below persists the
+        # survivors' subset, so the 64-hash MinHash fold runs a single
+        # time per document (the signature table itself is persisted by
+        # band_key_index via the cache registry)
+        bk_batch = band_key_index(
+            shingled, id_col="doc_id", shingle_col="shingles",
+            **_INDEX_PARAMS,
+        )
         rejected = register_persist(
             incremental_minhash_dedup_indexed(
                 shingled,
@@ -223,6 +288,7 @@ def curate_corpus(
                 id_col="doc_id",
                 shingle_col="shingles",
                 threshold=near_dup_threshold,
+                batch_band_keys=bk_batch,
                 **_INDEX_PARAMS,
             ).select("doc_id")
         )
@@ -302,27 +368,24 @@ def curate_corpus(
         os.path.join(output_dir, "documents")
     )
 
-    if corpus_index_dir is not None:
-        # append THIS run's survivors to the standing index — signatures
-        # computed once here, never again (map-only; append scopes to the
-        # new files, the existing index bytes are untouched). Meta is
-        # stamped FIRST (provenance exists before any data), and a crash
-        # between the two appends is caught by the load-time torn-index
-        # check (_check_index_consistency) on the next run.
+    if corpus_index_dir is not None and n_curated > 0:
+        # append THIS run's survivors to the standing index — the batch
+        # band keys (and the MinHash signatures under them) were computed
+        # once at the dedup stage; the append is a semi-join filter of
+        # that table, never a recompute. Meta is stamped first
+        # (provenance exists before any data); the run data lands in
+        # run-scoped directories and only the commit marker makes it
+        # visible, so a crash anywhere in between is harmless
+        # (_load_standing_index ignores uncommitted runs). Empty runs
+        # append nothing — there is nothing to commit.
         _write_index_meta(corpus_index_dir)
-        surviving = shingled.join(
-            curated.select("doc_id"), "doc_id", "left_semi"
-        )
-        band_key_index(
-            surviving,
-            id_col="doc_id",
-            shingle_col="shingles",
-            n_hashes=_INDEX_PARAMS["n_hashes"],
-            bands=_INDEX_PARAMS["bands"],
-            fast=_INDEX_PARAMS["fast"],
-        ).write.mode("append").parquet(idx_bk_path)
-        surviving.select("doc_id", "shingles").write.mode("append").parquet(
-            idx_sh_path
+        surviving_ids = curated.select("doc_id")
+        _append_standing_index(
+            bk_batch.join(surviving_ids, "doc_id", "left_semi"),
+            shingled.join(surviving_ids, "doc_id", "left_semi").select(
+                "doc_id", "shingles"
+            ),
+            corpus_index_dir,
         )
 
     mixture = mixture_weights(

@@ -569,18 +569,29 @@ def incremental_minhash_dedup_indexed(
     bands: int = 8,
     threshold: float = 0.8,
     fast: bool = False,
+    batch_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_dedup` against a PRECOMPUTED corpus
     index: ``corpus_band_keys`` is the persisted (id, bk) table
     (:func:`band_key_index`) and ``corpus_features`` the (id, shingles)
     table used for exact Jaccard verification — the standing-corpus
     production loop where corpus signatures are never recomputed.
-    Semantics and output are identical to the non-indexed form."""
+    Semantics and output are identical to the non-indexed form.
+
+    ``batch_band_keys`` lets a caller that needs the BATCH's band keys
+    for its own purposes (e.g. the curate pipeline appends the
+    survivors' keys to the standing index) compute them once and share:
+    it must be :func:`band_key_index` over ``batch`` with the same
+    (n_hashes, bands, fast) family, and is derived here when omitted."""
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
-    bk_batch = band_key_index(
-        batch, id_col=id_col, shingle_col=shingle_col,
-        n_hashes=n_hashes, bands=bands, fast=fast,
+    bk_batch = (
+        batch_band_keys
+        if batch_band_keys is not None
+        else band_key_index(
+            batch, id_col=id_col, shingle_col=shingle_col,
+            n_hashes=n_hashes, bands=bands, fast=fast,
+        )
     )
     partners = corpus_band_keys.select(id_col, "bk").withColumn(
         "corp", F.lit(True)
