@@ -60,7 +60,15 @@ ARTIFACT = os.environ.get("SPARK_GRAFT_BENCH_OUT", _DEFAULT_ARTIFACT)
 REPEAT = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")), 1)
 
 
-def _payload(timings: dict[str, float]) -> dict:
+def _payload(
+    timings: dict[str, float],
+    completed_passes: int | None = None,
+    partial: bool = False,
+) -> dict:
+    """``repeat`` records passes actually COMPLETED (not configured):
+    a crash mid-pass-1 of a min-of-2 run must not leave an artifact
+    claiming min-of-2 over single-measurement timings. Mid-run writes
+    additionally carry ``"partial": true`` until the run finishes."""
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -68,15 +76,22 @@ def _payload(timings: dict[str, float]) -> dict:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
-    if REPEAT > 1:
-        out["repeat"] = REPEAT
+    reps = REPEAT if completed_passes is None else max(completed_passes, 1)
+    if reps > 1:
+        out["repeat"] = reps
+    if partial:
+        out["partial"] = True
     return out
 
 
-def _write_artifact(timings: dict[str, float]) -> None:
+def _write_artifact(
+    timings: dict[str, float],
+    completed_passes: int | None = None,
+    partial: bool = False,
+) -> None:
     tmp = ARTIFACT + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(_payload(timings), f, indent=1)
+        json.dump(_payload(timings, completed_passes, partial), f, indent=1)
     os.replace(tmp, ARTIFACT)
 
 
@@ -108,6 +123,7 @@ def main() -> None:
     from yelp_recommender_spark.cache import clear_caches
 
     timings: dict[str, float] = {}
+    completed_passes = 0
     for rep in range(REPEAT):
         tag = f" [pass {rep + 1}/{REPEAT}]" if REPEAT > 1 else ""
         for name in names:
@@ -129,7 +145,8 @@ def main() -> None:
                 # loss-proof artifact: rewrite the full dict after EVERY
                 # query so a truncated stdout capture (BENCH_r04 lost
                 # q01-q34) or a mid-run crash can never destroy the record
-                _write_artifact(timings)
+                _write_artifact(timings, completed_passes, partial=True)
+        completed_passes = rep + 1
         # release every registry-tracked cache (token/shingle/signature
         # tables) — each pass is the pipeline boundary; without this the
         # session cache grows monotonically across passes and a later

@@ -426,7 +426,8 @@ def main(argv: list[str] | None = None) -> None:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument(
         "--full", action="store_true",
-        help="also print the full explain('formatted') text",
+        help="also print the full explain('formatted') text "
+        "(single --query only)",
     )
     ex.add_argument(
         "--markdown", default=None,
@@ -564,6 +565,12 @@ def main(argv: list[str] | None = None) -> None:
 
         if not args.all and not args.query:
             raise SystemExit("explain: pass --query NAME or --all")
+        if args.all and args.full:
+            raise SystemExit(
+                "explain: --full prints one query's formatted plan — "
+                "use it with --query NAME (with --all it would dump "
+                "the whole catalog's plans)"
+            )
         spark = get_spark(app_name="yelp_recommender_explain")
         lines = []
         if args.query:

@@ -55,21 +55,43 @@ def plan_node_counts(df: DataFrame) -> dict:
     ``pushed_filter_scans`` counts parquet scans whose detail block
     carries a non-empty ``PushedFilters`` list — the predicate-pushdown
     check ("a scan that reads everything for a filtered query is
-    wrong")."""
+    wrong").
+
+    Counts cover EVERY plan tree in the formatted text — the main plan
+    and each ``===== Subqueries =====`` entry (scalar / dynamic-pruning
+    subqueries carry their own exchanges, joins, and scans; an audit
+    that only read the main tree would report a shuffle moved into a
+    subquery as an improvement)."""
     text = formatted_plan(df)
-    tree, _, details = text.partition("\n\n")
 
+    # tree sections: the main plan (after "== Physical Plan ==") and one
+    # per "Subquery:N ..." header, each ending at its first blank line
     nodes: dict[int, str] = {}
-    for line in tree.splitlines():
-        m = _NODE_RE.search(line.rstrip())
-        if m:
-            nodes.setdefault(int(m.group(2)), m.group(1).strip())
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("== Physical Plan ==") or line.lstrip().startswith(
+            "Subquery:"
+        ):
+            i += 1
+            while i < len(lines) and lines[i].strip():
+                m = _NODE_RE.search(lines[i].rstrip())
+                if m:
+                    # node ids are unique across the whole text; reused
+                    # subtrees re-expand under their original ids, so
+                    # setdefault counts each once (PLANS.md convention)
+                    nodes.setdefault(int(m.group(2)), m.group(1).strip())
+                i += 1
+        else:
+            i += 1
 
-    # detail blocks: "(id) NodeName" header, then attribute lines
+    # detail blocks: "(id) NodeName" header, then attribute lines —
+    # present for the main plan and for each subquery section alike
     pushed_ids: set[int] = set()
     current_id: int | None = None
     current_is_scan = False
-    for line in details.splitlines():
+    for line in text.splitlines():
         m = _DETAIL_RE.match(line)
         if m:
             current_id = int(m.group(1))
