@@ -455,6 +455,19 @@ def main(argv: list[str] | None = None) -> None:
     aq.add_argument("--output", required=True, help="result parquet")
     aq.add_argument("--k", type=int, default=10)
     aq.add_argument("--n-probe", type=int, default=8)
+    am = sub.add_parser(
+        "amplify",
+        help="replicate a TESTDATA sf directory K× with FK-consistent "
+        "key offsets (token-disjoint documents, perturbed embeddings) "
+        "for scaling measurement — no Spark session needed",
+    )
+    am.add_argument("--src", required=True, help="source sf directory")
+    am.add_argument("--out", required=True, help="output directory")
+    am.add_argument("--factor", type=int, required=True)
+    am.add_argument(
+        "--overwrite", action="store_true",
+        help="replace an existing amplification with different params",
+    )
     mt = sub.add_parser(
         "maintain",
         help="table maintenance: small-file compaction (+ optional "
@@ -475,6 +488,16 @@ def main(argv: list[str] | None = None) -> None:
         "the compacted output; nonzero exit on violation)",
     )
     args = ap.parse_args(argv)
+
+    if args.cmd == "amplify":
+        # pyarrow-native: no Spark session, prints the manifest JSON
+        from yelp_recommender_spark.amplify import amplify
+
+        manifest = amplify(
+            args.src, args.out, args.factor, overwrite=args.overwrite
+        )
+        print(json.dumps(manifest))
+        return
 
     from yelp_recommender_spark.session import get_spark
 
