@@ -120,6 +120,30 @@ def test_srp_params_for_recall_algebra():
     assert k_low <= k_high
 
 
+def test_allpairs_planner_limit_is_quadratic_aware():
+    """The ALL-PAIRS planner must switch to LSH far below the serving
+    kernels' broadcast-memory ceiling: exact all-pairs cost is O(N²·d),
+    so routing exact at the 5M-row index limit would schedule ~2.5e13
+    cosines. Pin the default routing limit to the quadratic-aware
+    constant (and the constant to a feasible magnitude) so a refactor
+    can't silently re-point the default at the memory ceiling."""
+    import inspect
+
+    from yelp_recommender_spark.operators.ann import (
+        DEFAULT_ALLPAIRS_EXACT_LIMIT,
+        DEFAULT_BROADCAST_INDEX_LIMIT,
+        cosine_pairs_above_auto,
+    )
+
+    sig = inspect.signature(cosine_pairs_above_auto)
+    assert (
+        sig.parameters["broadcast_limit"].default
+        == DEFAULT_ALLPAIRS_EXACT_LIMIT
+    )
+    assert DEFAULT_ALLPAIRS_EXACT_LIMIT <= 200_000
+    assert DEFAULT_ALLPAIRS_EXACT_LIMIT < DEFAULT_BROADCAST_INDEX_LIMIT
+
+
 @pytest.fixture(scope="module")
 def random_df(spark):  # noqa: F811
     """Unstructured gaussian vectors — pairs land at all cosines, many

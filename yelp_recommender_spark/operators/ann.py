@@ -786,20 +786,34 @@ def estimated_row_count(df: DataFrame) -> int | None:
     return None
 
 
+#: Exact-path routing limit for the ALL-PAIRS planner. Deliberately far
+#: below DEFAULT_BROADCAST_INDEX_LIMIT (which bounds broadcast MEMORY for
+#: the serving kernels, where per-query cost is O(N·d)): all-pairs exact
+#: scoring is O(N²·d) + an N² threshold filter, so the switch to LSH must
+#: come when the QUADRATIC term turns infeasible, not when the index
+#: stops fitting an executor. 100k rows ≈ 10¹⁰ candidate cosines —
+#: minutes of BLAS on one box, the last point where exact is a sane
+#: default; the measured second-decade sweep (BASELINE.md: q88 grew 6.1×
+#: on 10× rows while every linear operator grew ≤2.3×) is the quadratic
+#: term becoming visible one decade early.
+DEFAULT_ALLPAIRS_EXACT_LIMIT = 100_000
+
+
 def cosine_pairs_above_auto(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    broadcast_limit: int = DEFAULT_BROADCAST_INDEX_LIMIT,
+    broadcast_limit: int = DEFAULT_ALLPAIRS_EXACT_LIMIT,
     n_planes: int | None = None,
     n_tables: int | None = None,
     seed: int = 42,
     target_recall: float = 0.95,
 ) -> DataFrame:
     """Cardinality-based similarity-join planner: broadcast-index matmul
-    (:func:`cosine_pairs_above`, exact) while the index fits an executor
-    (≤ ``broadcast_limit`` rows), SRP-LSH + exact re-score
+    (:func:`cosine_pairs_above`, exact) while the quadratic exact scan
+    stays feasible (≤ ``broadcast_limit`` rows — the all-pairs limit,
+    see :data:`DEFAULT_ALLPAIRS_EXACT_LIMIT`), SRP-LSH + exact re-score
     (:func:`cosine_pairs_above_lsh`) beyond it.
 
     Cardinality comes from Catalyst plan statistics when available
@@ -815,7 +829,7 @@ def cosine_pairs_above_auto(
     if n <= broadcast_limit:
         return cosine_pairs_above(df, id_col, vec_col, threshold)
     logger.info(
-        "cosine_pairs_above_auto: %d rows > broadcast_limit=%d — "
+        "cosine_pairs_above_auto: %d rows > all-pairs exact limit %d — "
         "routing to SRP-LSH", n, broadcast_limit,
     )
     return cosine_pairs_above_lsh(

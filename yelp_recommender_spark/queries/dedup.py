@@ -506,10 +506,12 @@ def q88_hashed_vector_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits first (q87's contract); here weights stay raw so the cosine
     matches the float64 matmul bit-for-bit at 6-digit rounding.
 
-    Scale: vectorization is hash-agg algebra; the pair scan is the
-    broadcast-index Arrow matmul — swap in ``cosine_pairs_above_auto``
-    beyond the broadcast ceiling (same contract, planner-routed)."""
-    from yelp_recommender_spark.operators.ann import cosine_pairs_above
+    Scale: vectorization is hash-agg algebra; the pair scan goes through
+    the all-pairs planner (``cosine_pairs_above_auto``) — exact
+    broadcast-matmul at every tested scale (≤ the 100k all-pairs limit,
+    so the oracle gate stays bit-exact), SRP-LSH with derived ≥0.95
+    recall beyond it, where the quadratic exact scan turns infeasible."""
+    from yelp_recommender_spark.operators.ann import cosine_pairs_above_auto
     from yelp_recommender_spark.operators.tfidf import tfidf
     from yelp_recommender_spark.operators.vectorizer import (
         assemble_embeddings,
@@ -535,4 +537,4 @@ def q88_hashed_vector_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = assemble_embeddings(long_form, n_dims=64).withColumnRenamed(
         "doc_id", "vec_id"
     )
-    return cosine_pairs_above(vecs, threshold=0.5).orderBy("id1", "id2")
+    return cosine_pairs_above_auto(vecs, threshold=0.5).orderBy("id1", "id2")
