@@ -332,6 +332,43 @@ def test_q42_catalog_recall_meets_derived_bound(spark):  # noqa: F811
     assert row.n_hit <= row.n_true
 
 
+def test_q42_probe_sampling_regime(spark):  # noqa: F811
+    """Beyond RECALL_PROBE_CAP rows the q42 dial estimates recall on the
+    deterministic probe subset {id ≡ 0 (mod ⌈N/cap⌉)} instead of scoring
+    N² exhaustive truth. Force a tiny cap at fixture scale and check the
+    sampled run scores exactly the probe-restricted pair population of
+    the exhaustive run (hyperplanes are seed-fixed, so candidate buckets
+    are identical between the two runs)."""
+    from tests.conftest import SF_DIR
+    from yelp_recommender_spark.queries.similarity import _srp_recall_frame
+    from yelp_recommender_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    n = emb.count()
+    cap = max(2, n // 3)  # forces modulus 3 (ceil(n / (n//3)))
+    modulus = -(-n // cap)
+    assert modulus > 1  # the sampled regime is actually exercised
+
+    full = _srp_recall_frame(emb, probe_cap=n).head()
+    sampled = _srp_recall_frame(emb, probe_cap=cap).head()
+
+    # exhaustive truth restricted to probe-min-id pairs must equal the
+    # sampled run's truth count: recompute the restriction directly
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above_query_side,
+    )
+
+    probes = emb.filter(F.col("vec_id") % modulus == 0)
+    restricted = cosine_pairs_above_query_side(
+        probes, emb, threshold=0.4
+    ).count()
+    assert sampled.n_true == restricted
+    assert sampled.n_true < full.n_true  # strictly smaller population
+    assert sampled.n_hit <= sampled.n_true
+    assert 0.0 <= sampled.recall <= 1.0
+
+
 def test_similarity_planner_routes_by_cardinality(neardup_df):
     """cosine_pairs_above_auto: broadcast path under the limit, LSH +
     exact re-score over it — with identical verified output on genuine

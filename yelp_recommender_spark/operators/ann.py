@@ -80,14 +80,31 @@ def cosine_pairs_above(
 
     Output: (id1, id2, cos) with cos rounded to 6.
     """
-    spark = df.sparkSession
-    ids, mat = _normalized_index(df, id_col, vec_col)
+    return cosine_pairs_above_query_side(df, df, id_col, vec_col, threshold)
+
+
+def cosine_pairs_above_query_side(
+    queries: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """:func:`cosine_pairs_above` with the streaming (query) side
+    restricted to ``queries`` while the broadcast index stays ``index``:
+    emits exactly ``{(a, b): a ∈ queries, b ∈ index, a < b, cos ≥ t}``
+    (the kernel keeps ``query_id < index_id``). With
+    ``queries ⊂ index`` this bounds the matmul to |queries|·N — the
+    sampled-ground-truth shape the recall dials need beyond test scale;
+    with ``queries = index`` it is the exact all-pairs join."""
+    spark = index.sparkSession
+    ids, mat = _normalized_index(index, id_col, vec_col)
     b = spark.sparkContext.broadcast((ids, mat))
 
     schema = T.StructType(
         [
-            T.StructField("id1", _id_type(df, id_col)),
-            T.StructField("id2", _id_type(df, id_col)),
+            T.StructField("id1", _id_type(queries, id_col)),
+            T.StructField("id2", _id_type(index, id_col)),
             T.StructField("cos", T.DoubleType()),
         ]
     )
@@ -113,7 +130,7 @@ def cosine_pairs_above(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def cosine_topk(

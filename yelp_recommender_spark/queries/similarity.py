@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yelp_recommender_spark.operators.ann import (
-    cosine_pairs_above,
+    cosine_pairs_above_query_side,
     cosine_topk,
     ivf_topk,
     lsh_bucket_candidates,
@@ -122,36 +122,49 @@ def q41_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("q42_ann_lsh_recall")  # rows-only: seeded-RNG hyperplanes not SQL-able
-def q42_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH candidate generation scored against exact truth.
+#: Probe-side cap for the recall dials' exact ground truth. sf0.1's full
+#: embeddings table is 5 000 rows, so every driver-tested scale stays
+#: EXHAUSTIVE (modulus 1 — bit-identical to the pre-cap behavior); beyond
+#: it the truth matmul is bounded to cap·N instead of N² by estimating
+#: recall on the deterministic probe subset {min-id ≡ 0 (mod ⌈N/cap⌉)} —
+#: how a recall monitor runs at production scale, where exhaustive truth
+#: is never computable.
+RECALL_PROBE_CAP = 5_000
 
-    Ground truth: all pairs with cos ≥ 0.4 (exact, via the broadcast-index
-    matmul). Candidates: pairs sharing a sign-random-projection bucket,
-    with (n_planes, n_tables) DERIVED from the 0.4 threshold for ≥ 0.95
-    worst-case recall (``srp_params_for_recall`` — the r3 fixed 6×12
-    config reached only ~0.54 at this threshold, the round-3 verdict's
-    one scale-killer). Output: one row with candidate/truth/hit counts,
-    the measured recall, and the analytic worst-case bound — measured ≥
-    bound is the contract this query gates every round.
 
-    Scale: the candidate join shuffles on (table, bucket) — no broadcast,
-    no driver state; exactly the plan you'd run at 100 TB, here compared
-    against truth that is only computable at test scale."""
+def _srp_recall_frame(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    target: float = 0.95,
+    probe_cap: int = RECALL_PROBE_CAP,
+) -> DataFrame:
+    """q42's body, parameterized for testability (the cap test forces a
+    tiny ``probe_cap`` to exercise the sampled regime at fixture scale)."""
     from yelp_recommender_spark.operators.ann import (
+        estimated_row_count,
         srp_expected_recall,
         srp_params_for_recall,
     )
 
-    threshold, target = 0.4, 0.95
     n_planes, n_tables = srp_params_for_recall(threshold, target)
     expected = srp_expected_recall(threshold, n_planes, n_tables)
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    truth = cosine_pairs_above(emb, threshold=threshold).select("id1", "id2")
+    n = estimated_row_count(emb)
+    if n is None:
+        n = emb.count()
+    modulus = max(1, -(-int(n) // probe_cap))  # ceil(n / cap)
+    # truth restricted to pairs whose SMALLER id is a probe: filtering the
+    # matmul's query side to probes yields exactly {(a,b): a probe, a<b}
+    # (the kernel keeps query_id < index_id), so the estimate's pair
+    # population is well-defined and the candidate side below restricts to
+    # the same population post-join. Unbiased: probe membership is
+    # independent of the SRP hyperplanes.
+    probes = emb.filter(F.col("vec_id") % modulus == 0)
+    truth = cosine_pairs_above_query_side(
+        probes, emb, threshold=threshold
+    ).select("id1", "id2")
     cand = lsh_bucket_candidates(
         emb, n_planes=n_planes, dim=64, n_tables=n_tables
-    )
+    ).filter(F.col("id1") % modulus == 0)
     hits = truth.join(cand, ["id1", "id2"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
@@ -170,6 +183,32 @@ def q42_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(expected), 6).alias("expected_recall_bound"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query("q42_ann_lsh_recall")  # rows-only: seeded-RNG hyperplanes not SQL-able
+def q42_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH candidate generation scored against exact truth.
+
+    Ground truth: pairs with cos ≥ 0.4 whose smaller id falls in the
+    deterministic probe subset (exhaustive — modulus 1 — at every
+    driver-tested scale, ≤ :data:`RECALL_PROBE_CAP` probes beyond it, so
+    the truth matmul stays cap·N instead of N²; see the cap's note).
+    Candidates: pairs sharing a sign-random-projection bucket, with
+    (n_planes, n_tables) DERIVED from the 0.4 threshold for ≥ 0.95
+    worst-case recall (``srp_params_for_recall`` — the r3 fixed 6×12
+    config reached only ~0.54 at this threshold, the round-3 verdict's
+    one scale-killer). Output: one row with candidate/truth/hit counts,
+    the measured recall, and the analytic worst-case bound — measured ≥
+    bound is the contract this query gates every round.
+
+    Scale: the candidate join shuffles on (table, bucket) — no broadcast,
+    no driver state; exactly the plan you'd run at 100 TB, with truth
+    estimated on the bounded probe sample the way a production recall
+    monitor must."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return _srp_recall_frame(emb)
 
 
 # --------------------------------------------------------------------------
