@@ -369,6 +369,32 @@ def test_q42_probe_sampling_regime(spark):  # noqa: F811
     assert 0.0 <= sampled.recall <= 1.0
 
 
+def test_probe_set_caps_beyond_driver_scale(spark):  # noqa: F811
+    """q40/q43/q44/q45's shared probe subset: modulus 10 (the oracle's
+    ``vec_id % 10``) at every driver-tested scale, capped at ~probe_cap
+    probes beyond it — a fixed 10% fraction would make the exact twin
+    N²/10, quadratic one decade later."""
+    from tests.conftest import SF_DIR
+    from yelp_recommender_spark.queries.similarity import _probe_set
+    from yelp_recommender_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    n = emb.count()
+
+    # default regime at fixture scale: exactly the oracle's modulus 10
+    default_ids = {r.vec_id for r in _probe_set(emb).select("vec_id").collect()}
+    assert default_ids == {
+        r.vec_id for r in emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id").collect()
+    }
+
+    # forced capped regime: probe count lands at ~cap, not n/10
+    cap = max(2, n // 30)
+    capped = _probe_set(emb, probe_cap=cap).count()
+    assert capped <= cap + max(1, n // 100)  # ceil-division slack
+    assert capped < len(default_ids)
+
+
 def test_similarity_planner_routes_by_cardinality(neardup_df):
     """cosine_pairs_above_auto: broadcast path under the limit, LSH +
     exact re-score over it — with identical verified output on genuine

@@ -36,6 +36,26 @@ from yelp_recommender_spark.sources.tables import load_tables
 
 
 
+def _probe_set(emb: DataFrame, probe_cap: int | None = None) -> DataFrame:
+    """The shared deterministic probe subset for q40/q43/q44/q45: every
+    ``modulus``-th vec_id with ``modulus = max(10, ⌈N / cap⌉)``. At every
+    driver-tested scale (N ≤ 50 000, i.e. through the amplified sf1) the
+    modulus is exactly 10, bit-identical to q40's ``vec_id % 10`` oracle;
+    beyond that the probe count CAPS at ~RECALL_PROBE_CAP instead of
+    staying a fixed 10% fraction — a fraction makes the exact twin
+    |probes|·N = N²/10 (quadratic again, one decade deferred), a cap
+    keeps it cap·N. The dials that consume this must take probes and
+    truth from THIS one function so both sides always agree."""
+    from yelp_recommender_spark.operators.ann import estimated_row_count
+
+    cap = RECALL_PROBE_CAP if probe_cap is None else probe_cap
+    n = estimated_row_count(emb)
+    if n is None:
+        n = emb.count()
+    modulus = max(10, -(-int(n) // cap))
+    return emb.filter(F.col("vec_id") % modulus == 0)
+
+
 def _exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared exact top-10 ground truth for the probe set — q40 returns
     it and q43/q44/q45 each score an approximate path against it, so the
@@ -45,8 +65,7 @@ def _exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_recommender_spark.cache import register_persist
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = emb.filter(F.col("vec_id") % 10 == 0)
-    return register_persist(cosine_topk(probes, emb, k=10))
+    return register_persist(cosine_topk(_probe_set(emb), emb, k=10))
 
 
 # --------------------------------------------------------------------------
@@ -70,7 +89,10 @@ def _exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q40_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors for probe vectors (every 10th id).
+    """Exact top-10 cosine neighbors for probe vectors (every 10th id at
+    every driver-tested scale; beyond ~50k rows the probe count caps at
+    ~:data:`RECALL_PROBE_CAP` via :func:`_probe_set` so the twin stays
+    cap·N rather than a quadratic N²/10).
 
     Scale: index side broadcast once (8·N·dim bytes); query side streams
     through float64 matmul + argpartition — O(N) per query, no shuffle.
@@ -231,7 +253,7 @@ def q43_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe ways and joins on that key — no broadcast index, no driver
     state beyond the (n_centroids × dim) routing table."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    probes = _probe_set(emb)  # same subset the exact twin scores
     exact = _exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ivf_topk(
         probes, emb, k=10, n_centroids=16, n_probe=4
@@ -273,7 +295,7 @@ def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_recommender_spark.operators.pq import pq_topk
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    probes = _probe_set(emb)  # same subset the exact twin scores
     exact = _exact_topk10(spark, sf_dir).select(
         "query_id", "neighbor_id", "cos"
     )
@@ -327,7 +349,7 @@ def q45_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_recommender_spark.operators.pq import ivfpq_topk
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    probes = _probe_set(emb)  # same subset the exact twin scores
     exact = _exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ivfpq_topk(
         probes, emb, k=10, n_centroids=16, n_probe=4, m=16, ksub=256
