@@ -60,15 +60,37 @@ ARTIFACT = os.environ.get("SPARK_GRAFT_BENCH_OUT", _DEFAULT_ARTIFACT)
 REPEAT = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")), 1)
 
 
+#: a query whose repeat passes disagree by more than this many seconds is
+#: host-stall suspect — this VM's documented transient stalls are
+#: multi-second and migrate between queries run-to-run (BASELINE.md), so
+#: a large pass-to-pass delta on the SAME query+code is the stall
+#: signature, not a plan property
+STALL_DELTA_S = 2.0
+
+
 def _payload(
     timings: dict[str, float],
     completed_passes: int | None = None,
     partial: bool = False,
+    pass_times: dict[str, list[float]] | None = None,
+    in_progress_pass: int | None = None,
 ) -> dict:
     """``repeat`` records passes actually COMPLETED (not configured):
     a crash mid-pass-1 of a min-of-2 run must not leave an artifact
     claiming min-of-2 over single-measurement timings. Mid-run writes
-    additionally carry ``"partial": true`` until the run finishes."""
+    additionally carry ``"partial": true`` plus ``"in_progress_pass"``
+    (so timings already re-measured this pass — min-of-two values under
+    a single-measurement ``repeat`` label — are machine-attributable,
+    ADVICE r5), and multi-pass runs carry the full per-pass record:
+
+    - ``passes``: per-query list of every pass's wall time;
+    - ``max_pass_delta``: the largest (max − min) across passes of any
+      one query — the stall thermometer;
+    - ``host_stall_suspect``: true when that delta exceeds
+      :data:`STALL_DELTA_S`, i.e. the min-of-N record differs
+      MATERIALLY from what a single pass would have reported, so a
+      reader never has to diff artifacts to detect a stall-inflated
+      reading (VERDICT r5)."""
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -79,6 +101,14 @@ def _payload(
     reps = REPEAT if completed_passes is None else max(completed_passes, 1)
     if reps > 1:
         out["repeat"] = reps
+    if in_progress_pass is not None and in_progress_pass > reps:
+        out["in_progress_pass"] = in_progress_pass
+    if pass_times and any(len(v) > 1 for v in pass_times.values()):
+        out["passes"] = {q: [round(t, 4) for t in v]
+                         for q, v in pass_times.items()}
+        delta = max(max(v) - min(v) for v in pass_times.values())
+        out["max_pass_delta"] = round(delta, 4)
+        out["host_stall_suspect"] = delta > STALL_DELTA_S
     if partial:
         out["partial"] = True
     return out
@@ -88,10 +118,19 @@ def _write_artifact(
     timings: dict[str, float],
     completed_passes: int | None = None,
     partial: bool = False,
+    pass_times: dict[str, list[float]] | None = None,
+    in_progress_pass: int | None = None,
 ) -> None:
     tmp = ARTIFACT + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(_payload(timings, completed_passes, partial), f, indent=1)
+        json.dump(
+            _payload(
+                timings, completed_passes, partial, pass_times,
+                in_progress_pass,
+            ),
+            f,
+            indent=1,
+        )
     os.replace(tmp, ARTIFACT)
 
 
@@ -123,6 +162,7 @@ def main() -> None:
     from yelp_recommender_spark.cache import clear_caches
 
     timings: dict[str, float] = {}
+    pass_times: dict[str, list[float]] = {}
     completed_passes = 0
     for rep in range(REPEAT):
         tag = f" [pass {rep + 1}/{REPEAT}]" if REPEAT > 1 else ""
@@ -139,13 +179,17 @@ def main() -> None:
             if ok:
                 t = round(time.perf_counter() - start, 4)
                 timings[name] = min(timings.get(name, t), t)
+                pass_times.setdefault(name, []).append(t)
                 # progress line per query (stderr — stdout stays one JSON
                 # line)
                 print(f"# {name} {t:.3f}s{tag}", file=sys.stderr)
                 # loss-proof artifact: rewrite the full dict after EVERY
                 # query so a truncated stdout capture (BENCH_r04 lost
                 # q01-q34) or a mid-run crash can never destroy the record
-                _write_artifact(timings, completed_passes, partial=True)
+                _write_artifact(
+                    timings, completed_passes, partial=True,
+                    pass_times=pass_times, in_progress_pass=rep + 1,
+                )
         completed_passes = rep + 1
         # release every registry-tracked cache (token/shingle/signature
         # tables) — each pass is the pipeline boundary; without this the
@@ -153,8 +197,8 @@ def main() -> None:
         # pass would measure warm caches the single-pass methodology pays
         clear_caches()
 
-    _write_artifact(timings)
-    print(json.dumps(_payload(timings)))
+    _write_artifact(timings, pass_times=pass_times)
+    print(json.dumps(_payload(timings, pass_times=pass_times)))
     spark.stop()
 
 

@@ -138,6 +138,82 @@ def test_embeddings_distinct_but_same_shape(duck):
     assert n == d, "perturbation left exact duplicate vectors"
 
 
+def _mini_src_with_docs(tmp_path, texts):
+    """A source sf dir: every real sf0.001 table symlinked, documents
+    replaced by a synthetic corpus with the given texts."""
+    import pyarrow as pa
+
+    src = tmp_path / "mini_src"
+    src.mkdir()
+    for t in FACT_TABLES + DIM_TABLES:
+        if t != "documents":
+            os.symlink(
+                os.path.join(SRC, f"{t}.parquet"), src / f"{t}.parquet"
+            )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, src / "documents.parquet")
+    return str(src)
+
+
+def test_salt_disjoint_on_adversarial_tokens(tmp_path):
+    """The r5 suffix-only collisions (ADVICE r5): a source holding both
+    'item' and 'item1' (copy-i salt of the former == verbatim latter
+    under suffix-only salting) and factor > 10 (copy 1 of 'x1' == copy
+    11 of 'x'). With the separator scheme every copy pair must share
+    zero tokens."""
+    src = _mini_src_with_docs(
+        tmp_path, ["item item1 x x1 x11", "item1 x11 item"]
+    )
+    out = str(tmp_path / "amp")
+    m = amplify(src, out, 12, tables=["documents"])
+    stride = m["strides"]["dockey"]
+    con = duckdb.connect()
+    toks = con.execute(
+        f"""
+        WITH tok AS (
+            SELECT doc_id // {stride} AS copy,
+                   unnest(string_split(text, ' ')) AS w
+            FROM read_parquet('{out}/documents.parquet'))
+        SELECT count(*) FROM (
+            SELECT w FROM tok GROUP BY w HAVING count(DISTINCT copy) > 1)
+        """
+    ).fetchone()[0]
+    assert toks == 0, "cross-copy token overlap under separator salting"
+
+
+def test_salt_separator_in_source_is_refused(tmp_path):
+    from yelp_recommender_spark.amplify import SALT_SEP
+
+    src = _mini_src_with_docs(tmp_path, [f"plain to{SALT_SEP}ken"])
+    with pytest.raises(ValueError, match="salt separator"):
+        amplify(src, str(tmp_path / "amp2"), 2, tables=["documents"])
+
+
+def test_stale_salt_scheme_is_rebuilt_not_refused(tmp_path):
+    """A directory amplified under an older salt scheme (manifest lacks
+    the current salt_sep) is rebuilt in place for the same request —
+    a version bump of ours, not a caller parameter conflict."""
+    src = _mini_src_with_docs(tmp_path, ["alpha beta", "gamma"])
+    out = str(tmp_path / "amp3")
+    amplify(src, out, 2, tables=["documents"])
+    mp = os.path.join(out, "MANIFEST.json")
+    stale = json.load(open(mp))
+    stale["salt_sep"] = "OLD"
+    json.dump(stale, open(mp, "w"))
+    m = amplify(src, out, 2, tables=["documents"])  # no raise
+    from yelp_recommender_spark.amplify import SALT_SEP
+
+    assert m["salt_sep"] == SALT_SEP
+
+
 def test_idempotent_and_param_guard(amp_dir, tmp_path):
     # same params: returns the existing manifest, no rewrite
     before = os.path.getmtime(os.path.join(amp_dir, "lineitem.parquet"))

@@ -1,0 +1,182 @@
+"""ANN top-k planner (VERDICT r5 #1): ``topk_auto`` picks the ladder
+rung (exact -> IVF -> IVF-PQ) by index cardinality, mirrors
+``cosine_pairs_above_auto`` on the pairs side, and the flat ``pq_topk``
+tier no longer collects the code table for an index past its guard —
+so no caller can driver-materialize a large index by calling the wrong
+rung."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+IDX_N = 80
+Q_N = 6
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):  # noqa: F811
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(DIM)])
+        for i in range(IDX_N)
+    ]
+    index = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = index.filter(f"vec_id < {Q_N}")
+    return queries, index
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# -------------------------------------------------------------- tier choice
+def test_auto_picks_exact_below_limit(vectors, monkeypatch):
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    called = {}
+    real = ann.cosine_topk
+
+    def spy(*a, **k):
+        called["exact"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(ann, "cosine_topk", spy)
+    out = ann.topk_auto(queries, index, k=3, score_col="cos")
+    assert called.get("exact")
+    # identical frame to the direct exact call (the rename is a no-op)
+    assert _sorted(out) == _sorted(real(queries, index, k=3))
+
+
+def test_auto_routes_to_ivf_beyond_exact_limit(vectors, monkeypatch):
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+
+    def boom(*a, **k):  # the big-index path must never touch the exact rung
+        raise AssertionError("exact tier called past exact_limit")
+
+    monkeypatch.setattr(ann, "cosine_topk", boom)
+    out = ann.topk_auto(
+        queries, index, k=3, exact_limit=IDX_N - 1, seed=42
+    )
+    direct = ann.ivf_topk(
+        queries, index, k=3,
+        n_centroids=max(16, min(4096, int(round(IDX_N ** 0.5)))),
+        n_probe=8, seed=42,
+    )
+    assert _sorted(out) == _sorted(
+        direct.withColumnRenamed("cos", "score")
+    )
+
+
+def test_auto_routes_to_ivfpq_beyond_ivf_limit(vectors):
+    import yelp_recommender_spark.operators.ann as ann
+    import yelp_recommender_spark.operators.pq as pq
+
+    queries, index = vectors
+    out = ann.topk_auto(
+        queries, index, k=3, exact_limit=5, ivf_limit=10,
+        n_centroids=4, n_probe=4, m=4, ksub=16, seed=42,
+    )
+    direct = pq.ivfpq_topk(
+        queries, index, k=3, n_centroids=4, n_probe=4, m=4, ksub=16,
+        seed=42,
+    )
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+    assert _sorted(out) == _sorted(
+        direct.withColumnRenamed("cos_pq", "score")
+    )
+
+
+def test_forced_tier_is_respected(vectors):
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    # a tiny index auto-resolves to exact; forcing ivf must override
+    forced = ann.topk_auto(
+        queries, index, k=3, tier="ivf", n_centroids=4, n_probe=4
+    )
+    direct = ann.ivf_topk(queries, index, k=3, n_centroids=4, n_probe=4)
+    assert _sorted(forced) == _sorted(
+        direct.withColumnRenamed("cos", "score")
+    )
+    with pytest.raises(ValueError, match="unknown tier"):
+        ann.topk_auto(queries, index, tier="brute")
+
+
+def test_uniform_output_schema_across_tiers(vectors):
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    cols = [["query_id", "neighbor_id", "score", "rank"]]
+    for tier in ("exact", "ivf", "ivfpq"):
+        out = ann.topk_auto(
+            queries, index, k=2, tier=tier,
+            n_centroids=4, n_probe=4, m=4, ksub=16,
+        )
+        assert out.columns == cols[0], tier
+        assert out.count() > 0, tier
+
+
+# ------------------------------------------------------------ pq_topk guard
+def test_pq_topk_guard_never_collects_codes(vectors, monkeypatch):
+    """Past max_index_rows the flat tier must route to ivfpq WITHOUT
+    driver-materializing the code table: pq_encode's result is wrapped
+    so any .collect() on it raises — the routed plan must still execute
+    end-to-end (ivfpq consumes codes map-only, never via collect)."""
+    import yelp_recommender_spark.operators.pq as pq
+
+    queries, index = vectors
+    real_encode = pq.pq_encode
+
+    class NoCollect:
+        def __init__(self, df):
+            self.__dict__["_df"] = df
+
+        def __getattr__(self, name):
+            if name == "collect":
+                raise AssertionError(
+                    "flat-PQ path collected the code table past the guard"
+                )
+            return getattr(self._df, name)
+
+    monkeypatch.setattr(
+        pq, "pq_encode", lambda *a, **k: NoCollect(real_encode(*a, **k))
+    )
+    out = pq.pq_topk(
+        queries, index, k=3, m=4, ksub=16, max_index_rows=10
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cos_pq", "rank"]
+    assert out.count() > 0  # the routed plan executes
+
+
+def test_pq_topk_guard_matches_ivfpq_result(vectors):
+    import yelp_recommender_spark.operators.pq as pq
+
+    queries, index = vectors
+    routed = pq.pq_topk(
+        queries, index, k=3, m=4, ksub=16, seed=42, max_index_rows=10
+    )
+    direct = pq.ivfpq_topk(
+        queries, index, k=3, m=4, ksub=16, seed=42
+    )
+    assert _sorted(routed) == _sorted(direct)
+
+
+def test_pq_topk_below_guard_unchanged(vectors):
+    import yelp_recommender_spark.operators.pq as pq
+
+    queries, index = vectors
+    flat = pq.pq_topk(queries, index, k=3, m=4, ksub=16, seed=42)
+    flat_nolimit = pq.pq_topk(
+        queries, index, k=3, m=4, ksub=16, seed=42, max_index_rows=None
+    )
+    assert _sorted(flat) == _sorted(flat_nolimit)

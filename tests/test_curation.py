@@ -479,3 +479,55 @@ def test_corpus_index_guards_reject_bad_state(spark, tmp_path):  # noqa: F811
     ).write.parquet(idx + "/shingles")
     with pytest.raises(ValueError, match="torn"):
         curate_corpus(spark, p, str(tmp_path / "o4"), corpus_index_dir=idx)
+
+
+def test_first_ingest_crash_is_harmless(spark, tmp_path):  # noqa: F811
+    """ADVICE r5: a crash during the FIRST-ever ingest (data written,
+    commit marker not yet dropped) must leave the same harmless shape as
+    any later crash — stray run ignored, next ingest proceeds — not the
+    'pre-commit-log layout' rejection. commits/ is created before any
+    data write precisely so this state is distinguishable from an index
+    written without a commit log at all."""
+    import os
+
+    from yelp_recommender_spark.curate import (
+        _load_standing_index,
+        curate_corpus,
+    )
+
+    docs = [
+        (i, f"one two three four five six seven eight niner{i}", "en", "w")
+        for i in range(3)
+    ]
+    p = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(p)
+
+    # simulate the mid-first-ingest crash state the fixed ordering
+    # produces: meta + empty commits/ + stray run data, no marker
+    idx = str(tmp_path / "idx")
+    from yelp_recommender_spark.curate import _write_index_meta
+
+    _write_index_meta(idx)
+    os.makedirs(idx + "/commits")
+    spark.createDataFrame(
+        [(0, "deadbeef")], "doc_id long, band_key string"
+    ).write.parquet(idx + "/band_keys/run_id=crashed")
+    spark.createDataFrame(
+        [(0, ["a b c"])], "doc_id long, shingles array<string>"
+    ).write.parquet(idx + "/shingles/run_id=crashed")
+
+    assert _load_standing_index(spark, idx) is None  # stray run ignored
+    r = curate_corpus(spark, p, str(tmp_path / "o1"), corpus_index_dir=idx)
+    assert r["n_curated"] == 3  # first real ingest proceeds normally
+
+    # an index with band-key data but NO commit log at all is still the
+    # unknown-provenance rejection (that guard must survive the fix)
+    import shutil
+
+    shutil.rmtree(idx + "/commits")
+    import pytest
+
+    with pytest.raises(ValueError, match="no commit log"):
+        _load_standing_index(spark, idx)

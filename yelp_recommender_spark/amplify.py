@@ -22,14 +22,24 @@ Semantics per copy ``i`` of ``K`` (copy 0 is the source, verbatim):
   ``c_nationkey`` still hits the same 25 nations (a realistic fan-in:
   10× customers per nation).
 - **documents.text** for copy i>0 rewrites each whitespace token ``w``
-  to ``w + str(i)`` and recomputes ``n_chars = len(text)``. Copies are
-  therefore textually DISJOINT (no cross-copy shingle or token overlap),
-  so dedup/similarity workloads grow linearly with the corpus, the way a
-  real 10× crawl does — exact replication would instead create K-clique
-  duplicate groups and a K² candidate-pair blowup that measures the
-  data, not the engine. Copy 0 embeds the source corpus verbatim, so
-  every within-copy near-dup the original corpus contains appears K
-  times (once per copy, in its own token space).
+  to ``w + SALT_SEP + str(i)`` and recomputes ``n_chars = len(text)``.
+  Copies are therefore textually DISJOINT (no cross-copy shingle or
+  token overlap), so dedup/similarity workloads grow linearly with the
+  corpus, the way a real 10× crawl does — exact replication would
+  instead create K-clique duplicate groups and a K² candidate-pair
+  blowup that measures the data, not the engine. Copy 0 embeds the
+  source corpus verbatim, so every within-copy near-dup the original
+  corpus contains appears K times (once per copy, in its own token
+  space). Disjointness holds BY CONSTRUCTION for any factor: the
+  separator is asserted absent from the source text, so the last
+  occurrence of ``SALT_SEP`` in a salted token decomposes it uniquely
+  into (source token, copy number) — suffix-only salting (the r5
+  scheme) could collide ``'x1'+'1'`` (copy 1) with ``'x'+'11'``
+  (copy 11), or a verbatim source token ``'item1'`` with salted
+  ``'item'`` in copy 1. The separator is ALPHANUMERIC on purpose: the
+  engine's canonical tokenizer maps non-alphanumerics to spaces
+  (functions/text.py), so a control-character separator would be
+  split off downstream and silently merge the copies back together.
 - **embeddings.embedding** for copy i>0 is perturbed with seeded
   Gaussian noise (sigma = 0.05 × per-dataset component std, seed
   ``42 + i``), keeping the distribution's shape while making copies
@@ -92,6 +102,12 @@ FACT_TABLES = (
 
 EMBED_NOISE_SIGMA = 0.05  # × per-dataset component std
 
+#: token-salt separator (module docstring): alphanumeric so the engine's
+#: tokenizer keeps it inside the token, rare so the absence assert holds
+#: on real corpora; recorded in the manifest so a directory amplified
+#: under a different salt scheme is rebuilt, not silently reused
+SALT_SEP = "zq9qz"
+
 
 def _key_columns(table: str) -> dict[str, str]:
     """column name -> domain name, for the given table."""
@@ -114,10 +130,27 @@ def _domain_strides(src: str) -> dict[str, int]:
     return strides
 
 
+def _assert_salt_separator_absent(table: pa.Table) -> None:
+    """Disjointness precondition (module docstring): the separator must
+    not appear in the SOURCE text, or salted-token decomposition stops
+    being unique. One vectorized substring scan over the source table."""
+    hits = pc.sum(
+        pc.cast(pc.match_substring(table["text"], SALT_SEP), pa.int64())
+    ).as_py()
+    if hits:
+        raise ValueError(
+            f"amplify: salt separator {SALT_SEP!r} occurs in {hits} source "
+            "document(s) — cross-copy token disjointness would not hold; "
+            "choose a different SALT_SEP for this corpus"
+        )
+
+
 def _salt_documents(table: pa.Table, copy: int) -> pa.Table:
-    """Rewrite each whitespace token ``w`` -> ``w + str(copy)`` and
-    recompute n_chars, keeping copies token-disjoint (module docstring)."""
-    suffix = str(copy)
+    """Rewrite each whitespace token ``w`` -> ``w + SALT_SEP + str(copy)``
+    and recompute n_chars, keeping copies token-disjoint by construction
+    (module docstring; caller asserts the separator is absent from the
+    source first)."""
+    suffix = SALT_SEP + str(copy)
     texts = table["text"].to_pylist()
     salted = [" ".join(w + suffix for w in t.split(" ")) for t in texts]
     n_chars = [len(t) for t in salted]
@@ -183,12 +216,20 @@ def amplify(
         "source": os.path.abspath(src),
         "factor": factor,
         "tables": wanted or sorted(set(FACT_TABLES) | set(DIM_TABLES)),
+        "salt_sep": SALT_SEP,
     }
     if os.path.exists(manifest_path):
         existing = json.load(open(manifest_path))
         if {k: existing.get(k) for k in params} == params and not overwrite:
             return existing
-        if not overwrite:
+        same_request = {
+            k: existing.get(k) for k in ("source", "factor", "tables")
+        } == {k: params[k] for k in ("source", "factor", "tables")}
+        if same_request:
+            # same amplification request, older salt scheme: OUR version
+            # bump, not a caller conflict — rebuild in place
+            pass
+        elif not overwrite:
             raise FileExistsError(
                 f"{out} holds a different amplification "
                 f"({existing.get('source')} × {existing.get('factor')}); "
@@ -211,6 +252,8 @@ def amplify(
             counts[name] = base.num_rows
         else:
             key_cols = _key_columns(name)
+            if name == "documents" and factor > 1:
+                _assert_salt_separator_absent(base)
             writer = pq.ParquetWriter(tmp_path, base.schema, version="2.6")
             try:
                 for i in range(factor):

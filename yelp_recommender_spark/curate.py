@@ -128,13 +128,26 @@ def _load_standing_index(
     commits_dir = os.path.join(corpus_index_dir, "commits")
     bk_root = os.path.join(corpus_index_dir, "band_keys")
     sh_root = os.path.join(corpus_index_dir, "shingles")
-    runs = sorted(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else []
-    if not runs:
+    if not os.path.isdir(commits_dir):
         if os.path.isdir(bk_root):
+            # band-key data with no commit LOG at all (not merely no
+            # committed runs) = an index written by something that never
+            # created commits/ — unknown provenance, not a crash artifact
             raise ValueError(
                 f"corpus index at {corpus_index_dir} has band-key data "
                 "but no commit log — unknown or pre-commit-log layout; "
                 "rebuild the index"
+            )
+        return None
+    runs = sorted(os.listdir(commits_dir))
+    if not runs:
+        # commits/ exists (created before any data write) but nothing has
+        # committed: a crash during the FIRST ingest. Any band-key data is
+        # a stray uncommitted run — same harmless case as a later crash.
+        if os.path.isdir(bk_root):
+            logger.warning(
+                "corpus index at %s: no committed runs; ignoring stray "
+                "data from a crashed first ingest", corpus_index_dir,
             )
         return None
     bk_paths = [os.path.join(bk_root, f"run_id={r}") for r in runs]
@@ -165,7 +178,14 @@ def _append_standing_index(
 ) -> None:
     """Append one run's survivors to the standing index: data first,
     commit marker last (the transaction-log ordering — see
-    :func:`_load_standing_index` for why this makes crashes harmless)."""
+    :func:`_load_standing_index` for why this makes crashes harmless).
+
+    ``commits/`` is created BEFORE any data write so a crash during the
+    first-ever ingest leaves the same harmless shape as any later crash
+    (empty commit log + stray run data), never the no-commit-log layout
+    that loading treats as unknown provenance."""
+    commits_dir = os.path.join(corpus_index_dir, "commits")
+    os.makedirs(commits_dir, exist_ok=True)
     run_id = uuid.uuid4().hex
     band_keys.write.parquet(
         os.path.join(corpus_index_dir, "band_keys", f"run_id={run_id}")
@@ -173,8 +193,6 @@ def _append_standing_index(
     shingles.write.parquet(
         os.path.join(corpus_index_dir, "shingles", f"run_id={run_id}")
     )
-    commits_dir = os.path.join(corpus_index_dir, "commits")
-    os.makedirs(commits_dir, exist_ok=True)
     with open(os.path.join(commits_dir, run_id), "w"):
         pass  # the commit point
 

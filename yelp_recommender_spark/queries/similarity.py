@@ -26,9 +26,8 @@ from pyspark.sql import functions as F
 
 from yelp_recommender_spark.operators.ann import (
     cosine_pairs_above_query_side,
-    cosine_topk,
-    ivf_topk,
     lsh_bucket_candidates,
+    topk_auto,
 )
 from yelp_recommender_spark.queries.registry import query
 from yelp_recommender_spark.sources.tables import load_tables
@@ -44,28 +43,50 @@ def _probe_set(emb: DataFrame, probe_cap: int | None = None) -> DataFrame:
     beyond that the probe count CAPS at ~RECALL_PROBE_CAP instead of
     staying a fixed 10% fraction — a fraction makes the exact twin
     |probes|·N = N²/10 (quadratic again, one decade deferred), a cap
-    keeps it cap·N. The dials that consume this must take probes and
-    truth from THIS one function so both sides always agree."""
-    from yelp_recommender_spark.operators.ann import estimated_row_count
+    keeps it cap·N.
 
+    The modulus is floored from an EXACT count — a column-pruned scan,
+    one cheap job — never a Catalyst estimate: a stale rowCount (e.g.
+    ANALYZE stats on a table that later grew) would otherwise mis-size
+    the cap, and any estimate drift between two call sites would desync
+    the dials' probe sets (ADVICE r5). Dials must still take probes AND
+    truth from :func:`_probes_and_truth` so both sides are the same
+    DataFrame by construction, not merely the same derivation."""
     cap = RECALL_PROBE_CAP if probe_cap is None else probe_cap
-    n = estimated_row_count(emb)
-    if n is None:
-        n = emb.count()
-    modulus = max(10, -(-int(n) // cap))
+    modulus = max(10, -(-emb.count() // cap))
     return emb.filter(F.col("vec_id") % modulus == 0)
 
 
-def _exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared exact top-10 ground truth for the probe set — q40 returns
-    it and q43/q44/q45 each score an approximate path against it, so the
-    broadcast-matmul truth is computed ONCE per session via the cache
+def _probes_and_truth(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(probes, exact top-10 truth) for the recall dials — the probe
+    frame is computed ONCE here and every consumer (the exact twin and
+    each approximate path) receives the SAME DataFrame, so the recall
+    denominator and the approximate side can never desync (ADVICE r5).
+    The truth matmul is cached across q40/q43/q44/q45 via the cache
     registry (same convention as the q20-q26 token table; released by
-    ``clear_caches()`` at the pipeline boundary)."""
+    ``clear_caches()`` at the pipeline boundary — Spark's CacheManager
+    dedupes re-registration by canonicalized plan)."""
     from yelp_recommender_spark.cache import register_persist
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return register_persist(cosine_topk(_probe_set(emb), emb, k=10))
+    probes = _probe_set(emb)
+    # through the planner with the tier PINNED to exact: ground truth
+    # must stay exact by contract (an auto tier would silently turn the
+    # recall denominator approximate past the broadcast limit — the
+    # probe CAP is what bounds this side's cost, not a tier switch).
+    # Score column pinned to "cos" so the q40 oracle contract is
+    # unchanged.
+    truth = register_persist(
+        topk_auto(probes, emb, k=10, tier="exact", score_col="cos")
+    )
+    return probes, truth
+
+
+def _exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact top-10 ground truth (q40's result frame)."""
+    return _probes_and_truth(spark, sf_dir)[1]
 
 
 # --------------------------------------------------------------------------
@@ -253,10 +274,15 @@ def q43_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe ways and joins on that key — no broadcast index, no driver
     state beyond the (n_centroids × dim) routing table."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = _probe_set(emb)  # same subset the exact twin scores
-    exact = _exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ivf_topk(
-        probes, emb, k=10, n_centroids=16, n_probe=4
+    # probes and truth from ONE derivation — both sides share the same
+    # probe DataFrame by construction (ADVICE r5)
+    probes, truth = _probes_and_truth(spark, sf_dir)
+    exact = truth.select("query_id", "neighbor_id")
+    # tier pinned through the planner: this dial MEASURES the ivf rung,
+    # so auto-selection would defeat it (topk_auto's tier param exists
+    # for exactly this)
+    approx = topk_auto(
+        probes, emb, k=10, tier="ivf", n_centroids=16, n_probe=4
     ).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return (
@@ -295,10 +321,8 @@ def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_recommender_spark.operators.pq import pq_topk
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = _probe_set(emb)  # same subset the exact twin scores
-    exact = _exact_topk10(spark, sf_dir).select(
-        "query_id", "neighbor_id", "cos"
-    )
+    probes, truth = _probes_and_truth(spark, sf_dir)  # one derivation
+    exact = truth.select("query_id", "neighbor_id", "cos")
     approx = pq_topk(probes, emb, k=10, m=16, ksub=256).select(
         "query_id", "neighbor_id", "cos_pq"
     )
@@ -346,13 +370,13 @@ def q45_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: index shuffles once on centroid_id; queries fan out n_probe
     ways; scoring is an Arrow-batch einsum over joined (qvec, codes) —
     no broadcast index, no driver state beyond two sub-MB tables."""
-    from yelp_recommender_spark.operators.pq import ivfpq_topk
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = _probe_set(emb)  # same subset the exact twin scores
-    exact = _exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ivfpq_topk(
-        probes, emb, k=10, n_centroids=16, n_probe=4, m=16, ksub=256
+    probes, truth = _probes_and_truth(spark, sf_dir)  # one derivation
+    exact = truth.select("query_id", "neighbor_id")
+    # tier pinned through the planner (this dial measures the ivfpq rung)
+    approx = topk_auto(
+        probes, emb, k=10, tier="ivfpq",
+        n_centroids=16, n_probe=4, m=16, ksub=256,
     ).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return (
