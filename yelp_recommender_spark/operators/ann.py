@@ -74,12 +74,27 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """All (id1 < id2) pairs with cosine ≥ threshold — embedding near-dup
     detection. Index = the whole table (broadcast); query side streams.
 
     Output: (id1, id2, cos) with cos rounded to 6.
-    """
+
+    ``max_pairs_per_doc`` switches to the BOUNDED contract: each
+    document keeps only its ``max_pairs_per_doc`` highest-cosine
+    partners (ties on id), the union of both endpoints' selections —
+    O(n·k) output instead of the threshold contract's Ω(#pairs), with
+    exclusions auditable via :func:`cosine_partners_topk` +
+    :func:`bounded_pairs_audit`. At a non-selective threshold the
+    UNBOUNDED contract is itself the scale bottleneck (q88: 11× pairs
+    for 10× docs), so the cap belongs in the contract, not the plan."""
+    if max_pairs_per_doc is not None:
+        return _partners_to_pairs(
+            cosine_partners_topk(
+                df, df, threshold, max_pairs_per_doc, id_col, vec_col
+            )
+        )
     return cosine_pairs_above_query_side(df, df, id_col, vec_col, threshold)
 
 
@@ -205,6 +220,128 @@ def cosine_topk(
             )
 
     return queries.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------------------
+# bounded-output near-dup (VERDICT r5 #2): "all pairs above τ" is
+# Ω(output) BY CONTRACT — at 100 TB a non-selective threshold makes the
+# result itself the scale-killer no matter how good the plan is (q88
+# measured 11× pairs for 10× docs). The bounded contract keeps each
+# document's top-k partners instead: result size O(n·k), exclusions
+# audit-counted per document (the same honesty device as q35's
+# blocking-blind-spot audit — a cap you can measure, not a silent drop).
+# --------------------------------------------------------------------------
+def cosine_partners_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each query document's top-``k`` partners at cosine ≥ threshold,
+    with the AUDIT count of how many partners actually cleared the
+    threshold: (doc_id, partner_id, cos, n_above). Self-matches
+    excluded; ties at the kth score break on partner id asc (the
+    engine-wide deterministic tie rule), ``n_above`` is per-doc and
+    repeated on each of its rows (≤ k rows per doc, so the repetition
+    costs nothing). Docs with zero partners above threshold emit no
+    rows.
+
+    The truncation happens INSIDE the Arrow kernel — the (batch, N)
+    similarity block never leaves the task as pairs, only the top-k
+    rows do — so the operator's output (and every shuffle after it) is
+    O(n·k) even when the above-threshold pair count is quadratic."""
+    spark = queries.sparkSession
+    ids, mat = _normalized_index(index, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, mat))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", _id_type(queries, id_col)),
+            T.StructField("partner_id", _id_type(index, id_col)),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("n_above", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_ids, idx_mat = b.value
+        for pdf in batches:
+            if len(pdf) == 0 or idx_ids.size == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy()
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn) @ idx_mat.T
+            out_d, out_p, out_c, out_n = [], [], [], []
+            for row in range(sims.shape[0]):
+                s = np.round(sims[row], 6)
+                mask = (idx_ids != q_ids[row]) & (s >= threshold)
+                cand_ids, cand_s = idx_ids[mask], s[mask]
+                n_above = int(cand_s.shape[0])
+                take = min(k, n_above)
+                if take == 0:
+                    continue
+                part = np.argpartition(-cand_s, take - 1)[:take]
+                kth = cand_s[part].min()
+                cidx = np.nonzero(cand_s >= kth)[0]
+                order = np.lexsort((cand_ids[cidx], -cand_s[cidx]))
+                sel = cidx[order[:take]]
+                out_d.extend([q_ids[row]] * take)
+                out_p.extend(cand_ids[sel])
+                out_c.extend(cand_s[sel])
+                out_n.extend([n_above] * take)
+            if not out_d:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(out_d),
+                    "partner_id": np.array(out_p),
+                    "cos": np.array(out_c, dtype=np.float64),
+                    "n_above": np.array(out_n, dtype=np.int64),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def _partners_to_pairs(partners: DataFrame) -> DataFrame:
+    """Canonical (id1 < id2) pairs from a per-doc partner frame. A pair
+    survives when EITHER endpoint selected the other into its top-k
+    (union semantics — each document keeps its own k nearest partners;
+    the union is still ≤ n·k pairs)."""
+    return (
+        partners.select(
+            F.least("doc_id", "partner_id").alias("id1"),
+            F.greatest("doc_id", "partner_id").alias("id2"),
+            "cos",
+        )
+        # cos is identical from both directions post-rounding; max is the
+        # cheap dedup that never invents a value
+        .groupBy("id1", "id2")
+        .agg(F.max("cos").alias("cos"))
+    )
+
+
+def bounded_pairs_audit(partners: DataFrame) -> DataFrame:
+    """The exclusion report for a bounded near-dup run: per document,
+    how many partners cleared the threshold (``n_above``), how many the
+    cap kept (``n_kept``), and how many it dropped (``n_excluded``) —
+    the measurable evidence that a truncated result is truncated, and
+    by how much (q35's blind-spot-audit convention). Input is
+    :func:`cosine_partners_topk` output (or the LSH variant's partner
+    frame); docs with zero above-threshold partners have nothing
+    excluded and do not appear."""
+    return (
+        partners.groupBy("doc_id")
+        .agg(
+            F.max("n_above").alias("n_above"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .withColumn("n_excluded", F.col("n_above") - F.col("n_kept"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -377,10 +514,16 @@ def cosine_pairs_above_lsh(
     n_tables: int | None = None,
     seed: int = 42,
     target_recall: float = 0.95,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Beyond-broadcast near-dup pairs: SRP-LSH candidates re-scored with
     the exact array cosine, filtered at the threshold. Same output
-    contract as :func:`cosine_pairs_above` (id1 < id2, cos rounded 6).
+    contract as :func:`cosine_pairs_above` (id1 < id2, cos rounded 6) —
+    including ``max_pairs_per_doc``, which bounds the OUTPUT to each
+    document's top-k recalled partners (union over endpoints, O(n·k));
+    the audit counts are then over RECALLED partners, i.e. within the
+    stated LSH recall bound, not exact-truth counts — the exact tier's
+    :func:`cosine_partners_topk` carries the exact audit.
 
     Recall contract: when ``n_planes``/``n_tables`` are not given they
     are DERIVED from the threshold via :func:`srp_params_for_recall` so a
@@ -431,10 +574,53 @@ def cosine_pairs_above_lsh(
     joined = cand.join(v1, "id1").join(v2, "id2")
     # exact re-score vectorized per Arrow batch (einsum), not the
     # interpreted per-row HOF — same values, ~vector-width less CPU
-    return (
+    scored = (
         cosine_rescore_arrow(joined, "_v1", "_v2")
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
+    )
+    if max_pairs_per_doc is None:
+        return scored
+    return _partners_to_pairs(
+        lsh_partners_topk_from_pairs(scored, max_pairs_per_doc)
+    )
+
+
+def lsh_partners_topk_from_pairs(
+    scored: DataFrame, k: int
+) -> DataFrame:
+    """Per-doc top-k partner frame (doc_id, partner_id, cos, n_above)
+    from an already-scored (id1, id2, cos) pair list — the bounded
+    contract's LSH-tier half: the candidate set is Ω(candidates) to
+    score (inherent to LSH verification), but everything DOWNSTREAM of
+    this window is O(n·k). One shuffle on doc_id serves both the audit
+    count and the rank. ``n_above`` counts recalled partners only —
+    the LSH recall bound applies to the audit too."""
+    from pyspark.sql import Window
+
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("doc_id"),
+                    F.col("id2").alias("partner_id"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("id2").alias("doc_id"),
+                    F.col("id1").alias("partner_id"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.doc_id", "_e.partner_id", "_e.cos")
+    w = Window.partitionBy("doc_id")
+    wo = w.orderBy(F.desc("cos"), F.asc("partner_id"))
+    return (
+        sym.withColumn("n_above", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "partner_id", "cos", "n_above")
     )
 
 
@@ -826,6 +1012,7 @@ def cosine_pairs_above_auto(
     n_tables: int | None = None,
     seed: int = 42,
     target_recall: float = 0.95,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Cardinality-based similarity-join planner: broadcast-index matmul
     (:func:`cosine_pairs_above`, exact) while the quadratic exact scan
@@ -839,12 +1026,20 @@ def cosine_pairs_above_auto(
 
     The LSH fallback derives (n_planes, n_tables) from the threshold so
     worst-case recall ≥ ``target_recall`` — the planner switch changes
-    cost, not the result contract, beyond the stated recall bound."""
+    cost, not the result contract, beyond the stated recall bound.
+
+    ``max_pairs_per_doc`` applies the bounded contract on whichever tier
+    the planner picks (see :func:`cosine_pairs_above`): result O(n·k),
+    per-doc exclusions auditable — the contract-level guard for
+    non-selective thresholds, where even a perfect plan is Ω(#pairs)."""
     n = estimated_row_count(df)
     if n is None:
         n = df.count()
     if n <= broadcast_limit:
-        return cosine_pairs_above(df, id_col, vec_col, threshold)
+        return cosine_pairs_above(
+            df, id_col, vec_col, threshold,
+            max_pairs_per_doc=max_pairs_per_doc,
+        )
     logger.info(
         "cosine_pairs_above_auto: %d rows > all-pairs exact limit %d — "
         "routing to SRP-LSH", n, broadcast_limit,
@@ -852,7 +1047,7 @@ def cosine_pairs_above_auto(
     return cosine_pairs_above_lsh(
         df, id_col, vec_col, threshold,
         n_planes=n_planes, n_tables=n_tables, seed=seed,
-        target_recall=target_recall,
+        target_recall=target_recall, max_pairs_per_doc=max_pairs_per_doc,
     )
 
 
