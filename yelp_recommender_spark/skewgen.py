@@ -1,0 +1,88 @@
+"""Skew planter: derive a POWER-LAW-KEYED variant of a scale directory
+so skew handling can be MEASURED at scale, not argued (VERDICT r5 #8).
+
+The amplifier (:mod:`yelp_recommender_spark.amplify`) is deliberately
+FK-consistent and roughly uniform — good for linear-growth measurement,
+blind to the production failure mode where one whale key owns a double-
+digit share of a table. ``plant_skew`` rewrites a deterministic fraction
+of one table's key column to a single hot value (default: every 10th
+``events`` row becomes the minimum ``user_id`` — one user with 10% of
+all events), leaving every other byte of the directory untouched (other
+tables are symlinked, not copied). Oracle parity is NOT a goal of the
+skewed variant: it exists to time window/sessionization, aggregation,
+and join plans under a hot key, next to the uniform twin.
+
+Deterministic by construction (row position, no RNG) and idempotent via
+a manifest, like the amplifier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from yelp_recommender_spark.amplify import DIM_TABLES, FACT_TABLES
+
+
+def plant_skew(
+    src: str,
+    out: str,
+    table: str = "events",
+    key: str = "user_id",
+    every: int = 10,
+) -> dict:
+    """Write a skewed twin of ``src`` into ``out``: in ``table``, every
+    ``every``-th row's ``key`` becomes the column's minimum value (the
+    whale — 1/every of the table's rows on one key, on top of whatever
+    the key already owned). All other tables are symlinked. Returns the
+    manifest; idempotent for identical parameters."""
+    params = {
+        "source": os.path.abspath(src),
+        "table": table,
+        "key": key,
+        "every": every,
+    }
+    manifest_path = os.path.join(out, "MANIFEST_SKEW.json")
+    if os.path.exists(manifest_path):
+        existing = json.load(open(manifest_path))
+        if {k: existing.get(k) for k in params} == params:
+            return existing
+        raise FileExistsError(
+            f"{out} holds a different skew plant ({existing}); remove it"
+        )
+    os.makedirs(out, exist_ok=True)
+    for name in FACT_TABLES + DIM_TABLES:
+        src_path = os.path.join(src, f"{name}.parquet")
+        if not os.path.exists(src_path):
+            continue
+        dst = os.path.join(out, f"{name}.parquet")
+        if name != table:
+            if not os.path.exists(dst):
+                os.symlink(src_path, dst)
+            continue
+        import numpy as np
+
+        t = pq.read_table(src_path)
+        idx = t.schema.get_field_index(key)
+        field = t.schema.field(idx)
+        col = t[key].combine_chunks()
+        hot = pa.scalar(pc.min(col).as_py(), field.type)
+        mask_np = np.zeros(t.num_rows, dtype=bool)
+        mask_np[::every] = True
+        newcol = pc.if_else(pa.array(mask_np), hot, col)
+        t = t.set_column(idx, field, newcol.cast(field.type))
+        tmp = dst + ".tmp"
+        pq.write_table(t, tmp, version="2.6")
+        os.replace(tmp, dst)
+        params["hot_value"] = hot.as_py()
+        params["hot_rows_min"] = int(-(-t.num_rows // every))
+        params["rows"] = t.num_rows
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, indent=1)
+    os.replace(tmp, manifest_path)
+    return params
