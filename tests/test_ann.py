@@ -523,6 +523,46 @@ def test_ann_cli_build_query_round_trip(spark, tmp_path, capsys):  # noqa: F811
         assert res.filter("rank = 1").count() == len(per_q)
 
 
+def test_ann_build_auto_tier_resolves_by_cardinality(spark, tmp_path):  # noqa: F811
+    """tier='auto' (the r6 default) picks the persisted rung with the
+    serving planner's threshold: IVF within ivf_limit, IVF-PQ beyond —
+    and records the RESOLVED tier in meta.json so query-time dispatch
+    never sees 'auto'."""
+    import json
+
+    from tests.conftest import SF_DIR
+
+    from yelp_recommender_spark.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    src = SF_DIR + "/embeddings.parquet"
+    queries = spark.read.parquet(src).limit(5)
+
+    idx_small = str(tmp_path / "auto_small")
+    report = build_ann_index(
+        spark, src, idx_small, tier="auto", n_centroids=8, m=4, ksub=16
+    )
+    assert report["tier"] == "ivf"  # test corpus ≪ the IVF limit
+    assert json.load(open(idx_small + "/meta.json"))["tier"] == "ivf"
+
+    idx_big = str(tmp_path / "auto_big")
+    report = build_ann_index(
+        spark, src, idx_big, tier="auto", n_centroids=8, m=4, ksub=16,
+        ivf_limit=10,  # force the beyond-IVF branch at fixture scale
+    )
+    assert report["tier"] == "ivfpq"
+    assert json.load(open(idx_big + "/meta.json"))["tier"] == "ivfpq"
+    res = query_ann_index(spark, idx_big, queries, k=3, n_probe=4)
+    assert res.count() > 0 and "cos_pq" in res.columns
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tier must be one of"):
+        build_ann_index(spark, src, str(tmp_path / "bad"), tier="flat")
+
+
 def test_ivf_fit_assign_carries_string_ids(spark):  # noqa: F811
     """The assignment schema derives the id type from the input —
     string keys (document ids, URLs) survive the Arrow pass instead of

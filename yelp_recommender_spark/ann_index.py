@@ -31,24 +31,45 @@ def build_ann_index(
     spark: SparkSession,
     input_path: str,
     index_dir: str,
-    tier: str = "ivf",
+    tier: str = "auto",
     n_centroids: int = 64,
     m: int = 8,
     ksub: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    ivf_limit: int | None = None,
 ) -> dict:
     """Train + persist an ANN index over a parquet table of embeddings;
-    returns the build report (row counts + artifact paths)."""
+    returns the build report (row counts + artifact paths).
+
+    ``tier="auto"`` (default) resolves the persisted rung by corpus
+    cardinality with the SAME threshold as the serving planner
+    (:func:`~yelp_recommender_spark.operators.ann.topk_auto`): IVF while
+    a probe's worth of float vectors is cheap to stream
+    (≤ ``ivf_limit``, default
+    :data:`~yelp_recommender_spark.operators.ann.DEFAULT_IVF_TOPK_LIMIT`),
+    IVF-PQ beyond — so a caller who never thinks about tiers still
+    cannot build a float-vector assignment table for a corpus that
+    needs codes. The resolved tier is recorded in meta.json."""
     from yelp_recommender_spark.operators.ann import (
+        DEFAULT_IVF_TOPK_LIMIT,
         centers_to_df,
+        estimated_row_count,
         ivf_fit_assign,
     )
 
-    if tier not in TIERS:
-        raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
+    if tier not in TIERS + ("auto",):
+        raise ValueError(
+            f"tier must be one of {TIERS + ('auto',)}, got {tier!r}"
+        )
     df = spark.read.parquet(input_path)
+    if tier == "auto":
+        n = estimated_row_count(df)
+        if n is None:
+            n = df.count()
+        limit = DEFAULT_IVF_TOPK_LIMIT if ivf_limit is None else ivf_limit
+        tier = "ivf" if n <= limit else "ivfpq"
     assigned, centers = ivf_fit_assign(
         df, id_col, vec_col, n_centroids=n_centroids, seed=seed
     )

@@ -440,7 +440,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     ab.add_argument("--input", required=True, help="embeddings parquet")
     ab.add_argument("--index-dir", required=True)
-    ab.add_argument("--tier", choices=["ivf", "ivfpq"], default="ivf")
+    ab.add_argument(
+        "--tier", choices=["auto", "ivf", "ivfpq"], default="auto",
+        help="auto = resolve by corpus cardinality with the serving "
+        "planner's threshold (resolved tier recorded in meta.json)",
+    )
     ab.add_argument("--n-centroids", type=int, default=64)
     ab.add_argument("--m", type=int, default=8)
     ab.add_argument("--ksub", type=int, default=64)

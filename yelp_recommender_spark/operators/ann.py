@@ -1119,10 +1119,14 @@ def topk_auto(
     n_probe·N/√N and routing cost √N stay balanced."""
     if tier not in (None, "exact", "ivf", "ivfpq"):
         raise ValueError(f"topk_auto: unknown tier {tier!r}")
-    n = estimated_row_count(index)
-    if n is None:
-        n = index.count()
-    chosen = tier
+    chosen, n = tier, None
+    if chosen is None or (chosen != "exact" and n_centroids is None):
+        # cardinality probe only when a decision actually depends on it
+        # (auto tier, or a forced approximate tier needing √N centroids)
+        # — a forced tier with explicit params must not pay a count() job
+        n = estimated_row_count(index)
+        if n is None:
+            n = index.count()
     if chosen is None:
         chosen = (
             "exact" if n <= exact_limit
