@@ -1,0 +1,115 @@
+"""Property-based pins for the bounded near-dup contract (hypothesis):
+for ANY random vector set, threshold, and cap —
+
+- the bounded result is a SUBSET of the unbounded threshold contract;
+- every pair in it is in at least one endpoint's true top-k (union
+  semantics, verified against a plain-numpy brute force);
+- the audit arithmetic holds per doc (n_above exact, n_kept =
+  min(k, n_above), n_excluded the difference);
+- output never exceeds n·k.
+
+Random geometry matters here: the unit tests use planted clusters, so
+ties, negative cosines, zero vectors, and k ≥ n fall to hypothesis."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+vec_st = st.lists(
+    st.lists(
+        st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+        min_size=4, max_size=4,
+    ),
+    min_size=2, max_size=10,
+)
+
+
+def _brute_partners(vecs, tau, k):
+    ids = list(range(len(vecs)))
+    mat = np.array(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sims = np.round((mat / norms) @ (mat / norms).T, 6)
+    partners, n_above = {}, {}
+    for i in ids:
+        cand = [
+            (float(sims[i, j]), j)
+            for j in ids
+            if j != i and sims[i, j] >= tau
+        ]
+        n_above[i] = len(cand)
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        partners[i] = [(j, c) for c, j in cand[:k]]
+    return partners, n_above
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=vec_st,
+    tau=st.sampled_from([-0.5, 0.0, 0.4, 0.9]),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_bounded_pairs_properties(spark, vecs, tau, k):  # noqa: F811
+    from yelp_recommender_spark.operators.ann import (
+        bounded_pairs_audit,
+        cosine_pairs_above,
+        cosine_partners_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    partners_df = cosine_partners_topk(df, df, threshold=tau, k=k)
+    got_partners = partners_df.collect()
+    bounded = {
+        (r.id1, r.id2, r.cos)
+        for r in cosine_pairs_above(
+            df, threshold=tau, max_pairs_per_doc=k
+        ).collect()
+    }
+    unbounded = {
+        (r.id1, r.id2, r.cos)
+        for r in cosine_pairs_above(df, threshold=tau).collect()
+    }
+    exp_partners, exp_above = _brute_partners(vecs, tau, k)
+
+    # subset of the threshold contract, and within the n·k bound
+    assert bounded <= unbounded
+    assert len(bounded) <= len(vecs) * k
+
+    # exact union semantics vs brute force
+    expected_pairs = {
+        (min(i, j), max(i, j), c)
+        for i, ps in exp_partners.items()
+        for j, c in ps
+    }
+    assert bounded == expected_pairs
+
+    # the per-doc partner frame is exactly the brute-force top-k
+    got_by_doc: dict[int, list] = {}
+    for r in got_partners:
+        got_by_doc.setdefault(r.doc_id, []).append(
+            (r.partner_id, r.cos)
+        )
+    for i, ps in exp_partners.items():
+        got = sorted(got_by_doc.get(i, []))
+        assert got == sorted(ps), f"doc {i}"
+
+    # audit arithmetic
+    audit = {r.doc_id: r for r in bounded_pairs_audit(partners_df).collect()}
+    for i, n in exp_above.items():
+        if n == 0:
+            assert i not in audit
+            continue
+        assert audit[i].n_above == n
+        assert audit[i].n_kept == min(k, n)
+        assert audit[i].n_excluded == n - min(k, n)
