@@ -435,8 +435,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     ab = sub.add_parser(
         "ann-build",
-        help="train + persist an ANN index (ivf or ivfpq) over an "
-        "embeddings parquet table",
+        help="train + persist an ANN index over an embeddings parquet "
+        "table (tier auto-resolved by corpus size, or forced)",
     )
     ab.add_argument("--input", required=True, help="embeddings parquet")
     ab.add_argument("--index-dir", required=True)
