@@ -44,18 +44,20 @@ def clustered(spark):  # noqa: F811
 
 def _brute(rows, tau=TAU, k=None):
     """Expected pairs and per-doc counts from numpy: per-doc top-k by
-    (cos desc, id asc), union over endpoints, canonical (id1 < id2)."""
+    (cos desc, id asc), union over endpoints, canonical (id1 < id2).
+    Threshold on the UNROUNDED cosine, rounded output (the pairs
+    contract)."""
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sims = np.round(mat @ mat.T, 6)
+    raw = mat @ mat.T
     n_above = {}
     kept_edges = set()
     for i in range(len(ids)):
         cand = [
-            (float(sims[i, j]), int(ids[j]))
+            (float(np.round(raw[i, j], 6)), int(ids[j]))
             for j in range(len(ids))
-            if j != i and sims[i, j] >= tau
+            if j != i and raw[i, j] >= tau
         ]
         n_above[int(ids[i])] = len(cand)
         cand.sort(key=lambda t: (-t[0], t[1]))

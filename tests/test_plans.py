@@ -199,3 +199,43 @@ def test_q106_overlap_join_is_equi_not_nested_loop(spark):  # noqa: F811
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_new_ann_surfaces_plan_no_cartesian(spark):  # noqa: F811
+    """The r6 operator surfaces are not catalog queries, so the catalog
+    sweep above never sees their plans — pin them here: the bounded
+    near-dup contract on BOTH tiers and every topk_auto rung must plan
+    zero CartesianProduct (the LSH paths join on bucket/id keys; the
+    exact paths are map-only Arrow kernels)."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above,
+        cosine_pairs_above_lsh,
+        topk_auto,
+    )
+    from yelp_recommender_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.limit(5)
+    plans = {
+        "bounded_exact": cosine_pairs_above(
+            emb, threshold=0.4, max_pairs_per_doc=3
+        ),
+        "bounded_lsh": cosine_pairs_above_lsh(
+            emb, threshold=0.4, max_pairs_per_doc=3,
+            n_planes=4, n_tables=2,
+        ),
+        "topk_exact": topk_auto(queries, emb, k=3, tier="exact"),
+        "topk_ivf": topk_auto(
+            queries, emb, k=3, tier="ivf", n_centroids=8, n_probe=4
+        ),
+        "topk_ivfpq": topk_auto(
+            queries, emb, k=3, tier="ivfpq",
+            n_centroids=8, n_probe=4, m=4, ksub=16,
+        ),
+    }
+    offenders = [n for n, df in plans.items()
+                 if "CartesianProduct" in _plan(df)]
+    assert not offenders, f"cartesian products planned in: {offenders}"

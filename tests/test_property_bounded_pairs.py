@@ -29,17 +29,22 @@ vec_st = st.lists(
 
 
 def _brute_partners(vecs, tau, k):
+    # threshold on the UNROUNDED cosine, rounding only in the emitted
+    # value — the q34/pairs contract the kernels implement (a rounded
+    # filter would admit 5e-7-boundary pairs the exact tier excludes;
+    # hypothesis found exactly that divergence in the first version of
+    # the bounded kernel)
     ids = list(range(len(vecs)))
     mat = np.array(vecs, dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
-    sims = np.round((mat / norms) @ (mat / norms).T, 6)
+    raw = (mat / norms) @ (mat / norms).T
     partners, n_above = {}, {}
     for i in ids:
         cand = [
-            (float(sims[i, j]), j)
+            (float(np.round(raw[i, j], 6)), j)
             for j in ids
-            if j != i and sims[i, j] >= tau
+            if j != i and raw[i, j] >= tau
         ]
         n_above[i] = len(cand)
         cand.sort(key=lambda t: (-t[0], t[1]))

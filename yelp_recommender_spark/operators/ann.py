@@ -277,9 +277,13 @@ def cosine_partners_topk(
             sims = (q / qn) @ idx_mat.T
             out_d, out_p, out_c, out_n = [], [], [], []
             for row in range(sims.shape[0]):
-                s = np.round(sims[row], 6)
-                mask = (idx_ids != q_ids[row]) & (s >= threshold)
-                cand_ids, cand_s = idx_ids[mask], s[mask]
+                # threshold on the UNROUNDED cosine — the q34/pairs
+                # contract (rounding is an OUTPUT convention only); the
+                # bounded result must be a strict subset of the
+                # unbounded one, including 5e-7-boundary pairs
+                mask = (idx_ids != q_ids[row]) & (sims[row] >= threshold)
+                cand_ids = idx_ids[mask]
+                cand_s = np.round(sims[row][mask], 6)
                 n_above = int(cand_s.shape[0])
                 take = min(k, n_above)
                 if take == 0:
@@ -573,12 +577,15 @@ def cosine_pairs_above_lsh(
     )
     joined = cand.join(v1, "id1").join(v2, "id2")
     # exact re-score vectorized per Arrow batch (einsum), not the
-    # interpreted per-row HOF — same values, ~vector-width less CPU
-    scored = (
-        cosine_rescore_arrow(joined, "_v1", "_v2")
-        .filter(F.col("cos") >= threshold)
-        .select("id1", "id2", "cos")
-    )
+    # interpreted per-row HOF — same values, ~vector-width less CPU.
+    # The threshold is applied INSIDE the kernel on the UNROUNDED
+    # cosine (the q34/pairs contract — rounding is an output
+    # convention): filtering the rounded column kept 5e-7-boundary
+    # pairs the exact tier excludes, a tier-dependent result (r6 fix,
+    # caught by the bounded-pairs property test).
+    scored = cosine_rescore_arrow(
+        joined, "_v1", "_v2", threshold=threshold
+    ).select("id1", "id2", "cos")
     if max_pairs_per_doc is None:
         return scored
     return _partners_to_pairs(
@@ -629,6 +636,7 @@ def cosine_rescore_arrow(
     vec1: str,
     vec2: str,
     out: str = "cos",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact cosine over joined (vec1, vec2) array columns, computed as
     one einsum per Arrow batch — the vectorized replacement for the
@@ -636,7 +644,11 @@ def cosine_rescore_arrow(
     same per-row-CPU shape the r3 SRP vectorization removed from bucket
     assignment). Passes every other column through; drops the two vector
     columns; appends ``out`` rounded to 6. Zero-norm vectors score 0.0
-    (the engine-wide sklearn-compatible convention)."""
+    (the engine-wide sklearn-compatible convention).
+
+    ``threshold`` filters rows INSIDE the kernel on the UNROUNDED
+    cosine — the pairs contract (a post-hoc filter on the rounded
+    column would keep 5e-7-boundary pairs the exact tier excludes)."""
     keep = [f for f in pairs.schema.fields if f.name not in (vec1, vec2)]
     schema = T.StructType(keep + [T.StructField(out, T.DoubleType())])
     names = [f.name for f in keep]
@@ -651,9 +663,13 @@ def cosine_rescore_arrow(
             nb = np.linalg.norm(b2, axis=1)
             na[na == 0.0] = 1.0
             nb[nb == 0.0] = 1.0
-            cos = np.round(np.einsum("ij,ij->i", a, b2) / (na * nb), 6)
-            out_pdf = pdf[names].copy()
-            out_pdf[out] = cos
+            raw = np.einsum("ij,ij->i", a, b2) / (na * nb)
+            out_pdf = pdf[names]
+            if threshold is not None:
+                m = raw >= threshold
+                out_pdf, raw = out_pdf[m], raw[m]
+            out_pdf = out_pdf.copy()
+            out_pdf[out] = np.round(raw, 6)
             yield out_pdf
 
     return pairs.mapInPandas(gen, schema)
