@@ -47,6 +47,14 @@ PORTABLE = [
     "q60_multimodal_image_features", "q62_streaming_dedup",
     "q63_streaming_running_totals", "q64_multimodal_neardup",
     "q120_bag_set_ops", "q121_string_functions", "q122_array_hof",
+    # r6 oracle rewrites into the portable common dialect (DuckDB
+    # results verified unchanged): CAST(… AS STRING) — a type alias in
+    # BOTH engines — replaced the DuckDB-only bare VARCHAR cast, and the
+    # ANSI percentile_cont(q) WITHIN GROUP form (supported by both,
+    # identical type-7 interpolation) replaced quantile_cont
+    "q37_stratified_sample", "q38_sample_n_per_group",
+    "q39_value_percentiles", "q77_global_shuffle",
+    "q94_sketch_percentiles", "q103_cdc_apply", "q108_robust_outliers",
 ]
 
 # Oracles that are valid DuckDB but NOT verbatim Spark SQL, keyed by the
@@ -72,35 +80,33 @@ NON_PORTABLE = {
         "q116_streaming_attribution_outer",
     ],
     # list_* / unnest-in-SELECT lambda dialect (Spark spells these
-    # filter/transform/explode/array_join/split)
+    # filter/transform/explode/array_join/split). q32/q68/q89 moved
+    # here from varchar-cast in r6: the cast was rewritten portable
+    # (AS STRING), exposing this as their real blocker.
     "duckdb-list-fns": [
         "q20_token_stats", "q21_term_doc_frequency",
         "q22_tfidf_top_terms", "q23_language_id", "q24_doc_quality",
         "q25_doc_fingerprint", "q26_top_bigrams", "q27_token_counts",
-        "q31_ngram_jaccard_pairs", "q33_simhash_docs",
-        "q35_blocking_exclusions", "q55_content_predict",
+        "q31_ngram_jaccard_pairs", "q32_minhash_lsh_pairs",
+        "q33_simhash_docs", "q35_blocking_exclusions",
+        "q55_content_predict", "q68_dedup_clusters",
         "q73_doc_repetition", "q76_source_mixture_weights",
         "q78_decontamination", "q86_bigram_lm_score",
         "q87_hashed_doc_vectors", "q88_hashed_vector_neardup",
-        "q112_zipf_slope", "q118_embedding_norms",
+        "q89_streaming_incremental_dedup", "q112_zipf_slope",
+        "q118_embedding_norms",
     ],
-    # CAST(x AS VARCHAR) without length (Spark requires a length or
-    # STRING) — the md5(key-concat) determinism idiom
-    "varchar-cast": [
-        "q32_minhash_lsh_pairs", "q37_stratified_sample",
-        "q38_sample_n_per_group", "q68_dedup_clusters",
-        "q77_global_shuffle", "q85_weighted_sample",
-        "q89_streaming_incremental_dedup", "q103_cdc_apply",
-        "q113_split_manifest",
+    # CAST('0x' || md5-hex AS BIGINT): DuckDB parses 0x-prefixed
+    # strings in numeric casts, Spark rejects them (the deterministic
+    # hash-to-weight idiom; Spark-side code uses conv())
+    "hex-string-cast": [
+        "q85_weighted_sample", "q113_split_manifest",
     ],
-    # QUALIFY clause (DuckDB/Snowflake extension; Spark needs a subquery)
+    # QUALIFY clause (DuckDB/Snowflake extension; Spark needs a
+    # subquery) — both also carry a second blocker (epoch_us / the list
+    # dialect), so a QUALIFY rewrite alone would not make them portable
     "qualify-clause": [
         "q30_dedup_keep_first", "q70_dedup_incremental",
-    ],
-    # quantile_cont aggregate (Spark: percentile)
-    "quantile-cont": [
-        "q39_value_percentiles", "q94_sketch_percentiles",
-        "q108_robust_outliers",
     ],
     # datediff('day', a, b) argument form (Spark: datediff(DAY, a, b)
     # without quotes / date_diff)

@@ -451,9 +451,9 @@ def q102_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                c_acctbal + 50.0 AS c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 3 = 0
         UNION ALL
-        SELECT c_custkey, 'D', 2, CAST(NULL AS VARCHAR),
+        SELECT c_custkey, 'D', 2, CAST(NULL AS STRING),
                CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
-               CAST(NULL AS VARCHAR)
+               CAST(NULL AS STRING)
         FROM customer WHERE c_custkey % 5 = 0
         UNION ALL
         SELECT c_custkey + 200000, 'U', 3, 'cdc-insert', 0, 1.0, 'CDCSEG'
@@ -832,8 +832,8 @@ def q107_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.25), 6) AS q1,
-               ROUND(quantile_cont(value, 0.75), 6) AS q3
+               ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS q1,
+               ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS q3
         FROM events GROUP BY event_type
     )
     SELECT e.event_type, COUNT(*) AS n,
@@ -1148,7 +1148,7 @@ def q112_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
         SELECT source,
-               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+               (CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 12)
                      AS BIGINT) + 1) / 281474976710657.0 AS u
         FROM documents
     )

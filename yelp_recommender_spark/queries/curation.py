@@ -287,7 +287,7 @@ _SHARD_SQL = (
            CAST({_SHARD_SQL} AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY {_SHARD_SQL}
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id
            ) AS BIGINT) AS pos_in_shard
     FROM documents
     """,

@@ -35,10 +35,10 @@ DUCK_SHINGLES3 = (
 )
 DUCK_MINHASH16 = (
     "list_transform(range(0, 16), i -> list_min(list_transform(sh,"
-    " s -> md5(CAST(i AS VARCHAR) || '|' || s))))"
+    " s -> md5(CAST(i AS STRING) || '|' || s))))"
 )
 DUCK_BANDS8 = (
-    "list_transform(range(0, 8), j -> md5(CAST(j AS VARCHAR) || '#' ||"
+    "list_transform(range(0, 8), j -> md5(CAST(j AS STRING) || '#' ||"
     " array_to_string(sig[j * 2 + 1 : j * 2 + 2], '|')))"
 )
 # Verified MinHash-LSH pair pipeline as a reusable CTE chain (consumed by
@@ -345,8 +345,8 @@ def _duck_simhash_band_keys(bits: int, k: int) -> str:
     from yelp_recommender_spark.operators.dedup import simhash_band_layout
 
     keys = ", ".join(
-        f"CAST({j} AS VARCHAR) || '#' ||"
-        f" CAST((simhash >> {off}) & {(1 << w) - 1} AS VARCHAR)"
+        f"CAST({j} AS STRING) || '#' ||"
+        f" CAST((simhash >> {off}) & {(1 << w) - 1} AS STRING)"
         for j, (off, w) in enumerate(simhash_band_layout(bits, k))
     )
     return f"[{keys}]"

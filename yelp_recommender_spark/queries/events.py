@@ -170,15 +170,16 @@ def q36_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q39_value_percentiles",
     oracle="""
     SELECT event_type,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 6) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 6) AS p90,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 6) AS p99
     FROM events GROUP BY event_type
     """,
 )
 def q39_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (interpolated, R-7 — the same
-    definition as the oracle's quantile_cont): the tail-latency /
+    definition as the oracle's ANSI percentile_cont — portable
+    verbatim to both engines since r6): the tail-latency /
     value-distribution diagnostic. Spark's ``percentile`` sorts within
     the group — exact and oracle-checkable; at 100 TB swap in
     ``approx_percentile`` (t-digest, mergeable sketches) where the
@@ -525,16 +526,16 @@ def q92_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94_sketch_percentiles",
     oracle="""
     SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
-           ROUND(quantile_cont(value, 0.5), 6) AS exact_value,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS exact_value,
            TRUE AS approx_ok
     FROM events GROUP BY event_type
     UNION ALL
     SELECT event_type, CAST(0.9 AS DOUBLE),
-           ROUND(quantile_cont(value, 0.9), 6), TRUE
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6), TRUE
     FROM events GROUP BY event_type
     UNION ALL
     SELECT event_type, CAST(0.99 AS DOUBLE),
-           ROUND(quantile_cont(value, 0.99), 6), TRUE
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6), TRUE
     FROM events GROUP BY event_type
     """,
 )
@@ -546,8 +547,8 @@ def q94_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the exact [p−2ε, p+2ε] percentile envelope (2ε: one ε is the
     sketch's guarantee, the second absorbs the ±1-rank difference
     between interpolated and element quantiles). The oracle pins the
-    exact values (Spark ``percentile`` and DuckDB ``quantile_cont`` are
-    both type-7 linear interpolation) and expects ``approx_ok = TRUE``.
+    exact values (Spark ``percentile`` and the oracle's ANSI
+    ``percentile_cont`` are both type-7 linear interpolation) and expects ``approx_ok = TRUE``.
 
     Scale: GK sketches merge associatively with bounded state
     (O(1/ε log εn) per group), so the exchange carries sketches — the

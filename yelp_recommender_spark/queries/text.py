@@ -374,7 +374,7 @@ def q27_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (
-               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               WHERE substr(md5(CAST(doc_id AS STRING)), 1, 2) <
                      CASE source WHEN 'src0' THEN '80'
                                  WHEN 'src1' THEN '40'
                                  ELSE '20' END
@@ -408,7 +408,7 @@ def q37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id
                ) AS rn
         FROM documents
     ) WHERE rn <= 5
@@ -509,7 +509,7 @@ def q28_cdc_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                CAST(length(text) AS BIGINT) AS n_chars,
                ROUND(
-                   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                   ln((CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 12)
                             AS BIGINT) + 1) / 281474976710657.0)
                    / CAST(length(text) AS DOUBLE), 9) AS sk
         FROM documents WHERE length(text) > 0
