@@ -126,6 +126,49 @@ def test_uniform_output_schema_across_tiers(vectors):
         assert out.count() > 0, tier
 
 
+def test_stale_low_estimate_cannot_pick_exact_rung(vectors, monkeypatch):
+    """A STALE Catalyst row estimate (ANALYZE stats on a table that
+    later grew) must never route a big index to the driver-collecting
+    exact rung: the planner confirms with an exact count before
+    choosing exact (code-review r6). Estimate says 5 rows, reality is
+    80, exact_limit 50 → the ivf rung must win."""
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    monkeypatch.setattr(ann, "estimated_row_count", lambda df: 5)
+
+    def boom(*a, **k):
+        raise AssertionError("stale estimate picked the exact rung")
+
+    monkeypatch.setattr(ann, "cosine_topk", boom)
+    out = ann.topk_auto(
+        queries, index, k=3, exact_limit=50, n_centroids=4, n_probe=4
+    )
+    assert out.count() > 0  # executed on the approximate rung
+
+
+def test_big_estimate_routes_without_exact_count(vectors, monkeypatch):
+    """The estimate IS trusted in the safe direction: when it already
+    exceeds every limit, no count() job runs — being wrong there costs
+    I/O on an approximate rung, never driver memory."""
+    from pyspark.sql import DataFrame
+
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    monkeypatch.setattr(ann, "estimated_row_count", lambda df: 10**9)
+
+    def no_count(self):
+        raise AssertionError("count() ran despite a big estimate")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    out = ann.topk_auto(
+        queries, index, k=3, n_centroids=4, n_probe=4, m=4, ksub=16
+    )  # plan construction picks ivfpq purely from the estimate
+    monkeypatch.undo()
+    assert out.count() > 0
+
+
 # ------------------------------------------------------------ pq_topk guard
 def test_pq_topk_guard_never_collects_codes(vectors, monkeypatch):
     """Past max_index_rows the flat tier must route to ivfpq WITHOUT
@@ -169,6 +212,27 @@ def test_pq_topk_guard_matches_ivfpq_result(vectors):
         queries, index, k=3, m=4, ksub=16, seed=42
     )
     assert _sorted(routed) == _sorted(direct)
+
+
+def test_pq_topk_guard_refuses_explicit_codebooks(vectors):
+    """Explicit codebooks are a commitment to flat-PQ scoring; past the
+    guard the routed ivfpq path would silently retrain different ones —
+    the conflict must raise instead (code-review r6)."""
+    import yelp_recommender_spark.operators.pq as pq
+
+    queries, index = vectors
+    books = pq.train_codebooks(index, m=4, ksub=16)
+    with pytest.raises(ValueError, match="explicit codebooks"):
+        pq.pq_topk(
+            queries, index, k=3, m=4, ksub=16,
+            codebooks=books, max_index_rows=10,
+        )
+    # with the guard disabled the explicit quantizer is honored
+    out = pq.pq_topk(
+        queries, index, k=3, m=4, ksub=16,
+        codebooks=books, max_index_rows=None,
+    )
+    assert out.count() > 0
 
 
 def test_pq_topk_below_guard_unchanged(vectors):

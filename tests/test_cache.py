@@ -34,3 +34,41 @@ def test_clear_caches_idempotent_and_safe(spark):  # noqa: F811
     df.count()
     assert clear_caches() == 1
     assert clear_caches() == 0
+
+
+def test_cleanup_callbacks_run_on_full_clear_only(spark):  # noqa: F811
+    from yelp_recommender_spark import cache
+
+    calls = []
+    cache.register_cleanup(lambda: calls.append(1))
+    mark = cache.registry_mark()
+    cache.clear_caches(since=mark)  # scoped clear: memos survive
+    assert calls == []
+    cache.clear_caches()  # pipeline boundary: cleanups fire
+    assert calls == [1]
+
+
+def test_probe_modulus_memoized_per_pipeline_run(spark):  # noqa: F811
+    """The four recall dials share ONE exact count per pipeline run
+    (code-review r6): the memo returns without a job on the second
+    call, and clear_caches() at the boundary drops it."""
+    from yelp_recommender_spark import cache
+    from yelp_recommender_spark.queries import similarity as S
+    from yelp_recommender_spark.sources.tables import load_tables
+
+    cache.clear_caches()
+    assert S._MODULUS_MEMO == {}
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    m1 = S._memoized_modulus(emb, "/root/testdata/sf0.001", 5000)
+    assert S._MODULUS_MEMO != {}
+
+    class Boom:
+        def count(self):
+            raise AssertionError("second dial re-ran the count")
+
+    m2 = S._memoized_modulus(Boom(), "/root/testdata/sf0.001", 5000)
+    assert m1 == m2 == 10
+    cache.clear_caches()
+    assert S._MODULUS_MEMO == {}

@@ -1,0 +1,57 @@
+"""plant_skew unit pins (the opt-in sf1 harness exercises it at scale;
+these cover the failure modes the r6 code review surfaced): relative
+source paths must not produce dangling symlinks, a typo'd table must
+not silently emit a no-skew twin, and the manifest idempotency/refusal
+contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from yelp_recommender_spark.skewgen import plant_skew
+
+SRC = "/root/testdata/sf0.001"
+
+
+def test_plant_skew_basic_and_idempotent(tmp_path):
+    out = str(tmp_path / "skew")
+    m = plant_skew(SRC, out, every=10)
+    assert m["hot_value"] == 0 and m["rows"] > 0
+    con = duckdb.connect()
+    top = con.execute(
+        f"SELECT user_id, count(*) FROM read_parquet('{out}/events.parquet')"
+        " GROUP BY 1 ORDER BY 2 DESC LIMIT 1"
+    ).fetchone()
+    assert top[0] == 0 and top[1] >= m["rows"] // 10
+    # idempotent: same params return the manifest untouched
+    before = os.path.getmtime(out + "/events.parquet")
+    assert plant_skew(SRC, out, every=10) == m
+    assert os.path.getmtime(out + "/events.parquet") == before
+    with pytest.raises(FileExistsError):
+        plant_skew(SRC, out, every=5)
+
+
+def test_plant_skew_relative_src_symlinks_resolve(tmp_path, monkeypatch):
+    """A RELATIVE src must still produce working symlinks: raw relative
+    targets would resolve against the link's own directory and dangle
+    (code-review r6)."""
+    monkeypatch.chdir("/root")
+    out = str(tmp_path / "skew_rel")
+    plant_skew("testdata/sf0.001", out, every=10)
+    link = os.path.join(out, "customer.parquet")
+    assert os.path.islink(link)
+    assert os.path.isabs(os.readlink(link))
+    assert os.path.exists(link)  # resolves from anywhere
+    monkeypatch.chdir(str(tmp_path))
+    assert os.path.exists(link)
+
+
+def test_plant_skew_missing_table_raises(tmp_path):
+    with pytest.raises(ValueError, match="not found"):
+        plant_skew(SRC, str(tmp_path / "x"), table="event")  # typo
+    # a half-written dir must not carry a manifest
+    assert not os.path.exists(str(tmp_path / "x" / "MANIFEST_SKEW.json"))

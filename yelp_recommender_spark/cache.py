@@ -17,9 +17,22 @@ registry still tracks every handle so one clear call frees everything.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
+_CLEANUPS: list[Callable[[], None]] = []
+
+
+def register_cleanup(fn: Callable[[], None]) -> None:
+    """Enroll a callback run by full ``clear_caches()`` calls — for
+    driver-side memos that must share the cache registry's lifetime
+    (e.g. the recall dials' probe modulus: valid exactly as long as the
+    cached intermediates over the same corpus are). Idempotent per
+    function object."""
+    if fn not in _CLEANUPS:
+        _CLEANUPS.append(fn)
 
 
 def register_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -37,17 +50,28 @@ def registry_mark() -> int:
     return len(_REGISTRY)
 
 
-def clear_caches(since: int = 0) -> int:
+def clear_caches(since: int | None = None) -> int:
     """Unpersist registered caches from position ``since`` on (default:
     all); returns how many were released. Safe to call with a stopped
     session (errors are swallowed — the JVM cache died with the session
-    anyway)."""
+    anyway). A FULL clear (no ``since`` — the pipeline boundary) also
+    runs the registered cleanup callbacks; a SCOPED clear (any explicit
+    ``since``, even 0) leaves co-resident memos alone, matching the
+    library-pipeline semantics of :func:`registry_mark`."""
+    full = since is None
+    floor = 0 if full else since
     n = 0
-    while len(_REGISTRY) > since:
+    while len(_REGISTRY) > floor:
         df = _REGISTRY.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:  # session already stopped
             pass
+    if full:
+        for fn in _CLEANUPS:
+            try:
+                fn()
+            except Exception:
+                pass
     return n

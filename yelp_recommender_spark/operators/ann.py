@@ -1049,7 +1049,10 @@ def cosine_pairs_above_auto(
     per-doc exclusions auditable — the contract-level guard for
     non-selective thresholds, where even a perfect plan is Ω(#pairs)."""
     n = estimated_row_count(df)
-    if n is None:
+    if n is None or n <= broadcast_limit:
+        # exact confirmation before the broadcast-index rung — a stale
+        # low estimate must not driver-materialize a huge table; the
+        # estimate is trusted only in the safe (big → LSH) direction
         n = df.count()
     if n <= broadcast_limit:
         return cosine_pairs_above(
@@ -1141,7 +1144,16 @@ def topk_auto(
         # (auto tier, or a forced approximate tier needing √N centroids)
         # — a forced tier with explicit params must not pay a count() job
         n = estimated_row_count(index)
-        if n is None:
+        if chosen is None and (n is None or n <= exact_limit):
+            # before picking the driver-materializing EXACT rung the
+            # count must be exact: a STALE plan estimate (e.g. ANALYZE
+            # stats on a table that later grew 100×) would otherwise
+            # route a huge index onto the driver — the precise failure
+            # this planner exists to prevent. The estimate is only ever
+            # trusted in the SAFE direction (it says big → approximate
+            # rung, where being wrong costs I/O, never memory).
+            n = index.count()
+        elif n is None:
             n = index.count()
     if chosen is None:
         chosen = (

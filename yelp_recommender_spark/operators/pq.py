@@ -269,9 +269,25 @@ def pq_topk(
         )
     if max_index_rows is not None:
         n = estimated_row_count(index)
-        if n is None:
+        if n is None or n <= max_index_rows:
+            # exact confirmation before the code-collecting flat tier —
+            # a stale low estimate must not drive a huge code table onto
+            # the driver; the estimate is trusted only in the safe
+            # (big → route) direction
             n = index.count()
         if n > max_index_rows:
+            if codebooks is not None:
+                # an explicit quantizer is a commitment to FLAT-PQ
+                # scoring semantics; silently retraining different
+                # codebooks inside ivfpq would change the scores the
+                # caller pinned — make the conflict loud instead
+                raise ValueError(
+                    f"pq_topk: index≈{n} rows exceeds max_index_rows="
+                    f"{max_index_rows} but explicit codebooks were "
+                    "supplied — pass max_index_rows=None to keep the "
+                    "flat tier (measured memory budget) or use "
+                    "ivfpq_topk directly"
+                )
             logger.warning(
                 "pq_topk: index≈%d rows > flat-PQ limit %d — routing to "
                 "ivfpq_topk (no driver materialization of the code table)",

@@ -57,6 +57,24 @@ def _probe_set(emb: DataFrame, probe_cap: int | None = None) -> DataFrame:
     return emb.filter(F.col("vec_id") % modulus == 0)
 
 
+#: per-sf_dir memo of the probe modulus — all four dials share one
+#: exact count per pipeline run instead of four identical scans (the
+#: corpus is immutable within a run; the memo's lifetime is tied to the
+#: cache registry, so ``clear_caches()`` at the pipeline boundary drops
+#: it together with the cached truth frame it sizes)
+_MODULUS_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _memoized_modulus(emb: DataFrame, sf_dir: str, cap: int) -> int:
+    from yelp_recommender_spark.cache import register_cleanup
+
+    key = (sf_dir, cap)
+    if key not in _MODULUS_MEMO:
+        register_cleanup(_MODULUS_MEMO.clear)
+        _MODULUS_MEMO[key] = max(10, -(-emb.count() // cap))
+    return _MODULUS_MEMO[key]
+
+
 def _probes_and_truth(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -71,7 +89,8 @@ def _probes_and_truth(
     from yelp_recommender_spark.cache import register_persist
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    probes = _probe_set(emb)
+    modulus = _memoized_modulus(emb, sf_dir, RECALL_PROBE_CAP)
+    probes = emb.filter(F.col("vec_id") % modulus == 0)
     # through the planner with the tier PINNED to exact: ground truth
     # must stay exact by contract (an auto tier would silently turn the
     # recall denominator approximate past the broadcast limit — the
@@ -323,9 +342,12 @@ def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     probes, truth = _probes_and_truth(spark, sf_dir)  # one derivation
     exact = truth.select("query_id", "neighbor_id", "cos")
-    approx = pq_topk(probes, emb, k=10, m=16, ksub=256).select(
-        "query_id", "neighbor_id", "cos_pq"
-    )
+    # tier pinned like q43/q45: this dial MEASURES the flat-PQ rung, so
+    # the guard's silent reroute to ivfpq past 50M rows would have it
+    # report the wrong tier's recall (code-review r6)
+    approx = pq_topk(
+        probes, emb, k=10, m=16, ksub=256, max_index_rows=None
+    ).select("query_id", "neighbor_id", "cos_pq")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "inner")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -55,15 +55,19 @@ def plant_skew(
             f"{out} holds a different skew plant ({existing}); remove it"
         )
     os.makedirs(out, exist_ok=True)
+    planted = False
     for name in FACT_TABLES + DIM_TABLES:
         src_path = os.path.join(src, f"{name}.parquet")
         if not os.path.exists(src_path):
             continue
         dst = os.path.join(out, f"{name}.parquet")
         if name != table:
-            if not os.path.exists(dst):
-                os.symlink(src_path, dst)
+            # absolute target: a relative path would resolve relative
+            # to the LINK's directory and dangle (code-review r6)
+            if not os.path.lexists(dst):
+                os.symlink(os.path.abspath(src_path), dst)
             continue
+        planted = True
         import numpy as np
 
         t = pq.read_table(src_path)
@@ -81,6 +85,14 @@ def plant_skew(
         params["hot_value"] = hot.as_py()
         params["hot_rows_min"] = int(-(-t.num_rows // every))
         params["rows"] = t.num_rows
+    if not planted:
+        # a typo'd table name (or a src missing that table) must not
+        # silently produce a no-skew twin whose "uniform vs skewed"
+        # measurement compares two identical directories
+        raise ValueError(
+            f"plant_skew: table {table!r} not found in {src} — nothing "
+            "was skewed"
+        )
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(params, f, indent=1)
