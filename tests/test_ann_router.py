@@ -235,6 +235,42 @@ def test_pq_topk_guard_refuses_explicit_codebooks(vectors):
     assert out.count() > 0
 
 
+def test_pq_topk_on_exceed_error_fails_loudly(vectors):
+    """The dial-pinning mode (q44): past the flat tier's domain the
+    call must raise, not reroute to another rung's scores and not
+    driver-collect unboundedly."""
+    import yelp_recommender_spark.operators.pq as pq
+
+    queries, index = vectors
+    with pytest.raises(ValueError, match="on_exceed='error'"):
+        pq.pq_topk(
+            queries, index, k=3, m=4, ksub=16,
+            max_index_rows=10, on_exceed="error",
+        )
+    with pytest.raises(ValueError, match="unknown on_exceed"):
+        pq.pq_topk(queries, index, on_exceed="explode")
+
+
+def test_build_auto_tier_confirms_stale_low_estimate(vectors, tmp_path,
+                                                     monkeypatch):
+    """build_ann_index tier='auto' must not trust a stale-LOW Catalyst
+    estimate into persisting the float-vector tier for a corpus that
+    needs codes — same safe-direction rule as the serving planners."""
+    import yelp_recommender_spark.operators.ann as ann
+    from yelp_recommender_spark.ann_index import build_ann_index
+
+    _, index = vectors
+    src = str(tmp_path / "emb")
+    index.write.parquet(src)
+    monkeypatch.setattr(ann, "estimated_row_count", lambda df: 5)
+    report = build_ann_index(
+        index.sparkSession, src, str(tmp_path / "idx"),
+        tier="auto", n_centroids=4, m=4, ksub=16,
+        ivf_limit=10,  # actual rows (80) exceed it; stale estimate lies
+    )
+    assert report["tier"] == "ivfpq"
+
+
 def test_pq_topk_below_guard_unchanged(vectors):
     import yelp_recommender_spark.operators.pq as pq
 

@@ -50,8 +50,28 @@ def test_plant_skew_relative_src_symlinks_resolve(tmp_path, monkeypatch):
     assert os.path.exists(link)
 
 
-def test_plant_skew_missing_table_raises(tmp_path):
+def test_plant_skew_missing_table_raises_before_any_write(tmp_path):
     with pytest.raises(ValueError, match="not found"):
         plant_skew(SRC, str(tmp_path / "x"), table="event")  # typo
-    # a half-written dir must not carry a manifest
-    assert not os.path.exists(str(tmp_path / "x" / "MANIFEST_SKEW.json"))
+    # validation precedes every write: no dir, no links, no manifest —
+    # a later retry can never adopt leftovers from the failed run
+    assert not os.path.exists(str(tmp_path / "x"))
+
+
+def test_plant_skew_replaces_stale_links_never_adopts(tmp_path):
+    """A pre-existing symlink pointing elsewhere (stale run, different
+    src, dangling target) is replaced; a regular file is refused —
+    silent adoption would build a mixed-source twin under a clean
+    manifest (code-review r6)."""
+    out = tmp_path / "skew"
+    out.mkdir()
+    os.symlink("/nonexistent/customer.parquet", out / "customer.parquet")
+    (out / "nation.parquet").write_text("not a link")
+    with pytest.raises(FileExistsError, match="not a managed symlink"):
+        plant_skew(SRC, str(out))
+    os.remove(out / "nation.parquet")
+    plant_skew(SRC, str(out))
+    assert os.readlink(out / "customer.parquet") == os.path.abspath(
+        os.path.join(SRC, "customer.parquet")
+    )
+    assert os.path.exists(out / "customer.parquet")

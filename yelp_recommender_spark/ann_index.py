@@ -65,10 +65,16 @@ def build_ann_index(
         )
     df = spark.read.parquet(input_path)
     if tier == "auto":
-        n = estimated_row_count(df)
-        if n is None:
-            n = df.count()
         limit = DEFAULT_IVF_TOPK_LIMIT if ivf_limit is None else ivf_limit
+        n = estimated_row_count(df)
+        if n is None or n <= limit:
+            # exact confirmation before persisting the float-vector
+            # tier: a stale-LOW estimate must not build an
+            # 8·dim-bytes/row assignment table for a corpus that needs
+            # codes — the estimate is trusted only in the safe
+            # (big → ivfpq) direction, same rule as the serving
+            # planners (operators/ann.py topk_auto)
+            n = df.count()
         tier = "ivf" if n <= limit else "ivfpq"
     assigned, centers = ivf_fit_assign(
         df, id_col, vec_col, n_centroids=n_centroids, seed=seed

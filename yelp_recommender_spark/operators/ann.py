@@ -1144,16 +1144,20 @@ def topk_auto(
         # (auto tier, or a forced approximate tier needing √N centroids)
         # — a forced tier with explicit params must not pay a count() job
         n = estimated_row_count(index)
-        if chosen is None and (n is None or n <= exact_limit):
-            # before picking the driver-materializing EXACT rung the
-            # count must be exact: a STALE plan estimate (e.g. ANALYZE
-            # stats on a table that later grew 100×) would otherwise
-            # route a huge index onto the driver — the precise failure
-            # this planner exists to prevent. The estimate is only ever
-            # trusted in the SAFE direction (it says big → approximate
-            # rung, where being wrong costs I/O, never memory).
-            n = index.count()
-        elif n is None:
+        if (
+            n is None
+            or n_centroids is None
+            or (chosen is None and n <= exact_limit)
+        ):
+            # exact count when (a) the auto decision could land on the
+            # driver-materializing EXACT rung — a STALE plan estimate
+            # (ANALYZE stats on a table that later grew 100×) must not
+            # route a huge index onto the driver — or (b) the √N
+            # centroid sizing depends on it: a stale-low estimate would
+            # undersize the quantizer and multiply every query's probe
+            # I/O by the same factor. The estimate is only ever trusted
+            # in the SAFE direction (big estimate + explicit params →
+            # approximate rung, where a wrong estimate costs nothing).
             n = index.count()
     if chosen is None:
         chosen = (

@@ -235,6 +235,7 @@ def pq_topk(
     seed: int = 42,
     codebooks: np.ndarray | None = None,
     max_index_rows: int | None = DEFAULT_PQ_FLAT_INDEX_LIMIT,
+    on_exceed: str = "route",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via PQ + ADC. Output matches
     :func:`~yelp_recommender_spark.operators.ann.cosine_topk`:
@@ -252,13 +253,20 @@ def pq_topk(
     code table stops being driver/broadcast material) the call ROUTES
     to :func:`ivfpq_topk` with the same quantization params instead of
     collecting: identical output contract, the index never materializes
-    anywhere (``max_index_rows=None`` disables the guard for callers
-    that have measured their memory budget)."""
-    from yelp_recommender_spark.operators.ann import (
-        _id_type,
-        estimated_row_count,
-    )
+    anywhere. ``on_exceed="error"`` raises instead of routing — the
+    mode for a caller that MEASURES the flat tier specifically (q44's
+    recall dial) and must fail loudly rather than report another
+    rung's numbers; explicit ``codebooks`` imply the same, since the
+    routed path would silently retrain a different quantizer.
+    ``max_index_rows=None`` disables the guard entirely for callers
+    with a measured memory budget. The guard's cardinality is an EXACT
+    count (one column-pruned job — noise next to either tier's work):
+    a stale plan estimate in either direction would pick a wrong,
+    possibly driver-fatal branch."""
+    from yelp_recommender_spark.operators.ann import _id_type
 
+    if on_exceed not in ("route", "error"):
+        raise ValueError(f"pq_topk: unknown on_exceed {on_exceed!r}")
     spark = queries.sparkSession
     if not index.select(id_col).head(1):
         qt = _id_type(queries, id_col).simpleString()
@@ -268,28 +276,23 @@ def pq_topk(
             f"query_id {qt}, neighbor_id {nt}, cos_pq double, rank int",
         )
     if max_index_rows is not None:
-        n = estimated_row_count(index)
-        if n is None or n <= max_index_rows:
-            # exact confirmation before the code-collecting flat tier —
-            # a stale low estimate must not drive a huge code table onto
-            # the driver; the estimate is trusted only in the safe
-            # (big → route) direction
-            n = index.count()
+        n = index.count()
         if n > max_index_rows:
-            if codebooks is not None:
-                # an explicit quantizer is a commitment to FLAT-PQ
-                # scoring semantics; silently retraining different
-                # codebooks inside ivfpq would change the scores the
-                # caller pinned — make the conflict loud instead
+            if on_exceed == "error" or codebooks is not None:
                 raise ValueError(
-                    f"pq_topk: index≈{n} rows exceeds max_index_rows="
-                    f"{max_index_rows} but explicit codebooks were "
-                    "supplied — pass max_index_rows=None to keep the "
-                    "flat tier (measured memory budget) or use "
-                    "ivfpq_topk directly"
+                    f"pq_topk: index has {n} rows, exceeding "
+                    f"max_index_rows={max_index_rows} — "
+                    + (
+                        "explicit codebooks pin flat-PQ scoring; pass "
+                        "max_index_rows=None (measured memory budget) "
+                        "or use ivfpq_topk directly"
+                        if codebooks is not None
+                        else "on_exceed='error' forbids the ivfpq "
+                        "reroute for this caller"
+                    )
                 )
             logger.warning(
-                "pq_topk: index≈%d rows > flat-PQ limit %d — routing to "
+                "pq_topk: index %d rows > flat-PQ limit %d — routing to "
                 "ivfpq_topk (no driver materialization of the code table)",
                 n, max_index_rows,
             )

@@ -53,15 +53,28 @@ def _probe_set(emb: DataFrame, probe_cap: int | None = None) -> DataFrame:
     truth from :func:`_probes_and_truth` so both sides are the same
     DataFrame by construction, not merely the same derivation."""
     cap = RECALL_PROBE_CAP if probe_cap is None else probe_cap
-    modulus = max(10, -(-emb.count() // cap))
-    return emb.filter(F.col("vec_id") % modulus == 0)
+    return emb.filter(
+        F.col("vec_id") % _modulus_formula(emb.count(), cap) == 0
+    )
+
+
+def _modulus_formula(n: int, cap: int) -> int:
+    """THE probe-modulus formula — one definition shared by the direct
+    path (:func:`_probe_set`) and the memoized production path, so a
+    retune can never silently diverge the two (the cap regression test
+    exercises the same expression the dials run)."""
+    return max(10, -(-int(n) // cap))
 
 
 #: per-sf_dir memo of the probe modulus — all four dials share one
-#: exact count per pipeline run instead of four identical scans (the
-#: corpus is immutable within a run; the memo's lifetime is tied to the
-#: cache registry, so ``clear_caches()`` at the pipeline boundary drops
-#: it together with the cached truth frame it sizes)
+#: exact count per pipeline run instead of four identical scans. The
+#: memo's lifetime is a FULL ``clear_caches()`` (the pipeline
+#: boundary) — exactly the lifetime of the cached truth frame it
+#: sizes: scoped clears (``since=mark``) leave both alone, and a
+#: corpus mutated in place mid-session requires the full clear
+#: REGARDLESS of this memo, because every registry-persisted
+#: intermediate over that corpus (truth, token, shingle tables) is
+#: equally stale.
 _MODULUS_MEMO: dict[tuple[str, int], int] = {}
 
 
@@ -71,7 +84,7 @@ def _memoized_modulus(emb: DataFrame, sf_dir: str, cap: int) -> int:
     key = (sf_dir, cap)
     if key not in _MODULUS_MEMO:
         register_cleanup(_MODULUS_MEMO.clear)
-        _MODULUS_MEMO[key] = max(10, -(-emb.count() // cap))
+        _MODULUS_MEMO[key] = _modulus_formula(emb.count(), cap)
     return _MODULUS_MEMO[key]
 
 
@@ -342,11 +355,12 @@ def q44_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     probes, truth = _probes_and_truth(spark, sf_dir)  # one derivation
     exact = truth.select("query_id", "neighbor_id", "cos")
-    # tier pinned like q43/q45: this dial MEASURES the flat-PQ rung, so
-    # the guard's silent reroute to ivfpq past 50M rows would have it
-    # report the wrong tier's recall (code-review r6)
+    # tier pinned like q43/q45: this dial MEASURES the flat-PQ rung —
+    # on_exceed='error' makes it fail LOUDLY past the flat tier's
+    # domain instead of silently reporting ivfpq's recall (a reroute)
+    # or driver-collecting an unbounded code table (a disabled guard)
     approx = pq_topk(
-        probes, emb, k=10, m=16, ksub=256, max_index_rows=None
+        probes, emb, k=10, m=16, ksub=256, on_exceed="error"
     ).select("query_id", "neighbor_id", "cos_pq")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "inner")
     return (

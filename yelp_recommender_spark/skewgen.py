@@ -54,8 +54,17 @@ def plant_skew(
         raise FileExistsError(
             f"{out} holds a different skew plant ({existing}); remove it"
         )
+    # validate BEFORE any filesystem write: a typo'd table must not
+    # leave behind symlinks a later retry (with a different src) would
+    # silently adopt into a mixed-source twin
+    if table not in FACT_TABLES + DIM_TABLES or not os.path.exists(
+        os.path.join(src, f"{table}.parquet")
+    ):
+        raise ValueError(
+            f"plant_skew: table {table!r} not found in {src} — nothing "
+            "would be skewed"
+        )
     os.makedirs(out, exist_ok=True)
-    planted = False
     for name in FACT_TABLES + DIM_TABLES:
         src_path = os.path.join(src, f"{name}.parquet")
         if not os.path.exists(src_path):
@@ -63,11 +72,22 @@ def plant_skew(
         dst = os.path.join(out, f"{name}.parquet")
         if name != table:
             # absolute target: a relative path would resolve relative
-            # to the LINK's directory and dangle (code-review r6)
-            if not os.path.lexists(dst):
-                os.symlink(os.path.abspath(src_path), dst)
+            # to the LINK's directory and dangle; an existing link is
+            # adopted ONLY if it already points at this exact source —
+            # anything else (stale run, different src, dangling link)
+            # is replaced, never trusted
+            target = os.path.abspath(src_path)
+            if os.path.lexists(dst):
+                if os.path.islink(dst) and os.readlink(dst) == target:
+                    continue
+                if not os.path.islink(dst):
+                    raise FileExistsError(
+                        f"plant_skew: {dst} exists and is not a managed "
+                        "symlink — refusing to replace it"
+                    )
+                os.remove(dst)
+            os.symlink(target, dst)
             continue
-        planted = True
         import numpy as np
 
         t = pq.read_table(src_path)
@@ -85,14 +105,6 @@ def plant_skew(
         params["hot_value"] = hot.as_py()
         params["hot_rows_min"] = int(-(-t.num_rows // every))
         params["rows"] = t.num_rows
-    if not planted:
-        # a typo'd table name (or a src missing that table) must not
-        # silently produce a no-skew twin whose "uniform vs skewed"
-        # measurement compares two identical directories
-        raise ValueError(
-            f"plant_skew: table {table!r} not found in {src} — nothing "
-            "was skewed"
-        )
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(params, f, indent=1)
