@@ -180,6 +180,39 @@ def test_auto_passes_cap_to_both_tiers(clustered):
     )
 
 
+def test_partners_planner_parity_on_both_tiers(clustered):
+    """cosine_partners_above_auto (VERDICT r6 #1 — the production
+    bounded entry point that keeps the audit columns) must be the same
+    computation as the tier it routes to: on the exact tier, identical
+    to cosine_partners_topk; on the LSH tier, its pairs projection
+    identical to the bounded cosine_pairs_above_lsh (same kernel path,
+    deterministic on tight clusters)."""
+    from yelp_recommender_spark.operators.ann import (
+        cosine_pairs_above_lsh,
+        cosine_partners_above_auto,
+        cosine_partners_topk,
+        partners_to_pairs,
+    )
+
+    df, _ = clustered
+    via_exact = cosine_partners_above_auto(df, threshold=0.9, k=K)
+    direct = cosine_partners_topk(df, df, threshold=0.9, k=K)
+    assert sorted(map(tuple, via_exact.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    via_lsh = cosine_partners_above_auto(
+        df, threshold=0.9, k=K, broadcast_limit=1, target_recall=0.99
+    )
+    assert via_lsh.columns == ["doc_id", "partner_id", "cos", "n_above"]
+    assert sorted(
+        map(tuple, partners_to_pairs(via_lsh).collect())
+    ) == sorted(
+        map(tuple, cosine_pairs_above_lsh(
+            df, threshold=0.9, max_pairs_per_doc=K, target_recall=0.99
+        ).collect())
+    )
+
+
 def test_bounded_output_linear_across_decade(spark):  # noqa: F811
     """Real embeddings, one measured scale step (sf0.01 → sf0.1, 4×
     embedding rows) at a NON-SELECTIVE threshold (τ=0.2, where the cap

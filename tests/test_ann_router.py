@@ -147,6 +147,85 @@ def test_stale_low_estimate_cannot_pick_exact_rung(vectors, monkeypatch):
     assert out.count() > 0  # executed on the approximate rung
 
 
+def test_stale_low_estimate_cannot_pick_ivf_rung(vectors, monkeypatch):
+    """ADVICE r6: the ivf/ivfpq boundary is held to the same
+    safe-direction rule as exact/ivf — with tier=None and an EXPLICIT
+    n_centroids (so no √N count runs for sizing), a stale-LOW estimate
+    that lands ≤ ivf_limit must be confirmed by an exact count, not
+    trusted into streaming full float vectors for a corpus that needs
+    PQ codes. Estimate says 8 rows, reality is 80, ivf_limit 10 → the
+    ivfpq rung must win."""
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    monkeypatch.setattr(ann, "estimated_row_count", lambda df: 8)
+
+    def boom(*a, **k):
+        raise AssertionError("stale estimate picked the ivf rung")
+
+    monkeypatch.setattr(ann, "ivf_topk", boom)
+    out = ann.topk_auto(
+        queries, index, k=3, exact_limit=5, ivf_limit=10,
+        n_centroids=4, n_probe=4, m=4, ksub=16,
+    )
+    assert out.count() > 0  # executed on the ivfpq rung
+
+
+def test_forced_tier_emits_planner_log(vectors, caplog):
+    """ADVICE r6: readers are told the planner log line is how score
+    provenance is recovered — it must exist on the pinned-tier +
+    explicit-params path too (q43/q45's mode), where no cardinality
+    probe runs."""
+    import logging
+
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    with caplog.at_level(
+        logging.INFO, logger="yelp_recommender_spark.operators.ann"
+    ):
+        ann.topk_auto(
+            queries, index, k=2, tier="ivf", n_centroids=4, n_probe=4
+        )
+    assert any(
+        "tier=ivf (pinned by caller" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
+@pytest.mark.parametrize(
+    "limits,min_recall",
+    [
+        ({}, 1.0),  # 80 rows ≤ exact_limit → exact rung, lossless
+        # exact_limit shrunk → ivf rung; n_probe ≥ the derived 16
+        # centroids probes everything, so routing loss is zero too
+        ({"exact_limit": 10, "n_probe": 16}, 1.0),
+        # both limits shrunk → ivfpq rung; ADC estimates lose ranking
+        # precision (quantization), the gate is a measured floor
+        ({"exact_limit": 5, "ivf_limit": 10, "n_probe": 16,
+          "m": 4, "ksub": 16}, 0.5),
+    ],
+    ids=["exact", "ivf", "ivfpq"],
+)
+def test_auto_tier_recall_gate(vectors, limits, min_recall):
+    """VERDICT r6 #2: end-to-end recall gate for the AUTO tier —
+    tier=None routes on fixtures sized (via shrunk limits) to land on
+    each rung, and recall@k against brute force is asserted on whatever
+    rung the router picked. Closes the last untested branch of
+    topk_auto: the dials (q43/q45) force their tier; this lets the
+    router choose."""
+    import yelp_recommender_spark.operators.ann as ann
+
+    queries, index = vectors
+    out = ann.topk_auto(queries, index, k=3, seed=42, **limits)
+    truth = ann.cosine_topk(queries, index, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    assert want, "empty ground truth"
+    recall = len(got & want) / len(want)
+    assert recall >= min_recall, f"recall {recall:.3f} < {min_recall}"
+
+
 def test_big_estimate_routes_without_exact_count(vectors, monkeypatch):
     """The estimate IS trusted in the safe direction: when it already
     exceeds every limit, no count() job runs — being wrong there costs

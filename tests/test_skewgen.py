@@ -75,3 +75,15 @@ def test_plant_skew_replaces_stale_links_never_adopts(tmp_path):
         os.path.join(SRC, "customer.parquet")
     )
     assert os.path.exists(out / "customer.parquet")
+
+
+def test_plant_skew_invalid_every_rejected_before_any_write(tmp_path):
+    """ADVICE r6: every=0 used to blow up mid-write (slice step 0) after
+    symlinks existed, and every<0 silently whaled EVERY row (negative
+    step flips the whole mask) with a negative hot_rows_min in the
+    manifest — both must be rejected up front, before makedirs."""
+    out = tmp_path / "bad"
+    for every in (0, -1, 2.5):
+        with pytest.raises(ValueError, match="every must be"):
+            plant_skew(SRC, str(out), every=every)
+        assert not out.exists()  # nothing was created

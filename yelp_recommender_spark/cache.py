@@ -22,17 +22,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
-_CLEANUPS: list[Callable[[], None]] = []
+_CLEANUPS: dict[object, Callable[[], None]] = {}
 
 
-def register_cleanup(fn: Callable[[], None]) -> None:
+def register_cleanup(fn: Callable[[], None], key: object = None) -> None:
     """Enroll a callback run by full ``clear_caches()`` calls — for
     driver-side memos that must share the cache registry's lifetime
     (e.g. the recall dials' probe modulus: valid exactly as long as the
-    cached intermediates over the same corpus are). Idempotent per
-    function object."""
-    if fn not in _CLEANUPS:
-        _CLEANUPS.append(fn)
+    cached intermediates over the same corpus are).
+
+    Dedupe is by ``key`` (default: the function object itself) — call
+    sites that pass a fresh lambda/closure per call MUST pass a stable
+    ``key`` (e.g. a module-level string) or each call registers another
+    copy that retains its captured state for the session's lifetime.
+    Re-registering a key replaces its callback; :func:`unregister_cleanup`
+    removes one."""
+    _CLEANUPS[fn if key is None else key] = fn
+
+
+def unregister_cleanup(key: object) -> bool:
+    """Drop a cleanup registered under ``key`` (the function object if
+    no explicit key was passed). Returns whether anything was removed."""
+    return _CLEANUPS.pop(key, None) is not None
 
 
 def register_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -69,7 +80,7 @@ def clear_caches(since: int | None = None) -> int:
         except Exception:  # session already stopped
             pass
     if full:
-        for fn in _CLEANUPS:
+        for fn in list(_CLEANUPS.values()):
             try:
                 fn()
             except Exception:

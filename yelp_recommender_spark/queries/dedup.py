@@ -322,12 +322,15 @@ def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the min doc_id of its cluster (itself when unpaired);
     ``doc_id == representative`` is the keep filter.
 
-    Spark: iterative min-label propagation over the verified q32 pair
+    Spark: large-star/small-star contraction over the verified q32 pair
     list (:func:`~yelp_recommender_spark.operators.cc.connected_components`
-    — per-round join+agg, lineage truncated by localCheckpoint, O(cluster
-    eccentricity) rounds). Oracle: DuckDB recursive-CTE transitive
-    closure over the same pairs — tractable because closure blowup is
-    bounded by cluster size, and dedup clusters are small."""
+    — per-round window-agg + project, lineage truncated by
+    localCheckpoint, O(log² n) rounds on ANY graph shape; the one-hop
+    min-label propagation variant survives as the parity twin,
+    :func:`~yelp_recommender_spark.operators.cc.connected_components_labelprop`).
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs
+    — tractable because closure blowup is bounded by cluster size, and
+    dedup clusters are small."""
     from yelp_recommender_spark.operators.cc import dedup_representatives
 
     pairs = minhash_lsh_pairs(

@@ -83,7 +83,7 @@ def _memoized_modulus(emb: DataFrame, sf_dir: str, cap: int) -> int:
 
     key = (sf_dir, cap)
     if key not in _MODULUS_MEMO:
-        register_cleanup(_MODULUS_MEMO.clear)
+        register_cleanup(_MODULUS_MEMO.clear, key="similarity._MODULUS_MEMO")
         _MODULUS_MEMO[key] = _modulus_formula(emb.count(), cap)
     return _MODULUS_MEMO[key]
 

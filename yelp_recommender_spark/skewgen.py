@@ -56,7 +56,13 @@ def plant_skew(
         )
     # validate BEFORE any filesystem write: a typo'd table must not
     # leave behind symlinks a later retry (with a different src) would
-    # silently adopt into a mixed-source twin
+    # silently adopt into a mixed-source twin; every<1 would either
+    # blow up mid-write (slice step 0) or silently whale EVERY row
+    # (negative step flips the whole mask) with a nonsense manifest
+    if not isinstance(every, int) or every < 1:
+        raise ValueError(
+            f"plant_skew: every must be an int >= 1, got {every!r}"
+        )
     if table not in FACT_TABLES + DIM_TABLES or not os.path.exists(
         os.path.join(src, f"{table}.parquet")
     ):
