@@ -188,3 +188,124 @@ def test_salted_join_identical_and_timed_on_whale(spark):  # noqa: F811
         "salted",
         round(t_salted, 2),
     )
+
+
+def _min2(fn):
+    """min-of-2 wall + last result (the stall-resistant convention)."""
+    best, out = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
+
+
+def test_agg_state_skew_crossover(spark):  # noqa: F811
+    """VERDICT r6 #5 — the aggregation-skew crossover, measured: the
+    shape that needs handling is a high-cardinality OBJECT-AGG state
+    (collect_set of unique values), not any decomposable agg. With a
+    50% whale, the object-agg spelling pays a multiple of the uniform
+    wall while countDistinct's Expand plan (shuffle re-keyed on the
+    value — the value IS the salt) stays near-flat. Gates are orderings
+    and identities, not absolute times; the numbers live in
+    BASELINE.md. Synthesized deterministic data — no sf1 dependency,
+    sized at 20M rows to keep the harness in seconds."""
+    from pyspark.sql import functions as F
+
+    N, N_KEYS = 20_000_000, 10_000
+    base = spark.range(N)
+    whale = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS))).alias("k"),
+        F.col("id").alias("v"),
+    ).persist()
+    uni = base.select(
+        F.pmod(F.xxhash64("id"), F.lit(N_KEYS)).alias("k"),
+        F.col("id").alias("v"),
+    ).persist()
+    whale.count(), uni.count()
+
+    def via_set(df):
+        return df.groupBy("k").agg(
+            F.size(F.collect_set("v")).alias("d")
+        ).agg(F.sum("d")).collect()[0][0]
+
+    def via_cd(df):
+        return df.groupBy("k").agg(
+            F.countDistinct("v").alias("d")
+        ).agg(F.sum("d")).collect()[0][0]
+
+    try:
+        t_set_u, r_set_u = _min2(lambda: via_set(uni))
+        t_set_w, r_set_w = _min2(lambda: via_set(whale))
+        t_cd_u, r_cd_u = _min2(lambda: via_cd(uni))
+        t_cd_w, r_cd_w = _min2(lambda: via_cd(whale))
+    finally:
+        whale.unpersist(), uni.unpersist()
+    # every spelling counts every (all-unique) value exactly once
+    assert r_set_u == r_set_w == r_cd_u == r_cd_w == N
+    pen_set = t_set_w / max(t_set_u, FLOOR_S)
+    pen_cd = t_cd_w / max(t_cd_u, FLOOR_S)
+    print(
+        "agg-state skew report: collect_set uniform "
+        f"{t_set_u:.2f}s whale {t_set_w:.2f}s ({pen_set:.1f}x); "
+        f"countDistinct uniform {t_cd_u:.2f}s whale {t_cd_w:.2f}s "
+        f"({pen_cd:.1f}x)"
+    )
+    # the crossover ordering: the object-agg whale penalty exceeds the
+    # Expand plan's, and the whale materially hurts the object agg
+    assert pen_set > pen_cd
+    assert pen_set > 1.5, "whale no longer hurts collect_set?"
+    assert pen_cd < pen_set / 1.5  # countDistinct stays far flatter
+
+
+def test_window_whale_boundary(spark):  # noqa: F811
+    """VERDICT r6 #8 stretch — the window-skew boundary, measured: a
+    whale key's ordered window serializes through one task's sort, and
+    that becomes real around 10⁷ rows/key on this hardware (the sf1
+    100%-whale at 10⁶ rows is a non-event — also measured here). The
+    remedy for decomposable running aggregates is the two-stage
+    bucketed prefix sum, which must produce IDENTICAL values."""
+    from yelp_recommender_spark.operators.prefix import with_prefix_sum
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    N = 10_000_000
+    base = spark.range(N).select(
+        "id", F.col("id").alias("t"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    one = base.withColumn("k", F.lit(0)).drop("id").persist()
+    spread = base.withColumn(
+        "k", F.pmod(F.xxhash64("id"), F.lit(1000))
+    ).drop("id").persist()
+    one.count(), spread.count()
+    w = Window.partitionBy("k").orderBy("t")
+
+    def run(df):
+        return df.withColumn(
+            "rs",
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).agg(F.sum("rs").alias("s")).collect()[0][0]
+
+    try:
+        t_one, s_one = _min2(lambda: run(one))
+        t_spread, _ = _min2(lambda: run(spread))
+        t_pfx, s_pfx = _min2(
+            lambda: with_prefix_sum(
+                one.select("t", "v"), "t", "v", out_col="rs", n_buckets=64
+            ).agg(F.sum("rs").alias("s")).collect()[0][0]
+        )
+    finally:
+        one.unpersist(), spread.unpersist()
+    ratio = t_one / max(t_spread, FLOOR_S)
+    print(
+        f"window whale report: one-key {t_one:.2f}s spread "
+        f"{t_spread:.2f}s ({ratio:.1f}x); prefix-sum {t_pfx:.2f}s"
+    )
+    # at 10M rows/key the single-task sort is measurably the wall …
+    assert ratio > 1.5, "10M-row whale window no longer hurts?"
+    # … and the prefix-sum re-expression beats it with identical values
+    assert t_pfx < t_one
+    assert abs(s_pfx - s_one) <= 1e-9 * abs(s_one)

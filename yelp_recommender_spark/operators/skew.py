@@ -27,6 +27,47 @@ The reference never needs this (driver dicts don't shuffle), but its
 workloads do the moment they distribute: ratings-per-business follows a
 power law (SURVEY §7 risk register), and a 100-TB events table always
 has a whale user/key.
+
+WHICH AGGREGATE SHAPES EVER NEED SKEW HANDLING — measured, not argued
+(`tests/test_skew_scale.py` harness; numbers in BASELINE.md, 50%-whale
+key, min-of-2 on local[32]):
+
+1. **Decomposable aggs (sum/count/min/max/avg): never.** Map-side
+   partial aggregation compresses the whale to one partial per map
+   task before any shuffle; plain beat :func:`salted_aggregate` at
+   every measured whale size (the r6 negative). Salting these is pure
+   overhead — keep it only for the theoretical
+   one-task-input-exceeds-memory cliff, which partials make all but
+   unreachable for bounded-size aggregation states.
+2. **Exact distinct-count: never — but only in the right spelling.**
+   ``F.countDistinct`` plans as Expand + re-aggregation keyed on
+   (group, value): the shuffle spreads on the VALUE, so the whale
+   self-salts. Measured at 40M rows / 50% whale / all-unique values:
+   2.1 s vs 1.6 s uniform (1.3×). The WRONG spelling of the same
+   query, ``size(collect_set(v))``, is shape 3.
+3. **High-cardinality-state object aggregates (collect_set /
+   collect_list): the real agg-skew shape.** The whale's aggregation
+   state itself is Ω(whale rows) on ONE task and partials cannot
+   compress unique values. Measured (same fixture): uniform 1.8 s,
+   50% whale **24.9 s (13.5×)** — and the penalty grows superlinearly
+   with whale size (2.8× at 20M rows → 13.5× at 40M). Salting is NOT
+   the durable fix: value-salting the partial stage rescued the 20M
+   point (4.6 s → 2.0 s) but inverted at 40M (33.1 s — the object-agg
+   shuffle itself dominates). The fix is RE-EXPRESSION: distinct-count
+   shapes → ``countDistinct`` (12× faster at 40M); materialized
+   collections → a bounded per-key top-k contract
+   (:mod:`~yelp_recommender_spark.operators.topk`), because an
+   unbounded whale collection is output-bound — Ω(whale) in the one
+   result row — no matter how the plan spreads the work.
+4. **Ordered windows over a whale key: real past ~10⁷ rows/key.**
+   One key's window is one task's sort; measured one-key vs
+   1000-key-spread twin: 1.3× at 1M rows (non-event — matches the
+   planted-whale sf1 result), 3.6× at 10M, 3.0× at 50M (23.4 s on the
+   single task). No salt preserves ordered-frame semantics; for
+   decomposable running aggregates the fix is the engine's two-stage
+   bucketed prefix sum (:func:`~yelp_recommender_spark.operators.
+   prefix.with_prefix_sum`): same 50M one-key running total in 6.1 s
+   (3.8× faster), identical values.
 """
 
 from __future__ import annotations
