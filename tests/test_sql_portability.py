@@ -55,6 +55,18 @@ PORTABLE = [
     "q37_stratified_sample", "q38_sample_n_per_group",
     "q39_value_percentiles", "q77_global_shuffle",
     "q94_sketch_percentiles", "q103_cdc_apply", "q108_robust_outliers",
+    # r7 oracle rewrites into the portable common dialect (DuckDB
+    # results verified unchanged): days-since-epoch via
+    # CAST(date - date AS INT) (both engines: integer day count)
+    # replaced datediff('day', …); QUALIFY unrolled into a ranked
+    # subquery with ORDER BY ts (same ordering as the epoch_us it
+    # replaced); `//` replaced by the exact-subtraction integer
+    # division CAST((a - a%b)/b AS BIGINT) (exact for the non-negative
+    # < 2^53 operands every catalog use has). q117's WITH RECURSIVE
+    # runs verbatim on Spark 4's recursive-CTE support.
+    "q30_dedup_keep_first", "q97_moving_revenue_7d",
+    "q106_interval_overlap", "q111_calendar_breakdown",
+    "q117_hierarchy_closure",
 ]
 
 # Oracles that are valid DuckDB but NOT verbatim Spark SQL, keyed by the
@@ -66,12 +78,13 @@ PORTABLE = [
 # BASELINE.md documents the DECIMAL aggregation policy.
 NON_PORTABLE = {
     # `//` integer division (Spark: DIV), usually with epoch_us bucketing
+    # — the epoch_us co-blocker is why these keep `//` instead of the
+    # exact-subtraction rewrite that made q117 portable in r7
     "duckdb-int-div": [
         "q16_events_hourly", "q59_streaming_hourly_counts",
         "q61_streaming_sessions", "q67_time_rollup",
         "q75_sequence_packing", "q83_zorder_events",
         "q98_cohort_retention", "q107_gapfill_hourly",
-        "q117_hierarchy_closure",
     ],
     # epoch_us() µs time arithmetic (Spark: unix_micros)
     "duckdb-epoch-us": [
@@ -95,6 +108,9 @@ NON_PORTABLE = {
         "q87_hashed_doc_vectors", "q88_hashed_vector_neardup",
         "q89_streaming_incremental_dedup", "q112_zipf_slope",
         "q118_embedding_norms",
+        # moved here r7: its datediff was rewritten portable, exposing
+        # list(x ORDER BY …) + list_reduce as the real blocker
+        "q114_ewma_daily_revenue",
     ],
     # CAST('0x' || md5-hex AS BIGINT): DuckDB parses 0x-prefixed
     # strings in numeric casts, Spark rejects them (the deterministic
@@ -103,16 +119,10 @@ NON_PORTABLE = {
         "q85_weighted_sample", "q113_split_manifest",
     ],
     # QUALIFY clause (DuckDB/Snowflake extension; Spark needs a
-    # subquery) — both also carry a second blocker (epoch_us / the list
-    # dialect), so a QUALIFY rewrite alone would not make them portable
+    # subquery) — q30's QUALIFY was unrolled portable in r7; q70 keeps
+    # it because its list-fns dialect blocks portability regardless
     "qualify-clause": [
-        "q30_dedup_keep_first", "q70_dedup_incremental",
-    ],
-    # datediff('day', a, b) argument form (Spark: datediff(DAY, a, b)
-    # without quotes / date_diff)
-    "datediff-unit-string": [
-        "q97_moving_revenue_7d", "q106_interval_overlap",
-        "q111_calendar_breakdown", "q114_ewma_daily_revenue",
+        "q70_dedup_incremental",
     ],
     # array index / ::DOUBLE[] casts / {…} struct literals
     "array-literal-dialect": [

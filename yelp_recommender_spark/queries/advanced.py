@@ -139,7 +139,7 @@ def q96_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_returnflag,
-               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT)
                    AS day,
                SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS rev_dec
         FROM lineitem GROUP BY l_returnflag, day
@@ -691,17 +691,17 @@ def q105_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
         SELECT o_orderkey AS a_orderkey,
-               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
                    AS a_start,
-               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
                    + 7 AS a_end
         FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 17 = 0
     ),
     b AS (
         SELECT o_orderkey AS b_orderkey,
-               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
                    AS b_start,
-               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
                    + 10 AS b_end
         FROM orders WHERE o_orderstatus = 'F' AND o_custkey % 17 = 0
     )
@@ -1024,7 +1024,7 @@ def q110_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT year(o_orderdate) AS yr,
            quarter(o_orderdate) AS qtr,
            month(o_orderdate) AS mon,
-           (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
             + 3) % 7 AS dow,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
@@ -1192,7 +1192,7 @@ def q113_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT l_returnflag,
-               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT)
                    AS day,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
                     AS DOUBLE) AS rev
@@ -1339,7 +1339,8 @@ def q115_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q117_hierarchy_closure",
     oracle="""
     WITH RECURSIVE e AS (
-        SELECT DISTINCT c_custkey AS node, c_custkey // 10 AS anc
+        SELECT DISTINCT c_custkey AS node,
+               CAST((c_custkey - (c_custkey % 10)) / 10 AS BIGINT) AS anc
         FROM customer WHERE c_custkey >= 1
     ),
     cl AS (

@@ -100,9 +100,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_dedup_keep_first",
     oracle="""
     WITH kept AS (
-        SELECT event_type, value FROM events
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY epoch_us(ts), event_id) = 1
+        SELECT event_type, value FROM (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) ranked WHERE rn = 1
     )
     SELECT event_type, COUNT(*) AS n_kept,
            CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value_kept
