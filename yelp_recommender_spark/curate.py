@@ -237,6 +237,13 @@ def curate_corpus(
     run N's duplicates without ever recomputing corpus signatures. doc_ids
     must be unique across runs. Without it the near-dup stage dedups
     within the input only (connected-components representatives).
+    Crash-replay boundary: re-running a batch is supported for crashes
+    BEFORE its commit marker dropped (the stray run data is ignored and
+    the replay matches a never-crashed run — gated end-to-end in
+    tests/test_curation.py); re-running a batch whose marker already
+    committed matches the batch against its own indexed copy and yields
+    zero survivors, the correct dedup answer but not a way to
+    regenerate that run's outputs.
 
     ``embeddings_path`` adds an EMBEDDING near-dup stage after the
     MinHash one: a parquet of (``embedding_id_col``,
