@@ -272,3 +272,110 @@ def test_bounded_output_linear_second_decade(spark):  # noqa: F811
         assert out <= n * 5
         counts[tag] = out
     assert counts["sf1"] <= 12 * counts["sf0.1"]
+
+
+# -------------------------------------------------- incremental (batch × corpus)
+def _inc_fixture(spark):
+    """Corpus of 3 tight clusters + a batch holding: one dup per corpus
+    cluster, one within-batch near-pair, and noise."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((3, 12))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus_rows, batch_rows, vid = [], [], 0
+    for ci in range(3):
+        for _ in range(4):
+            v = centers[ci] + 0.01 * rng.standard_normal(12)
+            corpus_rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for ci in range(3):
+        v = centers[ci] + 0.01 * rng.standard_normal(12)
+        batch_rows.append((100 + ci, [float(x) for x in v]))
+    w = rng.standard_normal(12)
+    for i in (103, 104):
+        batch_rows.append(
+            (i, [float(x) for x in w + 0.01 * rng.standard_normal(12)])
+        )
+    for i in range(3):
+        batch_rows.append(
+            (105 + i, [float(x) for x in rng.standard_normal(12)])
+        )
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(corpus_rows, schema),
+        spark.createDataFrame(batch_rows, schema),
+        corpus_rows,
+        batch_rows,
+    )
+
+
+def _inc_brute(corpus_rows, batch_rows, tau):
+    allr = corpus_rows + batch_rows
+    ids = np.array([r[0] for r in allr])
+    mat = np.array([r[1] for r in allr], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    corp = np.arange(len(ids)) < len(corpus_rows)
+    out = {}
+    for bid, bv in batch_rows:
+        q = np.array(bv)
+        q = q / np.linalg.norm(q)
+        sims = mat @ q
+        mask = (corp | (ids < bid)) & (ids != bid) & (sims >= tau)
+        if not mask.any():
+            continue
+        cs, ci = np.round(sims[mask], 6), ids[mask]
+        best = np.lexsort((ci, -cs))[0]
+        out[bid] = (int(ci[best]), float(cs[best]))
+    return out
+
+
+def test_embedding_incremental_matches_brute_both_tiers(spark):  # noqa: F811
+    """embedding_incremental_dedup — the vector twin of the MinHash
+    ingest rejection (corpus docs + smaller-id batch docs qualify as
+    partners; best = max cos, ties min id) — must equal a numpy brute
+    force on BOTH planner tiers (tight clusters → LSH recall is
+    deterministic ≈ 1)."""
+    from yelp_recommender_spark.operators.ann import (
+        embedding_incremental_dedup,
+    )
+
+    corpus, batch, corpus_rows, batch_rows = _inc_fixture(spark)
+    want = _inc_brute(corpus_rows, batch_rows, 0.9)
+    assert want, "fixture planted no rejections"
+    exact = {
+        r.doc_id: (r.dup_of, r.cos)
+        for r in embedding_incremental_dedup(
+            batch, corpus, threshold=0.9
+        ).collect()
+    }
+    assert exact == want
+    lsh = {
+        r.doc_id: (r.dup_of, r.cos)
+        for r in embedding_incremental_dedup(
+            batch, corpus, threshold=0.9, broadcast_limit=1,
+            target_recall=0.99,
+        ).collect()
+    }
+    assert lsh == want
+    # the within-batch pair respects keep-first: the larger id rejects
+    assert 104 in want and want[104][0] == 103 and 103 not in want
+
+
+def test_embedding_incremental_empty_cases(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.ann import (
+        embedding_incremental_dedup,
+    )
+
+    corpus, batch, _, batch_rows = _inc_fixture(spark)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    # empty corpus = first ingest: only the within-batch keep-first rule
+    first = {
+        r.doc_id: r.dup_of
+        for r in embedding_incremental_dedup(
+            batch, empty, threshold=0.9
+        ).collect()
+    }
+    assert first == {104: 103}
+    # empty batch: nothing to reject, schema intact
+    out = embedding_incremental_dedup(empty, corpus, threshold=0.9)
+    assert out.columns == ["doc_id", "dup_of", "cos"]
+    assert out.collect() == []

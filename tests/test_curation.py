@@ -749,3 +749,191 @@ def test_curate_crash_between_append_and_commit_replays_clean(
     assert _committed_docs(idx) == _committed_docs(idx_twin) == {
         0, 1, 2, 3, 200, 201,
     }
+
+
+# --------------------------------------------- standing EMBEDDING index
+def _emb_index_fixture(spark, tmp_path, tag, docs_words, vecs):
+    schema = "doc_id long, text string, lang string, source string"
+    p_docs = str(tmp_path / f"docs_{tag}.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(w), "en", "web") for i, w in docs_words], schema
+    ).write.parquet(p_docs)
+    p_emb = str(tmp_path / f"emb_{tag}.parquet")
+    spark.createDataFrame(
+        vecs, "doc_id long, embedding array<double>"
+    ).write.parquet(p_emb)
+    return p_docs, p_emb
+
+
+_W1 = [
+    (0, ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]),
+    (1, ["golf", "hotel", "india", "juliet", "kilo", "lima"]),
+    (2, ["mike", "november", "oscar", "papa", "quebec", "romeo"]),
+]
+_W2 = [
+    (10, ["sierra", "tango", "uniform", "victor", "whiskey", "xray"]),
+    (11, ["yankee", "zulu", "apple", "banana", "cherry", "date"]),
+    (12, ["elder", "fig", "grape", "honey", "iris", "jade"]),
+]
+_V1 = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+# run 2: 10 duplicates run-1's doc 0 vector, 11 duplicates doc 12
+# (within-batch, larger id loses), 12 is novel
+_V2 = [(10, [1.0, 0.0, 0.0]), (11, [0.5, 0.5, 0.0]), (12, [0.5, 0.5, 0.0])]
+
+
+def test_curate_embedding_index_ingest_loop(spark, tmp_path):  # noqa: F811
+    """The standing EMBEDDING index — the vector twin of --corpus-index:
+    run 2's vectors are matched against run 1's persisted survivors
+    (doc 10 rejected as a dup of doc 0) plus smaller-id batch docs
+    (12 rejected against 11, keep-first), and only survivors' vectors
+    are appended."""
+    import json
+    import os
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "r1", _W1, _V1)
+    d2, e2 = _emb_index_fixture(spark, tmp_path, "r2", _W2, _V2)
+    idx = str(tmp_path / "emb_idx")
+    r1 = curate_corpus(
+        spark, d1, str(tmp_path / "o1"),
+        embeddings_path=e1, embedding_threshold=0.95,
+        embedding_index_dir=idx,
+    )
+    assert r1["n_embedding_dup_rejected"] == 0
+    assert r1["embedding_dedup"]["mode"] == "incremental"
+    assert json.load(open(idx + "/meta.json")) == {
+        "kind": "embedding_index", "dim": 3,
+    }
+    n_idx = (
+        spark.read.parquet(idx + "/vectors").select("doc_id").distinct()
+    ).count()
+    assert n_idx == 3
+
+    r2 = curate_corpus(
+        spark, d2, str(tmp_path / "o2"),
+        embeddings_path=e2, embedding_threshold=0.95,
+        embedding_index_dir=idx,
+    )
+    assert r2["n_embedding_dup_rejected"] == 2  # 10 (vs corpus), 12 (vs 11)
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "o2/documents")).collect()
+    }
+    assert kept == {11}
+    # index grew by exactly the surviving vector
+    ids_after = {
+        r.doc_id
+        for r in spark.read.parquet(idx + "/vectors").select("doc_id")
+        .distinct().collect()
+    }
+    assert ids_after == {0, 1, 2, 11}
+
+
+def test_curate_embedding_index_guards(spark, tmp_path):  # noqa: F811
+    """Dim mismatch, data-without-commit-log, and the flag-dependency
+    precondition all raise instead of silently mis-scoring."""
+    import os
+    import shutil
+
+    import pytest
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "g1", _W1, _V1)
+    idx = str(tmp_path / "gidx")
+    with pytest.raises(ValueError, match="requires embeddings_path"):
+        curate_corpus(
+            spark, d1, str(tmp_path / "g0"), embedding_index_dir=idx
+        )
+    curate_corpus(
+        spark, d1, str(tmp_path / "g1o"),
+        embeddings_path=e1, embedding_index_dir=idx,
+    )
+    # 4-dim batch against the 3-dim index → reject
+    d4, e4 = _emb_index_fixture(
+        spark, tmp_path, "g4", _W2,
+        [(10, [1.0, 0.0, 0.0, 0.0])],
+    )
+    with pytest.raises(ValueError, match="3-dim vectors"):
+        curate_corpus(
+            spark, d4, str(tmp_path / "g4o"),
+            embeddings_path=e4, embedding_index_dir=idx,
+        )
+    # vector data without a commit log = unknown provenance
+    shutil.rmtree(idx + "/commits")
+    with pytest.raises(ValueError, match="no commit log"):
+        curate_corpus(
+            spark, d1, str(tmp_path / "g5o"),
+            embeddings_path=e1, embedding_index_dir=idx,
+        )
+
+
+def test_curate_embedding_index_crash_replay(spark, tmp_path, monkeypatch):  # noqa: F811
+    """Same crash discipline as the band-key index, gated on the real
+    path: a run killed between the vector append and its commit marker
+    leaves a stray run the re-run ignores; the replayed state equals a
+    never-crashed twin's."""
+    import builtins
+    import os
+
+    import pytest
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "c1", _W1, _V1)
+    d2, e2 = _emb_index_fixture(spark, tmp_path, "c2", _W2, _V2)
+    idx, twin = str(tmp_path / "cidx"), str(tmp_path / "cidx_twin")
+    for ix, o in ((idx, "co1"), (twin, "ct1")):
+        curate_corpus(
+            spark, d1, str(tmp_path / o),
+            embeddings_path=e1, embedding_index_dir=ix,
+        )
+
+    real_open = builtins.open
+
+    def crash_on_marker(path, *a, **k):
+        if (
+            isinstance(path, (str, os.PathLike))
+            and os.sep + "commits" + os.sep in str(path)
+            and a[:1] == ("w",)
+        ):
+            raise RuntimeError("simulated crash before commit marker")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", crash_on_marker)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curate_corpus(
+            spark, d2, str(tmp_path / "co2_crashed"),
+            embeddings_path=e2, embedding_index_dir=idx,
+        )
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    committed = {f"run_id={r}" for r in os.listdir(idx + "/commits")}
+    on_disk = set(os.listdir(idx + "/vectors"))
+    assert committed < on_disk  # the stray crashed run exists
+
+    r_replay = curate_corpus(
+        spark, d2, str(tmp_path / "co2"),
+        embeddings_path=e2, embedding_index_dir=idx,
+    )
+    r_twin = curate_corpus(
+        spark, d2, str(tmp_path / "ct2"),
+        embeddings_path=e2, embedding_index_dir=twin,
+    )
+    assert (
+        r_replay["n_embedding_dup_rejected"]
+        == r_twin["n_embedding_dup_rejected"]
+        == 2
+    )
+
+    def _ids(ix):
+        runs = sorted(os.listdir(ix + "/commits"))
+        paths = [ix + f"/vectors/run_id={r}" for r in runs]
+        return {
+            r.doc_id
+            for r in spark.read.parquet(*paths).select("doc_id")
+            .distinct().collect()
+        }
+
+    assert _ids(idx) == _ids(twin) == {0, 1, 2, 11}

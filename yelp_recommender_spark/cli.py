@@ -432,6 +432,15 @@ def main(argv: list[str] | None = None) -> None:
         "persisted to <output>/embedding_dedup_audit). 0 = unbounded "
         "exact contract (Ω(#pairs) — the catalog queries' mode)",
     )
+    cu.add_argument(
+        "--embedding-index",
+        default=None,
+        help="standing-corpus EMBEDDING index dir (requires "
+        "--embeddings): match this batch's vectors against every prior "
+        "run's survivors (plus smaller-id batch docs) and append this "
+        "run's — the vector twin of --corpus-index; O(batch) output, "
+        "--max-pairs-per-doc does not apply",
+    )
     ex = sub.add_parser(
         "explain",
         help="physical-plan audit: PLANS.md-style node counts for a "
@@ -664,6 +673,7 @@ def main(argv: list[str] | None = None) -> None:
                 args.max_pairs_per_doc if args.max_pairs_per_doc > 0
                 else None
             ),
+            embedding_index_dir=args.embedding_index,
         )
         print(json.dumps(report, sort_keys=True))
         return

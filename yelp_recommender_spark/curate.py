@@ -200,6 +200,91 @@ def _append_standing_index(
         pass  # the commit point
 
 
+def _load_embedding_index(
+    spark: SparkSession, embedding_index_dir: str, dim: int | None
+) -> DataFrame | None:
+    """Committed runs of the standing EMBEDDING index (doc_id,
+    embedding), or None before any run commits. Same transaction-log
+    discipline as :func:`_load_standing_index`: run-scoped data dirs
+    under ``vectors/``, marker in ``commits/`` last, strays warned and
+    ignored, committed-but-missing data = torn error, data without a
+    commit log = unknown provenance. meta.json pins the vector
+    dimension — an index queried with a different-dim corpus would
+    silently score nonsense, so a mismatch raises instead."""
+    import json
+
+    meta_path = os.path.join(embedding_index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if dim is not None and meta.get("dim") != dim:
+            raise ValueError(
+                f"embedding index at {embedding_index_dir} holds "
+                f"{meta.get('dim')}-dim vectors; this run's embeddings "
+                f"are {dim}-dim — rebuild the index or fix the input"
+            )
+    commits_dir = os.path.join(embedding_index_dir, "commits")
+    vec_root = os.path.join(embedding_index_dir, "vectors")
+    if not os.path.isdir(commits_dir):
+        if os.path.isdir(vec_root):
+            raise ValueError(
+                f"embedding index at {embedding_index_dir} has vector "
+                "data but no commit log — unknown or pre-commit-log "
+                "layout; rebuild the index"
+            )
+        return None
+    runs = sorted(os.listdir(commits_dir))
+    if not runs:
+        if os.path.isdir(vec_root):
+            logger.warning(
+                "embedding index at %s: no committed runs; ignoring "
+                "stray data from a crashed first ingest",
+                embedding_index_dir,
+            )
+        return None
+    paths = [os.path.join(vec_root, f"run_id={r}") for r in runs]
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise ValueError(
+            f"embedding index at {embedding_index_dir} is torn: "
+            f"committed run data is missing ({missing[0]}) — rebuild "
+            "the index"
+        )
+    committed = set(runs)
+    stray = [
+        e for e in os.listdir(vec_root)
+        if e.startswith("run_id=") and e[len("run_id="):] not in committed
+    ]
+    if stray:
+        logger.warning(
+            "embedding index at %s: ignoring %d uncommitted run(s) "
+            "from crashed ingests", embedding_index_dir, len(stray),
+        )
+    return spark.read.parquet(*paths)
+
+
+def _append_embedding_index(
+    vectors: DataFrame, embedding_index_dir: str, dim: int
+) -> None:
+    """Append one run's survivor vectors: meta stamped first, data
+    under a run-scoped dir, commit marker last — a crash anywhere in
+    between leaves a stray run every later load ignores."""
+    import json
+
+    meta_path = os.path.join(embedding_index_dir, "meta.json")
+    commits_dir = os.path.join(embedding_index_dir, "commits")
+    os.makedirs(commits_dir, exist_ok=True)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump({"kind": "embedding_index", "dim": dim}, f)
+    run_id = uuid.uuid4().hex
+    vectors.write.parquet(
+        os.path.join(embedding_index_dir, "vectors", f"run_id={run_id}")
+    )
+    with open(os.path.join(commits_dir, run_id), "w"):
+        pass  # the commit point
+
+
 def curate_corpus(
     spark: SparkSession,
     input_path: str,
@@ -220,6 +305,7 @@ def curate_corpus(
     embedding_id_col: str = "doc_id",
     embedding_vec_col: str = "embedding",
     max_pairs_per_doc: int | None = 20,
+    embedding_index_dir: str | None = None,
 ) -> dict:
     """Run the full curation pipeline; returns the stage-count report.
 
@@ -259,7 +345,26 @@ def curate_corpus(
     totals in the report, so the truncation is always measurable, never
     silent. ``max_pairs_per_doc=None`` opts back into the exact
     unbounded contract (the catalog queries' mode; no audit — nothing
-    is excluded)."""
+    is excluded).
+
+    ``embedding_index_dir`` switches the embedding stage to
+    STANDING-CORPUS mode — the vector twin of ``corpus_index_dir``: the
+    batch is matched against the persisted vectors of every prior run's
+    survivors (plus smaller-id docs of the same batch, keep-first) via
+    :func:`~yelp_recommender_spark.operators.ann.
+    embedding_incremental_dedup`, and this run's survivors' vectors are
+    appended afterwards under the same data-then-marker crash
+    discipline. Output is O(batch) by construction (one best-partner
+    row per rejected doc), so ``max_pairs_per_doc`` does not apply in
+    this mode. Docs without a vector in ``embeddings_path`` pass the
+    stage unchecked (and are not appended). Requires
+    ``embeddings_path``; doc_ids must be unique across runs."""
+    if embedding_index_dir is not None and embeddings_path is None:
+        raise ValueError(
+            "embedding_index_dir requires embeddings_path — the "
+            "standing vector index has nothing to match without the "
+            "batch's embeddings"
+        )
     cache_mark = registry_mark()
     if input_path.startswith("synthetic:"):
         from yelp_recommender_spark.sources.synthetic import register
@@ -379,8 +484,48 @@ def curate_corpus(
         )
         # only survivors' vectors enter the similarity stage — the semi
         # join prunes before the quadratic-ish work, not after
-        emb_surv = emb.join(deduped.select("doc_id"), "doc_id", "left_semi")
-        if max_pairs_per_doc is not None:
+        emb_surv = register_persist(
+            emb.join(deduped.select("doc_id"), "doc_id", "left_semi")
+        )
+        if embedding_index_dir is not None:
+            # standing-corpus mode: batch × persisted index, O(batch)
+            # output — the vector twin of the MinHash ingest loop
+            from yelp_recommender_spark.operators.ann import (
+                embedding_incremental_dedup,
+            )
+
+            head = emb_surv.select("embedding").head(1)
+            emb_dim = (
+                len(head[0][0])
+                if head and head[0][0] is not None
+                else None
+            )
+            loaded = (
+                _load_embedding_index(spark, embedding_index_dir, emb_dim)
+                if emb_dim is not None
+                else None
+            )
+            idx_emb = (
+                loaded
+                if loaded is not None
+                else spark.createDataFrame(
+                    [], "doc_id long, embedding array<double>"
+                )
+            )
+            emb_rejected = register_persist(
+                embedding_incremental_dedup(
+                    emb_surv, idx_emb, id_col="doc_id",
+                    vec_col="embedding", threshold=embedding_threshold,
+                ).select("doc_id")
+            )
+            n_embedding_dup_rejected = emb_rejected.count()
+            deduped = deduped.join(emb_rejected, "doc_id", "left_anti")
+            embedding_audit = {
+                "threshold": embedding_threshold,
+                "mode": "incremental",
+                "embedding_index": embedding_index_dir,
+            }
+        elif max_pairs_per_doc is not None:
             # bounded contract: O(n·k) pairs regardless of threshold
             # selectivity, truncation measured by the persisted audit
             partners = register_persist(
@@ -417,16 +562,19 @@ def curate_corpus(
                 "threshold": embedding_threshold,
                 "max_pairs_per_doc": None,  # unbounded: nothing excluded
             }
-        emb_reps = dedup_representatives(
-            deduped, emb_pairs, id_col="doc_id", src="id1", dst="id2"
-        )
-        emb_rejected = register_persist(
-            emb_reps.filter(
-                F.col("doc_id") != F.col("representative")
-            ).select("doc_id")
-        )
-        n_embedding_dup_rejected = emb_rejected.count()
-        deduped = deduped.join(emb_rejected, "doc_id", "left_anti")
+        if embedding_index_dir is None:
+            # within-batch modes resolve clusters to a representative;
+            # incremental mode already rejected above (keep-first)
+            emb_reps = dedup_representatives(
+                deduped, emb_pairs, id_col="doc_id", src="id1", dst="id2"
+            )
+            emb_rejected = register_persist(
+                emb_reps.filter(
+                    F.col("doc_id") != F.col("representative")
+                ).select("doc_id")
+            )
+            n_embedding_dup_rejected = emb_rejected.count()
+            deduped = deduped.join(emb_rejected, "doc_id", "left_anti")
 
     # ---- optional perplexity filter (bigram LM trained on the deduped
     # survivors themselves — the standard post-dedup placement: training
@@ -501,6 +649,23 @@ def curate_corpus(
                 "doc_id", "shingles"
             ),
             corpus_index_dir,
+        )
+
+    if (
+        embeddings_path is not None
+        and embedding_index_dir is not None
+        and n_curated > 0
+        and emb_dim is not None
+    ):
+        # the vector twin of the band-key append: survivors' embeddings
+        # land in a run-scoped dir, marker last (same crash discipline);
+        # docs without a vector were never checked and are not appended
+        _append_embedding_index(
+            emb_surv.join(
+                curated.select("doc_id"), "doc_id", "left_semi"
+            ),
+            embedding_index_dir,
+            emb_dim,
         )
 
     mixture = mixture_weights(
