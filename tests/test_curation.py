@@ -802,9 +802,13 @@ def test_curate_embedding_index_ingest_loop(spark, tmp_path):  # noqa: F811
     )
     assert r1["n_embedding_dup_rejected"] == 0
     assert r1["embedding_dedup"]["mode"] == "incremental"
-    assert json.load(open(idx + "/meta.json")) == {
-        "kind": "embedding_index", "dim": 3,
-    }
+    meta = json.load(open(idx + "/meta.json"))
+    assert meta["kind"] == "embedding_index" and meta["dim"] == 3
+    # the SRP plane family is pinned at first ingest (bucket keys are
+    # family-specific — the band-key index's _INDEX_PARAMS convention)
+    assert meta["threshold"] == 0.95
+    assert meta["n_planes"] >= 1 and meta["n_tables"] >= 1
+    assert os.path.isdir(idx + "/buckets")
     n_idx = (
         spark.read.parquet(idx + "/vectors").select("doc_id").distinct()
     ).count()
@@ -937,3 +941,49 @@ def test_curate_embedding_index_crash_replay(spark, tmp_path, monkeypatch):  # n
         }
 
     assert _ids(idx) == _ids(twin) == {0, 1, 2, 11}
+
+
+def test_curate_embedding_index_lsh_tier_uses_persisted_buckets(
+    spark, tmp_path, monkeypatch
+):  # noqa: F811
+    """Past the broadcast limit the incremental stage must probe the
+    PERSISTED bucket keys — batch-keys × index-keys, never a re-bucket
+    of the accumulated corpus — and reject identically to the exact
+    tier. srp_bucket_assignments is spied to prove the only bucketing
+    call is over the batch."""
+    from yelp_recommender_spark import curate as C
+    from yelp_recommender_spark.curate import curate_corpus
+    from yelp_recommender_spark.operators import ann
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "l1", _W1, _V1)
+    d2, e2 = _emb_index_fixture(spark, tmp_path, "l2", _W2, _V2)
+    idx = str(tmp_path / "lidx")
+    # run 1 on the exact tier (default limit) seeds vectors + buckets
+    curate_corpus(
+        spark, d1, str(tmp_path / "lo1"),
+        embeddings_path=e1, embedding_index_dir=idx,
+    )
+    # run 2 forced onto the LSH tier: every bucketing call is recorded
+    calls = []
+    real = ann.srp_bucket_assignments
+
+    def spy(df, id_col, vec_col, **kw):
+        calls.append(df.count())
+        return real(df, id_col, vec_col, **kw)
+
+    monkeypatch.setattr(ann, "srp_bucket_assignments", spy)
+    r2 = curate_corpus(
+        spark, d2, str(tmp_path / "lo2"),
+        embeddings_path=e2, embedding_index_dir=idx,
+        embedding_broadcast_limit=1,
+    )
+    # identical verdicts to the exact tier (tight planted dups)
+    assert r2["n_embedding_dup_rejected"] == 2
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "lo2/documents")).collect()
+    }
+    assert kept == {11}
+    # ONE bucketing pass, over the 3-row batch — the 3-doc corpus was
+    # probed via its persisted keys, not re-bucketed
+    assert calls == [3]

@@ -200,31 +200,71 @@ def _append_standing_index(
         pass  # the commit point
 
 
-def _load_embedding_index(
-    spark: SparkSession, embedding_index_dir: str, dim: int | None
-) -> DataFrame | None:
-    """Committed runs of the standing EMBEDDING index (doc_id,
-    embedding), or None before any run commits. Same transaction-log
-    discipline as :func:`_load_standing_index`: run-scoped data dirs
-    under ``vectors/``, marker in ``commits/`` last, strays warned and
-    ignored, committed-but-missing data = torn error, data without a
-    commit log = unknown provenance. meta.json pins the vector
-    dimension — an index queried with a different-dim corpus would
-    silently score nonsense, so a mismatch raises instead."""
+def _read_embedding_index_meta(embedding_index_dir: str) -> dict | None:
     import json
 
-    meta_path = os.path.join(embedding_index_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if dim is not None and meta.get("dim") != dim:
-            raise ValueError(
-                f"embedding index at {embedding_index_dir} holds "
-                f"{meta.get('dim')}-dim vectors; this run's embeddings "
-                f"are {dim}-dim — rebuild the index or fix the input"
-            )
+    path = os.path.join(embedding_index_dir, "meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _embedding_index_family(
+    embedding_index_dir: str, dim: int, threshold: float
+) -> dict:
+    """The SRP plane family this index is keyed under — read from
+    meta.json when the index exists, derived from the run's threshold
+    (recall target 0.95, the family default) on first ingest. Bucket
+    keys are family-specific, so reuse is validated the same way the
+    band-key index validates its hash family: a dim mismatch or a run
+    threshold BELOW the family's derivation threshold (whose collision
+    probability the table count was sized for — a lower threshold
+    falls below the recall target) raises instead of silently
+    mis-recalling."""
+    from yelp_recommender_spark.operators.ann import srp_params_for_recall
+
+    meta = _read_embedding_index_meta(embedding_index_dir)
+    if meta is None:
+        n_planes, n_tables = srp_params_for_recall(threshold, 0.95)
+        return {
+            "kind": "embedding_index",
+            "dim": dim,
+            "threshold": threshold,
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "seed": 42,
+        }
+    if meta.get("dim") != dim:
+        raise ValueError(
+            f"embedding index at {embedding_index_dir} holds "
+            f"{meta.get('dim')}-dim vectors; this run's embeddings "
+            f"are {dim}-dim — rebuild the index or fix the input"
+        )
+    if threshold < meta.get("threshold", 0.0):
+        raise ValueError(
+            f"embedding index at {embedding_index_dir} was keyed for "
+            f"threshold >= {meta.get('threshold')}; a run at "
+            f"{threshold} would fall below the index's recall target "
+            "— rebuild the index or raise the threshold"
+        )
+    return meta
+
+
+def _load_embedding_index(
+    spark: SparkSession, embedding_index_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """Committed runs of the standing EMBEDDING index — (vectors,
+    buckets): (doc_id, embedding) and the persisted SRP bucket keys
+    (doc_id, bucket) under the meta-pinned plane family, or None before
+    any run commits. Same transaction-log discipline as
+    :func:`_load_standing_index`: run-scoped data dirs, marker in
+    ``commits/`` last, strays warned and ignored, committed-but-missing
+    data = torn error, data without a commit log = unknown
+    provenance."""
     commits_dir = os.path.join(embedding_index_dir, "commits")
     vec_root = os.path.join(embedding_index_dir, "vectors")
+    bk_root = os.path.join(embedding_index_dir, "buckets")
     if not os.path.isdir(commits_dir):
         if os.path.isdir(vec_root):
             raise ValueError(
@@ -242,8 +282,9 @@ def _load_embedding_index(
                 embedding_index_dir,
             )
         return None
-    paths = [os.path.join(vec_root, f"run_id={r}") for r in runs]
-    missing = [p for p in paths if not os.path.isdir(p)]
+    vec_paths = [os.path.join(vec_root, f"run_id={r}") for r in runs]
+    bk_paths = [os.path.join(bk_root, f"run_id={r}") for r in runs]
+    missing = [p for p in [*vec_paths, *bk_paths] if not os.path.isdir(p)]
     if missing:
         raise ValueError(
             f"embedding index at {embedding_index_dir} is torn: "
@@ -260,15 +301,21 @@ def _load_embedding_index(
             "embedding index at %s: ignoring %d uncommitted run(s) "
             "from crashed ingests", embedding_index_dir, len(stray),
         )
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*vec_paths), spark.read.parquet(*bk_paths)
 
 
 def _append_embedding_index(
-    vectors: DataFrame, embedding_index_dir: str, dim: int
+    vectors: DataFrame,
+    buckets: DataFrame,
+    embedding_index_dir: str,
+    meta: dict,
 ) -> None:
-    """Append one run's survivor vectors: meta stamped first, data
-    under a run-scoped dir, commit marker last — a crash anywhere in
-    between leaves a stray run every later load ignores."""
+    """Append one run's survivor vectors AND their bucket keys: meta
+    (the plane family) stamped first, data under run-scoped dirs,
+    commit marker last — a crash anywhere in between leaves a stray
+    run every later load ignores. Persisting the keys is what makes
+    run N+1's LSH tier batch × index instead of re-bucketing the whole
+    corpus (the same reason the MinHash index stores band keys)."""
     import json
 
     meta_path = os.path.join(embedding_index_dir, "meta.json")
@@ -276,10 +323,13 @@ def _append_embedding_index(
     os.makedirs(commits_dir, exist_ok=True)
     if not os.path.exists(meta_path):
         with open(meta_path, "w") as f:
-            json.dump({"kind": "embedding_index", "dim": dim}, f)
+            json.dump(meta, f)
     run_id = uuid.uuid4().hex
     vectors.write.parquet(
         os.path.join(embedding_index_dir, "vectors", f"run_id={run_id}")
+    )
+    buckets.write.parquet(
+        os.path.join(embedding_index_dir, "buckets", f"run_id={run_id}")
     )
     with open(os.path.join(commits_dir, run_id), "w"):
         pass  # the commit point
@@ -306,6 +356,7 @@ def curate_corpus(
     embedding_vec_col: str = "embedding",
     max_pairs_per_doc: int | None = 20,
     embedding_index_dir: str | None = None,
+    embedding_broadcast_limit: int | None = None,
 ) -> dict:
     """Run the full curation pipeline; returns the stage-count report.
 
@@ -356,7 +407,13 @@ def curate_corpus(
     appended afterwards under the same data-then-marker crash
     discipline. Output is O(batch) by construction (one best-partner
     row per rejected doc), so ``max_pairs_per_doc`` does not apply in
-    this mode. Docs without a vector in ``embeddings_path`` pass the
+    this mode. The index persists the survivors' SRP BUCKET KEYS next
+    to their vectors (plane family pinned in meta at first ingest), so
+    past ``embedding_broadcast_limit`` (default: the planner's
+    all-pairs exact limit) the LSH tier is batch-keys × index-keys —
+    the accumulated corpus is never re-bucketed, the same
+    computed-once rule the band-key index enforces for MinHash
+    signatures. Docs without a vector in ``embeddings_path`` pass the
     stage unchecked (and are not appended). Requires
     ``embeddings_path``; doc_ids must be unique across runs."""
     if embedding_index_dir is not None and embeddings_path is None:
@@ -489,9 +546,18 @@ def curate_corpus(
         )
         if embedding_index_dir is not None:
             # standing-corpus mode: batch × persisted index, O(batch)
-            # output — the vector twin of the MinHash ingest loop
+            # output — the vector twin of the MinHash ingest loop. The
+            # batch's SRP bucket keys are computed HERE, once, under
+            # the index's meta-pinned plane family: the LSH tier probes
+            # with them and the append below persists the survivors'
+            # subset, so per cycle the only bucketing matmul is over
+            # the batch — never the accumulated corpus (the same
+            # signatures-computed-once rule as the band-key index)
             from yelp_recommender_spark.operators.ann import (
-                embedding_incremental_dedup,
+                DEFAULT_ALLPAIRS_EXACT_LIMIT,
+                _embedding_incremental_exact,
+                embedding_incremental_dedup_indexed,
+                srp_bucket_assignments,
             )
 
             head = emb_surv.select("embedding").head(1)
@@ -500,24 +566,51 @@ def curate_corpus(
                 if head and head[0][0] is not None
                 else None
             )
-            loaded = (
-                _load_embedding_index(spark, embedding_index_dir, emb_dim)
-                if emb_dim is not None
-                else None
-            )
-            idx_emb = (
-                loaded
-                if loaded is not None
-                else spark.createDataFrame(
+            loaded = None
+            emb_bk_batch = None
+            emb_family = None
+            if emb_dim is not None:
+                emb_family = _embedding_index_family(
+                    embedding_index_dir, emb_dim, embedding_threshold
+                )
+                loaded = _load_embedding_index(spark, embedding_index_dir)
+                emb_bk_batch = register_persist(
+                    srp_bucket_assignments(
+                        emb_surv, "doc_id", "embedding",
+                        n_planes=emb_family["n_planes"], dim=emb_dim,
+                        n_tables=emb_family["n_tables"],
+                        seed=emb_family["seed"],
+                    )
+                )
+            if loaded is None:
+                idx_vec = spark.createDataFrame(
                     [], "doc_id long, embedding array<double>"
                 )
+                idx_bk = spark.createDataFrame(
+                    [], "doc_id long, bucket string"
+                )
+                n_union = emb_surv.count()
+            else:
+                idx_vec, idx_bk = loaded
+                n_union = idx_vec.count() + emb_surv.count()
+            limit = (
+                embedding_broadcast_limit
+                if embedding_broadcast_limit is not None
+                else DEFAULT_ALLPAIRS_EXACT_LIMIT
             )
-            emb_rejected = register_persist(
-                embedding_incremental_dedup(
-                    emb_surv, idx_emb, id_col="doc_id",
-                    vec_col="embedding", threshold=embedding_threshold,
-                ).select("doc_id")
-            )
+            if n_union <= limit:
+                rejected_df = _embedding_incremental_exact(
+                    emb_surv, idx_vec, "doc_id", "embedding",
+                    embedding_threshold,
+                )
+            else:
+                rejected_df = embedding_incremental_dedup_indexed(
+                    emb_surv, idx_vec, idx_bk,
+                    id_col="doc_id", vec_col="embedding",
+                    threshold=embedding_threshold,
+                    batch_buckets=emb_bk_batch,
+                )
+            emb_rejected = register_persist(rejected_df.select("doc_id"))
             n_embedding_dup_rejected = emb_rejected.count()
             deduped = deduped.join(emb_rejected, "doc_id", "left_anti")
             embedding_audit = {
@@ -658,14 +751,15 @@ def curate_corpus(
         and emb_dim is not None
     ):
         # the vector twin of the band-key append: survivors' embeddings
-        # land in a run-scoped dir, marker last (same crash discipline);
-        # docs without a vector were never checked and are not appended
+        # AND their already-computed bucket keys land in run-scoped
+        # dirs, marker last (same crash discipline); docs without a
+        # vector were never checked and are not appended
+        emb_surviving = curated.select("doc_id")
         _append_embedding_index(
-            emb_surv.join(
-                curated.select("doc_id"), "doc_id", "left_semi"
-            ),
+            emb_surv.join(emb_surviving, "doc_id", "left_semi"),
+            emb_bk_batch.join(emb_surviving, "doc_id", "left_semi"),
             embedding_index_dir,
-            emb_dim,
+            emb_family,
         )
 
     mixture = mixture_weights(

@@ -1297,9 +1297,11 @@ def _embedding_incremental_lsh(
 ) -> DataFrame:
     """LSH tier: candidate (batch doc, qualifying partner) pairs from a
     bucket join under one shared plane family, exact re-score, per-doc
-    best partner via one window. No broadcast, no driver state."""
-    from pyspark.sql import Window
-
+    best partner via one window. No broadcast, no driver state. Corpus
+    bucket keys are computed here (one map-only matmul pass over the
+    corpus); an ingest pipeline that persists them calls
+    :func:`embedding_incremental_dedup_indexed` instead and never
+    re-buckets the corpus."""
     if n_planes is None or n_tables is None:
         n_planes, n_tables = srp_params_for_recall(threshold, target_recall)
     expected = srp_expected_recall(threshold, n_planes, n_tables)
@@ -1308,20 +1310,71 @@ def _embedding_incremental_lsh(
         "n_tables=%d worst-case recall=%.4f",
         threshold, n_planes, n_tables, expected,
     )
+    head = batch.select(vec_col).head(1)
+    if not head or head[0][0] is None:
+        idt = _id_type(batch, id_col).simpleString()
+        return batch.sparkSession.createDataFrame(
+            [], f"doc_id {idt}, dup_of {idt}, cos double"
+        )
+    dim = len(head[0][0])
+    kw = dict(n_planes=n_planes, dim=dim, n_tables=n_tables, seed=seed)
+    bk_corpus = srp_bucket_assignments(
+        corpus, id_col, vec_col, **kw
+    ).select(F.col(id_col).alias("doc_id"), "bucket")
+    return embedding_incremental_dedup_indexed(
+        batch, corpus, bk_corpus, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, n_planes=n_planes, n_tables=n_tables,
+        seed=seed,
+    )
+
+
+def embedding_incremental_dedup_indexed(
+    batch: DataFrame,
+    corpus_vectors: DataFrame,
+    corpus_buckets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    batch_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`embedding_incremental_dedup`'s LSH tier against a
+    PRECOMPUTED corpus bucket index — the standing-vector-index
+    production loop, mirroring
+    :func:`~yelp_recommender_spark.operators.dedup.
+    incremental_minhash_dedup_indexed`: ``corpus_buckets`` is the
+    persisted (doc_id, bucket) table (same schema as
+    :func:`srp_bucket_assignments` keyed to ``doc_id``) and per cycle
+    only the BATCH is bucketed — the corpus-side matmul the plain LSH
+    tier pays per run never happens. Semantics and output are identical
+    to the non-indexed form under the same plane family.
+
+    Bucket keys are plane-family-specific: ``corpus_buckets`` must have
+    been built with the SAME (n_planes, n_tables, seed) over same-dim
+    vectors — a pipeline pins the family in the index's meta (see the
+    curate standing-embedding-index mode). ``batch_buckets`` lets a
+    caller that also needs the batch's keys (to append survivors'
+    buckets to the index) compute them once and share."""
+    from pyspark.sql import Window
+
     idt = _id_type(batch, id_col).simpleString()
     empty = batch.sparkSession.createDataFrame(
         [], f"doc_id {idt}, dup_of {idt}, cos double"
     )
-    head = batch.select(vec_col).head(1)
-    if not head or head[0][0] is None:
-        return empty
-    dim = len(head[0][0])
-    kw = dict(n_planes=n_planes, dim=dim, n_tables=n_tables, seed=seed)
-    bk_batch = srp_bucket_assignments(batch, id_col, vec_col, **kw).select(
-        F.col(id_col).alias("doc_id"), "bucket"
-    )
-    bk_all = srp_bucket_assignments(corpus, id_col, vec_col, **kw).select(
-        F.col(id_col).alias("partner_id"), "bucket",
+    if batch_buckets is None:
+        head = batch.select(vec_col).head(1)
+        if not head or head[0][0] is None:
+            return empty
+        dim = len(head[0][0])
+        batch_buckets = srp_bucket_assignments(
+            batch, id_col, vec_col,
+            n_planes=n_planes, dim=dim, n_tables=n_tables, seed=seed,
+        ).select(F.col(id_col).alias("doc_id"), "bucket")
+    bk_batch = batch_buckets.select("doc_id", "bucket")
+    bk_all = corpus_buckets.select(
+        F.col("doc_id").alias("partner_id"), "bucket",
         F.lit(True).alias("_corp"),
     ).unionByName(
         bk_batch.select(
@@ -1339,7 +1392,7 @@ def _embedding_incremental_lsh(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("_v1"),
     )
-    v_all = corpus.select(
+    v_all = corpus_vectors.select(
         F.col(id_col).alias("partner_id"),
         F.col(vec_col).cast("array<double>").alias("_v2"),
     ).unionByName(
