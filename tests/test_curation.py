@@ -864,6 +864,29 @@ def test_curate_embedding_index_guards(spark, tmp_path):  # noqa: F811
             spark, d4, str(tmp_path / "g4o"),
             embeddings_path=e4, embedding_index_dir=idx,
         )
+    # a run threshold BELOW the family's derivation threshold falls
+    # under the index's recall target → reject
+    with pytest.raises(ValueError, match="was keyed for"):
+        curate_corpus(
+            spark, d1, str(tmp_path / "g5t"),
+            embeddings_path=e1, embedding_index_dir=idx,
+            embedding_threshold=0.5,
+        )
+    # committed runs without a family record = unknown provenance (a
+    # re-derived family could silently miss every candidate)
+    os.remove(idx + "/meta.json")
+    with pytest.raises(ValueError, match="no meta.json"):
+        curate_corpus(
+            spark, d1, str(tmp_path / "g5m"),
+            embeddings_path=e1, embedding_index_dir=idx,
+        )
+    import json
+
+    with open(idx + "/meta.json", "w") as f:
+        json.dump(
+            {"kind": "embedding_index", "dim": 3, "threshold": 0.95,
+             "n_planes": 8, "n_tables": 4, "seed": 42}, f,
+        )
     # vector data without a commit log = unknown provenance
     shutil.rmtree(idx + "/commits")
     with pytest.raises(ValueError, match="no commit log"):

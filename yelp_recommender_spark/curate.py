@@ -226,6 +226,17 @@ def _embedding_index_family(
 
     meta = _read_embedding_index_meta(embedding_index_dir)
     if meta is None:
+        commits_dir = os.path.join(embedding_index_dir, "commits")
+        if os.path.isdir(commits_dir) and os.listdir(commits_dir):
+            # committed keys with no family record: re-deriving could
+            # pick a DIFFERENT family and silently miss every candidate
+            # — same unknown-provenance rejection as the band-key index
+            raise ValueError(
+                f"embedding index at {embedding_index_dir} has "
+                "committed runs but no meta.json — unknown plane-family "
+                "provenance; rebuild the index (or restore its "
+                "meta.json)"
+            )
         n_planes, n_tables = srp_params_for_recall(threshold, 0.95)
         return {
             "kind": "embedding_index",
