@@ -617,6 +617,9 @@ def curate_corpus(
             else:
                 rejected_df = embedding_incremental_dedup_indexed(
                     emb_surv, idx_vec, idx_bk,
+                    n_planes=emb_family["n_planes"],
+                    n_tables=emb_family["n_tables"],
+                    seed=emb_family["seed"],
                     id_col="doc_id", vec_col="embedding",
                     threshold=embedding_threshold,
                     batch_buckets=emb_bk_batch,

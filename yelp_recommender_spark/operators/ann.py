@@ -1332,12 +1332,13 @@ def embedding_incremental_dedup_indexed(
     batch: DataFrame,
     corpus_vectors: DataFrame,
     corpus_buckets: DataFrame,
+    *,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
-    n_tables: int = 4,
-    seed: int = 42,
     batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`embedding_incremental_dedup`'s LSH tier against a
@@ -1354,9 +1355,14 @@ def embedding_incremental_dedup_indexed(
     Bucket keys are plane-family-specific: ``corpus_buckets`` must have
     been built with the SAME (n_planes, n_tables, seed) over same-dim
     vectors — a pipeline pins the family in the index's meta (see the
-    curate standing-embedding-index mode). ``batch_buckets`` lets a
-    caller that also needs the batch's keys (to append survivors'
-    buckets to the index) compute them once and share."""
+    curate standing-embedding-index mode). The family params are
+    REQUIRED keywords precisely because a default here would be a
+    silent catastrophe: bucketing the batch under any family other
+    than the index's yields disjoint keys, zero candidates, and every
+    duplicate admitted — the caller must state the index's family.
+    ``batch_buckets`` lets a caller that also needs the batch's keys
+    (to append survivors' buckets to the index) compute them once and
+    share; it must be under the same family."""
     from pyspark.sql import Window
 
     idt = _id_type(batch, id_col).simpleString()
