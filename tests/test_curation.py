@@ -1010,3 +1010,88 @@ def test_curate_embedding_index_lsh_tier_uses_persisted_buckets(
     # ONE bucketing pass, over the 3-row batch — the 3-doc corpus was
     # probed via its persisted keys, not re-bucketed
     assert calls == [3]
+
+
+def test_curate_combined_indexes_crash_leaves_both_uncommitted(
+    spark, tmp_path, monkeypatch
+):  # noqa: F811
+    """With BOTH standing indexes configured, all data is staged before
+    ANY commit marker drops: a crash at the first marker write leaves
+    both indexes uncommitted, so the batch replay is clean on both and
+    matches a never-crashed twin — no cross-index divergence from a
+    crash anywhere in the data phase."""
+    import builtins
+    import os
+
+    import pytest
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "b1", _W1, _V1)
+    d2, e2 = _emb_index_fixture(spark, tmp_path, "b2", _W2, _V2)
+    mh, mh_t = str(tmp_path / "mh"), str(tmp_path / "mh_t")
+    em, em_t = str(tmp_path / "em"), str(tmp_path / "em_t")
+    for mhd, emd, o in ((mh, em, "bo1"), (mh_t, em_t, "bt1")):
+        curate_corpus(
+            spark, d1, str(tmp_path / o),
+            corpus_index_dir=mhd,
+            embeddings_path=e1, embedding_index_dir=emd,
+        )
+    assert os.listdir(mh + "/commits") and os.listdir(em + "/commits")
+
+    real_open = builtins.open
+
+    def crash_on_marker(path, *a, **k):
+        if (
+            isinstance(path, (str, os.PathLike))
+            and os.sep + "commits" + os.sep in str(path)
+            and a[:1] == ("w",)
+        ):
+            raise RuntimeError("simulated crash at first marker")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", crash_on_marker)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curate_corpus(
+            spark, d2, str(tmp_path / "bo2_crashed"),
+            corpus_index_dir=mh,
+            embeddings_path=e2, embedding_index_dir=em,
+        )
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    # BOTH indexes hold stray (uncommitted) run-2 data: the crash hit
+    # before either marker, because staging completed first
+    for ix, data in ((mh, "band_keys"), (em, "vectors")):
+        committed = {f"run_id={r}" for r in os.listdir(ix + "/commits")}
+        assert committed < set(os.listdir(f"{ix}/{data}"))
+
+    # replay matches the never-crashed twin on both indexes
+    r = curate_corpus(
+        spark, d2, str(tmp_path / "bo2"),
+        corpus_index_dir=mh,
+        embeddings_path=e2, embedding_index_dir=em,
+    )
+    rt = curate_corpus(
+        spark, d2, str(tmp_path / "bt2"),
+        corpus_index_dir=mh_t,
+        embeddings_path=e2, embedding_index_dir=em_t,
+    )
+    for key in ("n_curated", "n_near_dup_rejected",
+                "n_embedding_dup_rejected"):
+        assert r[key] == rt[key], key
+
+    def _committed_ids(ix, data):
+        runs = sorted(os.listdir(ix + "/commits"))
+        paths = [f"{ix}/{data}/run_id={x}" for x in runs]
+        return {
+            row.doc_id
+            for row in spark.read.parquet(*paths).select("doc_id")
+            .distinct().collect()
+        }
+
+    assert _committed_ids(mh, "band_keys") == _committed_ids(
+        mh_t, "band_keys"
+    )
+    assert _committed_ids(em, "vectors") == _committed_ids(
+        em_t, "vectors"
+    )

@@ -176,19 +176,19 @@ def _load_standing_index(
     return spark.read.parquet(*bk_paths), spark.read.parquet(*sh_paths)
 
 
-def _append_standing_index(
+def _stage_standing_index(
     band_keys: DataFrame, shingles: DataFrame, corpus_index_dir: str
-) -> None:
-    """Append one run's survivors to the standing index: data first,
-    commit marker last (the transaction-log ordering — see
-    :func:`_load_standing_index` for why this makes crashes harmless).
+) -> str:
+    """Write one run's survivor data WITHOUT committing it — the first
+    half of the data-then-marker discipline (see
+    :func:`_load_standing_index` for why uncommitted data is harmless).
+    Returns the run id; :func:`_commit_run` drops the marker.
 
     ``commits/`` is created BEFORE any data write so a crash during the
     first-ever ingest leaves the same harmless shape as any later crash
     (empty commit log + stray run data), never the no-commit-log layout
     that loading treats as unknown provenance."""
-    commits_dir = os.path.join(corpus_index_dir, "commits")
-    os.makedirs(commits_dir, exist_ok=True)
+    os.makedirs(os.path.join(corpus_index_dir, "commits"), exist_ok=True)
     run_id = uuid.uuid4().hex
     band_keys.write.parquet(
         os.path.join(corpus_index_dir, "band_keys", f"run_id={run_id}")
@@ -196,8 +196,30 @@ def _append_standing_index(
     shingles.write.parquet(
         os.path.join(corpus_index_dir, "shingles", f"run_id={run_id}")
     )
-    with open(os.path.join(commits_dir, run_id), "w"):
+    return run_id
+
+
+def _commit_run(index_dir: str, run_id: str) -> None:
+    """Drop the commit marker — the transaction-log commit point. Kept
+    separate from data staging so a pipeline updating SEVERAL standing
+    indexes in one run stages every data write first and commits the
+    markers back-to-back: any crash during the (long) data phase leaves
+    every index uncommitted and the replay clean, shrinking the
+    cross-index divergence window to the marker writes themselves
+    (documented residual in :func:`curate_corpus`)."""
+    with open(os.path.join(index_dir, "commits", run_id), "w"):
         pass  # the commit point
+
+
+def _append_standing_index(
+    band_keys: DataFrame, shingles: DataFrame, corpus_index_dir: str
+) -> None:
+    """Stage + commit in one call — the single-index convenience path
+    (data first, commit marker last)."""
+    _commit_run(
+        corpus_index_dir,
+        _stage_standing_index(band_keys, shingles, corpus_index_dir),
+    )
 
 
 def _read_embedding_index_meta(embedding_index_dir: str) -> dict | None:
@@ -315,23 +337,22 @@ def _load_embedding_index(
     return spark.read.parquet(*vec_paths), spark.read.parquet(*bk_paths)
 
 
-def _append_embedding_index(
+def _stage_embedding_index(
     vectors: DataFrame,
     buckets: DataFrame,
     embedding_index_dir: str,
     meta: dict,
-) -> None:
-    """Append one run's survivor vectors AND their bucket keys: meta
-    (the plane family) stamped first, data under run-scoped dirs,
-    commit marker last — a crash anywhere in between leaves a stray
+) -> str:
+    """Write one run's survivor vectors AND their bucket keys WITHOUT
+    committing: meta (the plane family) stamped first, data under
+    run-scoped dirs — a crash before :func:`_commit_run` leaves a stray
     run every later load ignores. Persisting the keys is what makes
     run N+1's LSH tier batch × index instead of re-bucketing the whole
     corpus (the same reason the MinHash index stores band keys)."""
     import json
 
     meta_path = os.path.join(embedding_index_dir, "meta.json")
-    commits_dir = os.path.join(embedding_index_dir, "commits")
-    os.makedirs(commits_dir, exist_ok=True)
+    os.makedirs(os.path.join(embedding_index_dir, "commits"), exist_ok=True)
     if not os.path.exists(meta_path):
         with open(meta_path, "w") as f:
             json.dump(meta, f)
@@ -342,8 +363,21 @@ def _append_embedding_index(
     buckets.write.parquet(
         os.path.join(embedding_index_dir, "buckets", f"run_id={run_id}")
     )
-    with open(os.path.join(commits_dir, run_id), "w"):
-        pass  # the commit point
+    return run_id
+
+
+def _append_embedding_index(
+    vectors: DataFrame,
+    buckets: DataFrame,
+    embedding_index_dir: str,
+    meta: dict,
+) -> None:
+    """Stage + commit in one call — the single-index convenience path
+    (data first, commit marker last)."""
+    _commit_run(
+        embedding_index_dir,
+        _stage_embedding_index(vectors, buckets, embedding_index_dir, meta),
+    )
 
 
 def curate_corpus(
@@ -738,6 +772,10 @@ def curate_corpus(
         os.path.join(output_dir, "documents")
     )
 
+    # standing-index appends are two-phase: stage every index's data,
+    # then drop all commit markers together (rationale at the commit
+    # loop below)
+    pending_commits: list[tuple[str, str]] = []
     if corpus_index_dir is not None and n_curated > 0:
         # append THIS run's survivors to the standing index — the batch
         # band keys (and the MinHash signatures under them) were computed
@@ -750,13 +788,16 @@ def curate_corpus(
         # append nothing — there is nothing to commit.
         _write_index_meta(corpus_index_dir)
         surviving_ids = curated.select("doc_id")
-        _append_standing_index(
-            bk_batch.join(surviving_ids, "doc_id", "left_semi"),
-            shingled.join(surviving_ids, "doc_id", "left_semi").select(
-                "doc_id", "shingles"
-            ),
+        pending_commits.append((
             corpus_index_dir,
-        )
+            _stage_standing_index(
+                bk_batch.join(surviving_ids, "doc_id", "left_semi"),
+                shingled.join(surviving_ids, "doc_id", "left_semi").select(
+                    "doc_id", "shingles"
+                ),
+                corpus_index_dir,
+            ),
+        ))
 
     if (
         embeddings_path is not None
@@ -766,15 +807,31 @@ def curate_corpus(
     ):
         # the vector twin of the band-key append: survivors' embeddings
         # AND their already-computed bucket keys land in run-scoped
-        # dirs, marker last (same crash discipline); docs without a
-        # vector were never checked and are not appended
+        # dirs (same crash discipline); docs without a vector were
+        # never checked and are not appended
         emb_surviving = curated.select("doc_id")
-        _append_embedding_index(
-            emb_surv.join(emb_surviving, "doc_id", "left_semi"),
-            emb_bk_batch.join(emb_surviving, "doc_id", "left_semi"),
+        pending_commits.append((
             embedding_index_dir,
-            emb_family,
-        )
+            _stage_embedding_index(
+                emb_surv.join(emb_surviving, "doc_id", "left_semi"),
+                emb_bk_batch.join(emb_surviving, "doc_id", "left_semi"),
+                embedding_index_dir,
+                emb_family,
+            ),
+        ))
+
+    # COMMIT PHASE: every standing index's data is staged before ANY
+    # marker drops, and the markers then drop back-to-back — a crash
+    # anywhere in the (long) data phase leaves every index uncommitted
+    # and the batch replay clean on all of them. The residual window is
+    # the marker writes themselves (microseconds): a crash exactly
+    # between two markers commits one index and not the other, and a
+    # REPLAY of that batch is then not idempotent (the committed index
+    # rejects the whole batch, so the other index never receives it) —
+    # recover by rebuilding the uncommitted index or re-ingesting the
+    # batch under fresh doc_ids.
+    for _dir, _rid in pending_commits:
+        _commit_run(_dir, _rid)
 
     mixture = mixture_weights(
         curated.groupBy("source").agg(
