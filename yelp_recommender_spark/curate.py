@@ -600,7 +600,7 @@ def curate_corpus(
             # signatures-computed-once rule as the band-key index)
             from yelp_recommender_spark.operators.ann import (
                 DEFAULT_ALLPAIRS_EXACT_LIMIT,
-                _embedding_incremental_exact,
+                embedding_incremental_dedup_exact,
                 embedding_incremental_dedup_indexed,
                 srp_bucket_assignments,
             )
@@ -644,7 +644,7 @@ def curate_corpus(
                 else DEFAULT_ALLPAIRS_EXACT_LIMIT
             )
             if n_union <= limit:
-                rejected_df = _embedding_incremental_exact(
+                rejected_df = embedding_incremental_dedup_exact(
                     emb_surv, idx_vec, "doc_id", "embedding",
                     embedding_threshold,
                 )

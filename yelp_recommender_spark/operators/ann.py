@@ -1197,7 +1197,7 @@ def embedding_incremental_dedup(
     else:
         n = n + nb
     if n <= broadcast_limit:
-        return _embedding_incremental_exact(
+        return embedding_incremental_dedup_exact(
             batch, corpus, id_col, vec_col, threshold
         )
     logger.info(
@@ -1210,7 +1210,7 @@ def embedding_incremental_dedup(
     )
 
 
-def _embedding_incremental_exact(
+def embedding_incremental_dedup_exact(
     batch: DataFrame,
     corpus: DataFrame,
     id_col: str,
