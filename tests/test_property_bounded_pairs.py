@@ -14,10 +14,31 @@ ties, negative cosines, zero vectors, and k ≥ n fall to hypothesis."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from tests.conftest import spark  # noqa: F401 (fixture)
+
+#: Pairs whose true cosine sits within ~1 ulp of the threshold are
+#: SHAPE-DEPENDENT (BLAS sums a blocked matmul and a 1-row matmul in
+#: different orders, so the partition layout can flip an exact-boundary
+#: pair by one ulp — hypothesis found a planted clique at cosine
+#: exactly τ doing precisely that). The engine contract declares the
+#: <1-ulp band unspecified (`cosine_pairs_above` docstring); the
+#: property suite therefore skips examples inside a comfortably wider
+#: band and pins everything coarser — including the 5e-7 rounded-vs-
+#: unrounded divergence this suite exists to catch (6 orders coarser).
+BOUNDARY_EPS = 1e-9
+
+
+def _off_boundary(vecs, tau):
+    mat = np.array(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    raw = (mat / norms) @ (mat / norms).T
+    off = np.abs(raw - tau)
+    np.fill_diagonal(off, 1.0)
+    return bool((off > BOUNDARY_EPS).all())
 
 vec_st = st.lists(
     st.lists(
@@ -68,6 +89,8 @@ def test_bounded_pairs_properties(spark, vecs, tau, k):  # noqa: F811
         cosine_pairs_above,
         cosine_partners_topk,
     )
+
+    assume(_off_boundary(vecs, tau))  # <1-ulp band is unspecified
 
     df = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],

@@ -88,7 +88,18 @@ def cosine_pairs_above(
     exclusions auditable via :func:`cosine_partners_topk` +
     :func:`bounded_pairs_audit`. At a non-selective threshold the
     UNBOUNDED contract is itself the scale bottleneck (q88: 11× pairs
-    for 10× docs), so the cap belongs in the contract, not the plan."""
+    for 10× docs), so the cap belongs in the contract, not the plan.
+
+    Boundary precision (whole cosine family): the threshold compares
+    the UNROUNDED cosine (the r6 cross-tier contract, pinned at the
+    5e-7 scale by the property suite), but a pair whose true cosine
+    sits within ~1 ulp of the threshold is SHAPE-DEPENDENT — BLAS sums
+    a blocked matmul and a 1-row matmul in different orders, so
+    partition layout can flip an exact-boundary pair by one ulp (found
+    by hypothesis in r7: a planted clique with cosine exactly equal to
+    τ flipped between batch sizes). No fixed summation order exists in
+    a distributed matmul, so the contract declares the <1-ulp band
+    unspecified; everything coarser is exact."""
     if max_pairs_per_doc is not None:
         return _partners_to_pairs(
             cosine_partners_topk(
