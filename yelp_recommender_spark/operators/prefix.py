@@ -41,8 +41,36 @@ still agree, but packing semantics downstream want a strict order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _order_surrogate(df: DataFrame, order_col: str) -> Column:
+    """A numeric expression MONOTONE in ``order_col``'s ordering, for
+    the percentile sketch + bucket assignment. Monotonicity (not
+    injectivity) is the correctness requirement: buckets must be
+    order-contiguous so per-bucket offsets compose; ties inside the
+    surrogate merely share a bucket (load balance, never the answer —
+    within-bucket order is the real column). Numerics cast directly;
+    strings pack their first three code points into 21-bit lanes
+    (2²¹ > max Unicode code point, and Spark compares strings by code
+    point), so string-keyed corpora — a legal doc_id type everywhere in
+    the engine — never hit an ANSI cast error here (found by the r8
+    string-keyed ingest test)."""
+    if isinstance(df.schema[order_col].dataType, T.StringType):
+        return sum(
+            (
+                F.coalesce(
+                    F.ascii(F.substring(F.col(order_col), i + 1, 1)),
+                    F.lit(0),
+                ).cast("double")
+                * float(2 ** (42 - 21 * i))
+                for i in range(3)
+            ),
+            F.lit(0.0),
+        )
+    return F.col(order_col).cast("double")
 
 
 def with_prefix_sum(
@@ -66,9 +94,10 @@ def with_prefix_sum(
     from yelp_recommender_spark.cache import register_persist
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    surrogate = _order_surrogate(df, order_col)
     boundaries = df.agg(
         F.percentile_approx(
-            F.col(order_col).cast("double"),
+            surrogate,
             F.array(*[F.lit(q) for q in qs]),
             10_000,
         ).alias("_bounds")
@@ -76,15 +105,18 @@ def with_prefix_sum(
     # bucket = number of boundaries at or below this row's order value —
     # a per-row array reduction over ≤ n_buckets-1 broadcast values
     bucketed = register_persist(
-        df.crossJoin(F.broadcast(boundaries)).withColumn(
+        df.crossJoin(F.broadcast(boundaries))
+        .withColumn("_surr", surrogate)
+        .withColumn(
             "_bucket",
             F.aggregate(
                 "_bounds",
                 F.lit(0),
                 lambda acc, b: acc
-                + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
+                + F.when(F.col("_surr") >= b, 1).otherwise(0),
             ),
         )
+        .drop("_surr")
     )
 
     local_w = Window.partitionBy("_bucket").orderBy(order_col)
