@@ -123,3 +123,88 @@ def test_expensive_operators_grow_linearish_second_decade(spark):  # noqa: F811
             )
     print("second-decade ratios:", ratios)
     assert not failures, "superlinear growth detected:\n" + "\n".join(failures)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SWEEP_SF1"),
+    reason="second-decade sweep is opt-in (amplifies ~170 MB, runs minutes); "
+    "set SPARK_GRAFT_SWEEP_SF1=1",
+)
+def test_embedding_ingest_loop_second_decade(spark, tmp_path):  # noqa: F811
+    """VERDICT r7 #5: the embedding ingest loop's measured-growth
+    treatment, mirroring the MinHash loop's (q70 above). One ingest
+    cycle = an odd-id batch deduped against the even-id standing corpus
+    — on BOTH tiers: the exact broadcast kernel (its O(batch) output
+    claim) and the indexed LSH tier probing PERSISTED corpus buckets
+    (batch-keys × index-keys, the production run-N+1 shape; building
+    the index is untimed, exactly as in production where it already
+    exists). sf0.1 → amplified sf1 is 10× rows on both sides of the
+    join; the bound is the sweep-wide linear-ish gate."""
+    import pyspark.sql.functions as F
+
+    from yelp_recommender_spark.amplify import amplify
+    from yelp_recommender_spark.operators.ann import (
+        embedding_incremental_dedup_exact,
+        embedding_incremental_dedup_indexed,
+        srp_bucket_assignments,
+        srp_params_for_recall,
+    )
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "scale_data", "sf1"),
+    )
+    amplify("/root/testdata/sf0.1", sf1_dir, 10)  # idempotent via manifest
+
+    threshold = 0.9
+    n_planes, n_tables = srp_params_for_recall(threshold, 0.95)
+
+    def cycle(sf_dir: str, tag: str) -> tuple[float, float]:
+        emb = (
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .select("vec_id", F.col("embedding").cast("array<double>"))
+        )
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        dim = len(corpus.select("embedding").head()[0])
+        # the standing index: persisted vectors + bucket keys (UNTIMED —
+        # production reads them, it never rebuilds them per cycle)
+        vec_p = str(tmp_path / f"vec_{tag}")
+        bk_p = str(tmp_path / f"bk_{tag}")
+        corpus.write.parquet(vec_p)
+        srp_bucket_assignments(
+            corpus, "vec_id", "embedding",
+            n_planes=n_planes, dim=dim, n_tables=n_tables, seed=42,
+        ).select(F.col("vec_id").alias("doc_id"), "bucket").write.parquet(
+            bk_p
+        )
+        idx_vec = spark.read.parquet(vec_p)
+        idx_bk = spark.read.parquet(bk_p)
+
+        start = time.perf_counter()
+        embedding_incremental_dedup_exact(
+            batch, idx_vec, "vec_id", "embedding", threshold
+        ).count()
+        t_exact = time.perf_counter() - start
+
+        start = time.perf_counter()
+        embedding_incremental_dedup_indexed(
+            batch, idx_vec, idx_bk,
+            n_planes=n_planes, n_tables=n_tables, seed=42,
+            id_col="vec_id", vec_col="embedding", threshold=threshold,
+        ).count()
+        t_indexed = time.perf_counter() - start
+        return t_exact, t_indexed
+
+    cycle("/root/testdata/sf0.1", "warm")  # JVM/Arrow warm-up, untimed
+    ex_small, ix_small = cycle("/root/testdata/sf0.1", "small")
+    ex_big, ix_big = cycle(sf1_dir, "big")
+    ratios = {
+        "exact": (round(ex_small, 2), round(ex_big, 2),
+                  round(ex_big / max(ex_small, FLOOR_S), 1)),
+        "indexed_lsh": (round(ix_small, 2), round(ix_big, 2),
+                        round(ix_big / max(ix_small, FLOOR_S), 1)),
+    }
+    print("embedding ingest loop second-decade ratios:", ratios)
+    for tier, (_, _, ratio) in ratios.items():
+        assert ratio < MAX_GROWTH, f"{tier}: superlinear ({ratios})"

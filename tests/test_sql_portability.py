@@ -67,6 +67,17 @@ PORTABLE = [
     "q30_dedup_keep_first", "q97_moving_revenue_7d",
     "q106_interval_overlap", "q111_calendar_breakdown",
     "q117_hierarchy_closure",
+    # r8 rewrite (DuckDB result verified unchanged): the bare alias
+    # `AS column` parses on BOTH engines (COLUMN is non-reserved in
+    # each), so q36's double-quoted identifier — a string literal to
+    # Spark — was simply unquoted. r8 re-probe of every remaining
+    # category confirmed hard blockers with NO shared spelling:
+    # epoch_us/unix_micros (r7 finding stands), list-length (DuckDB
+    # len vs Spark size/cardinality — DuckDB's cardinality is
+    # map-only), ordered string_agg (DuckDB inline ORDER BY vs Spark
+    # WITHIN GROUP, each rejects the other's form), hex-string casts
+    # (conv() has no DuckDB counterpart).
+    "q36_describe_stats",
 ]
 
 # Oracles that are valid DuckDB but NOT verbatim Spark SQL, keyed by the
@@ -137,10 +148,6 @@ NON_PORTABLE = {
     "json-and-cast-leniency": [
         "q17_events_props_extract", "q82_variant_extract",
         "q74_pii_redaction",
-    ],
-    # double-quoted identifiers ("column" is a string in default Spark)
-    "quoted-identifier": [
-        "q36_describe_stats",
     ],
 }
 

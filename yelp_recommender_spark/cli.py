@@ -373,6 +373,18 @@ Generated by `python -m yelp_recommender_spark.cli explain --all
 """
 
 
+def _nonneg_int(s: str) -> int:
+    """argparse type for --max-pairs-per-doc: 0 is the documented
+    unbounded opt-out; a (typo'd) negative value must be a parse error,
+    not a silent switch into the Ω(#pairs) exact contract (ADVICE r7)."""
+    v = int(s)
+    if v < 0:
+        raise argparse.ArgumentTypeError(
+            f"must be >= 0 (got {v}; 0 = unbounded exact contract)"
+        )
+    return v
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="yelp_recommender_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -425,7 +437,7 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--embedding-vec-col", default="embedding")
     cu.add_argument(
         "--max-pairs-per-doc",
-        type=int,
+        type=_nonneg_int,
         default=20,
         help="bounded near-dup contract: each doc contributes at most "
         "this many partners (O(n·k) pair output; per-doc exclusions "
@@ -502,12 +514,29 @@ def main(argv: list[str] | None = None) -> None:
     )
     mt = sub.add_parser(
         "maintain",
-        help="table maintenance: small-file compaction (+ optional "
-        "range clustering) and a data-quality constraint report",
+        help="maintenance: table small-file compaction (+ optional "
+        "range clustering + data-quality report), standing-index "
+        "compaction (--index), and the read-only index doctor "
+        "(--check-index)",
     )
-    mt.add_argument("--input", required=True, help="parquet table path")
-    mt.add_argument("--output", required=True, help="compacted output path")
+    mt.add_argument("--input", default=None, help="parquet table path")
+    mt.add_argument("--output", default=None, help="compacted output path")
     mt.add_argument("--target-mb", type=int, default=128)
+    mt.add_argument(
+        "--index",
+        default=None,
+        help="standing-index dir (curate --corpus-index / "
+        "--embedding-index): rewrite its N committed ingest runs into "
+        "one baseline run under the same crash discipline — crash "
+        "mid-compaction leaves the old runs intact",
+    )
+    mt.add_argument(
+        "--check-index",
+        default=None,
+        help="standing-index dir: READ-ONLY audit (torn runs, strays, "
+        "meta/family provenance); prints the report JSON and exits 2 "
+        "on errors without mutating the index",
+    )
     mt.add_argument(
         "--order-cols",
         default=None,
@@ -538,6 +567,38 @@ def main(argv: list[str] | None = None) -> None:
         evaluate(spark, args.predictions, args.truth, args.output)
         return
     if args.cmd == "maintain":
+        modes = [
+            bool(args.check_index), bool(args.index),
+            bool(args.input or args.output),
+        ]
+        if sum(modes) != 1:
+            ap.error(
+                "maintain: pass exactly one of --check-index DIR, "
+                "--index DIR, or --input/--output"
+            )
+        if args.check_index:
+            # read-only doctor: pure listing + meta reads, no Spark
+            from yelp_recommender_spark.indexmaint import check_index
+
+            report = check_index(args.check_index)
+            print(json.dumps(report, sort_keys=True))
+            if not report["ok"]:
+                raise SystemExit(2)
+            return
+        if args.index:
+            from yelp_recommender_spark.indexmaint import (
+                compact_standing_index,
+            )
+
+            spark = get_spark(app_name="yelp_recommender_maintain")
+            report = compact_standing_index(
+                spark, args.index,
+                target_bytes=args.target_mb * 1024 * 1024,
+            )
+            print(json.dumps(report, sort_keys=True))
+            return
+        if not (args.input and args.output):
+            ap.error("maintain: table mode needs both --input and --output")
         from yelp_recommender_spark.operators.compact import compact_parquet
         from yelp_recommender_spark.operators.quality import (
             check_constraints,

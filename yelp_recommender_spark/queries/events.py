@@ -140,7 +140,7 @@ def q19_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q36_describe_stats",
     oracle="""
-    SELECT 'value' AS "column", COUNT(v) AS n,
+    SELECT 'value' AS column, COUNT(v) AS n,
            ROUND(AVG(v), 6) AS mean, ROUND(stddev_pop(v), 6) AS stddev,
            ROUND(MIN(v), 6) AS min, ROUND(MAX(v), 6) AS max
     FROM (SELECT CAST(value AS DOUBLE) AS v FROM events
