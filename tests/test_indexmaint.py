@@ -335,3 +335,82 @@ def test_maintain_cli_index_modes(spark, tmp_path, capsys):  # noqa: F811
         cli.main(["maintain", "--check-index", idx, "--index", idx])
     with pytest.raises(SystemExit):
         cli.main(["maintain"])
+
+
+def test_compact_txn_committed_runs_cross_index(spark, tmp_path):  # noqa: F811
+    """Compaction × the atomic multi-index commit: runs committed via
+    intent pointers + a hosted transaction record (curate with BOTH
+    indexes) must compact exactly like bare-marker runs — and compacting
+    ONE index must not disturb the other, whose pointers reference
+    transaction records HOSTED in the compacted index's commit log
+    (hosted records are never GC'd by run replacement)."""
+    from yelp_recommender_spark.curate import (
+        _resolve_commit_log,
+        curate_corpus,
+    )
+    from yelp_recommender_spark.indexmaint import (
+        check_index,
+        compact_standing_index,
+    )
+
+    mh, em = str(tmp_path / "xmh"), str(tmp_path / "xem")
+    for i in range(2):
+        docs = _write_docs(spark, tmp_path, f"x{i}", _RUNS[i])
+        emb = _write_emb(
+            spark, tmp_path, f"x{i}",
+            [(d, _VECS[d]) for d, _ in _RUNS[i]],
+        )
+        curate_corpus(
+            spark, docs, str(tmp_path / f"xo{i}"),
+            corpus_index_dir=mh,
+            embeddings_path=emb, embedding_index_dir=em,
+        )
+    for ix in (mh, em):
+        runs, _ = _resolve_commit_log(ix + "/commits")
+        assert len(runs) == 2
+
+    # compact the HOST index (minhash hosts the txn records)
+    rep = compact_standing_index(spark, mh)
+    assert rep["compacted"] and rep["committed_runs"] == 2
+    # the embedding index's txn-pointer commits still resolve: their
+    # hosted records in mh/commits survived the GC
+    em_runs, _ = _resolve_commit_log(em + "/commits")
+    assert len(em_runs) == 2
+    assert check_index(em)["ok"] and check_index(mh)["ok"]
+
+    # compact the embedding index too, then a follow-on combined ingest
+    # must reject/keep identically to a never-compacted twin
+    rep = compact_standing_index(spark, em)
+    assert rep["compacted"]
+    mh_t, em_t = str(tmp_path / "xmh_t"), str(tmp_path / "xem_t")
+    for i in range(2):
+        docs = _write_docs(spark, tmp_path, f"xt{i}", _RUNS[i])
+        emb = _write_emb(
+            spark, tmp_path, f"xt{i}",
+            [(d, _VECS[d]) for d, _ in _RUNS[i]],
+        )
+        curate_corpus(
+            spark, docs, str(tmp_path / f"xto{i}"),
+            corpus_index_dir=mh_t,
+            embeddings_path=emb, embedding_index_dir=em_t,
+        )
+    follow = [
+        (100, _RUNS[0][0][1]),  # text-dup of doc 0 → MinHash reject
+        (99, ["quince", "rose", "sage", "thyme", "umber", "vine"]),
+    ]
+    follow_emb = [(100, _VECS[0]), (99, _VECS[10])]  # 99: dup of doc 10
+    outs = {}
+    for tag, (m_ix, e_ix) in (("c", (mh, em)), ("t", (mh_t, em_t))):
+        docs = _write_docs(spark, tmp_path, f"xf{tag}", follow)
+        emb = _write_emb(spark, tmp_path, f"xf{tag}", follow_emb)
+        outs[tag] = curate_corpus(
+            spark, docs, str(tmp_path / f"xf{tag}_out"),
+            corpus_index_dir=m_ix,
+            embeddings_path=emb, embedding_index_dir=e_ix,
+        )
+    for key in ("n_curated", "n_near_dup_rejected",
+                "n_embedding_dup_rejected"):
+        assert outs["c"][key] == outs["t"][key], key
+    assert outs["c"]["n_near_dup_rejected"] == 1  # doc 100
+    assert outs["c"]["n_embedding_dup_rejected"] == 1  # doc 99
+    assert outs["c"]["n_curated"] == 0
