@@ -414,3 +414,63 @@ def test_compact_txn_committed_runs_cross_index(spark, tmp_path):  # noqa: F811
     assert outs["c"]["n_near_dup_rejected"] == 1  # doc 100
     assert outs["c"]["n_embedding_dup_rejected"] == 1  # doc 99
     assert outs["c"]["n_curated"] == 0
+
+
+def test_gc_strays_age_gated(spark, tmp_path):  # noqa: F811
+    """The stray vacuum removes crash artifacts PAST the age gate and
+    keeps recent ones (presumed in-flight staging); committed data is
+    never touched, and the index answers identically afterwards."""
+    import time
+
+    from yelp_recommender_spark.curate import curate_corpus
+    from yelp_recommender_spark.indexmaint import check_index, gc_strays
+
+    idx = str(tmp_path / "gc")
+    _ingest_n_runs(spark, tmp_path, idx, 2, "g")
+
+    # plant two crash artifacts: a stray data run and a dangling intent
+    spark.createDataFrame(
+        [(999, "deadbeef")], "doc_id long, bk string"
+    ).write.parquet(idx + "/band_keys/run_id=oldstray")
+    with open(idx + "/commits/rdead.txn", "w") as f:
+        json.dump({"txn_file": idx + "/commits/txn-never.json",
+                   "txn_id": "never"}, f)
+
+    # recent artifacts survive the default gate
+    rep = gc_strays(idx)
+    assert rep["removed_stray_dirs"] == []
+    assert rep["removed_dangling_intents"] == 0
+    assert rep["kept_recent"] == 2
+
+    # age them past the gate (virtual clock via now=)
+    future = time.time() + 25 * 3600
+    rep = gc_strays(idx, older_than_hours=24.0, now=future)
+    assert rep["removed_stray_dirs"] == ["band_keys/run_id=oldstray"]
+    assert rep["removed_dangling_intents"] == 1
+    doc = check_index(idx)
+    assert doc["ok"] and doc["stray_runs"] == 0
+    assert doc["committed_runs"] == 2  # committed data untouched
+
+    # the swept index still rejects a known duplicate
+    docs = _write_docs(spark, tmp_path, "gf", [(100, _RUNS[0][0][1])])
+    r = curate_corpus(
+        spark, docs, str(tmp_path / "gf_out"), corpus_index_dir=idx
+    )
+    assert r["n_near_dup_rejected"] == 1
+
+
+def test_gc_strays_cli_flag(spark, tmp_path, capsys):  # noqa: F811
+    from yelp_recommender_spark import cli
+
+    idx = str(tmp_path / "gcc")
+    _ingest_n_runs(spark, tmp_path, idx, 2, "h")
+    spark.createDataFrame(
+        [(999, "deadbeef")], "doc_id long, bk string"
+    ).write.parquet(idx + "/band_keys/run_id=stray")
+    cli.main([
+        "maintain", "--index", idx, "--gc-strays",
+        "--older-than-hours", "0",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["compacted"]
+    assert rep["gc"]["removed_stray_dirs"] == ["band_keys/run_id=stray"]

@@ -538,6 +538,15 @@ def main(argv: list[str] | None = None) -> None:
         "on errors without mutating the index",
     )
     mt.add_argument(
+        "--gc-strays",
+        action="store_true",
+        help="with --index: also vacuum crash artifacts (stray "
+        "uncommitted run data, dangling txn intents) older than "
+        "--older-than-hours — recent artifacts are presumed in-flight "
+        "staging and kept",
+    )
+    mt.add_argument("--older-than-hours", type=float, default=24.0)
+    mt.add_argument(
         "--order-cols",
         default=None,
         help="comma-separated columns to range-cluster (zone-map layout)",
@@ -588,6 +597,7 @@ def main(argv: list[str] | None = None) -> None:
         if args.index:
             from yelp_recommender_spark.indexmaint import (
                 compact_standing_index,
+                gc_strays,
             )
 
             spark = get_spark(app_name="yelp_recommender_maintain")
@@ -595,6 +605,10 @@ def main(argv: list[str] | None = None) -> None:
                 spark, args.index,
                 target_bytes=args.target_mb * 1024 * 1024,
             )
+            if args.gc_strays:
+                report["gc"] = gc_strays(
+                    args.index, older_than_hours=args.older_than_hours
+                )
             print(json.dumps(report, sort_keys=True))
             return
         if not (args.input and args.output):
