@@ -39,9 +39,18 @@ def build_ann_index(
     vec_col: str = "embedding",
     seed: int = 42,
     ivf_limit: int | None = None,
+    encoding: str = "raw",
 ) -> dict:
     """Train + persist an ANN index over a parquet table of embeddings;
     returns the build report (row counts + artifact paths).
+
+    ``encoding`` ('raw' default | 'residual') selects the IVF-PQ code
+    semantics (:func:`~yelp_recommender_spark.operators.pq.ivfpq_topk`:
+    residual quantizes centroid offsets — tighter ADC estimates on
+    clustered corpora for the same (m, ksub) budget). Recorded in
+    meta.json so the query path always scores the codes as what they
+    are. On the IVF tier it does not apply (float vectors serve exact
+    scores, strictly better than any PQ) and is not recorded.
 
     ``tier="auto"`` (default) resolves the persisted rung by corpus
     cardinality with the SAME threshold as the serving planner
@@ -62,6 +71,10 @@ def build_ann_index(
     if tier not in TIERS + ("auto",):
         raise ValueError(
             f"tier must be one of {TIERS + ('auto',)}, got {tier!r}"
+        )
+    if encoding not in ("raw", "residual"):
+        raise ValueError(
+            f"encoding must be 'raw' or 'residual', got {encoding!r}"
         )
     df = spark.read.parquet(input_path)
     if tier == "auto":
@@ -92,19 +105,16 @@ def build_ann_index(
         from yelp_recommender_spark.cache import clear_caches, register_persist, registry_mark
         from yelp_recommender_spark.operators.pq import (
             codebooks_to_df,
-            pq_encode,
-            train_codebooks,
+            train_and_encode,
         )
 
         mark = registry_mark()
         assigned = register_persist(assigned)  # codebook sample + encode
-        books = train_codebooks(
-            assigned, id_col=id_col, vec_col="vec", m=m, ksub=ksub,
-            seed=seed,
+        books, coded = train_and_encode(
+            assigned, centers, id_col=id_col, m=m, ksub=ksub,
+            seed=seed, encoding=encoding,
         )
-        pq_encode(
-            assigned, books, id_col, "vec", passthrough=["centroid_id"]
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+        coded.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
         codebooks_to_df(spark, books).write.mode("overwrite").parquet(
             os.path.join(index_dir, "codebooks")
         )
@@ -122,6 +132,8 @@ def build_ann_index(
         "vec_col": vec_col,
         "seed": seed,
     }
+    if tier == "ivfpq":
+        meta["encoding"] = encoding
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return {"tier": tier, "n_indexed": int(n_rows), "index_dir": index_dir}
@@ -174,4 +186,6 @@ def query_ann_index(
         n_probe=n_probe,
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
+        # pre-r8 indexes carry no encoding field — they are raw codes
+        encoding=meta.get("encoding", "raw"),
     )

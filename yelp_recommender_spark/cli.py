@@ -488,6 +488,12 @@ def main(argv: list[str] | None = None) -> None:
     ab.add_argument("--n-centroids", type=int, default=64)
     ab.add_argument("--m", type=int, default=8)
     ab.add_argument("--ksub", type=int, default=64)
+    ab.add_argument(
+        "--encoding", choices=["raw", "residual"], default="raw",
+        help="IVF-PQ code semantics: residual quantizes centroid "
+        "offsets — tighter ADC estimates on clustered corpora at the "
+        "same (m, ksub) budget; recorded in meta.json",
+    )
     ab.add_argument("--id-col", default="vec_id")
     ab.add_argument("--vec-col", default="embedding")
     aq = sub.add_parser(
@@ -669,6 +675,7 @@ def main(argv: list[str] | None = None) -> None:
             ksub=args.ksub,
             id_col=args.id_col,
             vec_col=args.vec_col,
+            encoding=args.encoding,
         )
         print(json.dumps(report, sort_keys=True))
         return
