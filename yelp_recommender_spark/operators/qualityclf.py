@@ -1,0 +1,199 @@
+"""Trainable document-quality classifier: a fasttext/CCNet-style linear
+model over signed hashed bag-of-words features (Joulin et al. 2016;
+CCNet, Wenzek et al. 2020; the GPT-3 quality-filter recipe, Brown et
+al. 2020 App. A) — the learned counterpart to the heuristic quality
+scores (`q24_doc_quality`).
+
+Split of responsibilities, chosen for the 100-TB shape:
+
+- **Features are corpus-independent by construction**: length-normalized
+  signed hashed term frequencies (`hashed_token_features`). No IDF —
+  IDF is a corpus statistic, and a filter trained with train-corpus IDF
+  then served against serve-corpus IDF scores a DIFFERENT function than
+  it learned (train/serve skew). TF-only hashed features are identical
+  on both sides by construction, which is exactly why the
+  fasttext-style recipe uses them.
+- **Training is bounded by the labeling budget, not the corpus**: the
+  seed-labeled set (docs joined to a labels table) is 10⁴-10⁶ rows by
+  construction, so densifying to `n_dims` doubles for Spark ML
+  LogisticRegression is a bounded cost (4096 dims ≈ 32 KB/doc) paid
+  once at fit time. Distributed L-BFGS handles labeled sets far beyond
+  driver memory.
+- **Serving never densifies and never leaves the JVM**: the model is a
+  tiny (dim, coef) table broadcast into a long-form join —
+  score = σ(Σ w_dim · coef_dim + b) via one hash aggregation per doc.
+  No UDF, no Python, no vector type on the serve path; the hot path is
+  whole-stage-codegen'd column algebra over exactly the long-form
+  sparse representation the engine already standardizes on
+  (SURVEY §2.8 F15).
+
+No reference counterpart — jorgeviz/yelp_recommender has no document
+filtering at all; this is part of the engine's LLM-data-pipeline family
+(BASELINE "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.operators.vectorizer import (
+    hashed_dim,
+    hashed_sign,
+)
+
+__all__ = [
+    "hashed_token_features",
+    "train_quality_classifier",
+    "score_quality",
+]
+
+
+def hashed_token_features(
+    tokens_long: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    n_dims: int = 4096,
+) -> DataFrame:
+    """(id, dim, w) — length-normalized signed hashed bag of words:
+    w(d) = Σ_{tok→d} sign(tok) · tf(tok) / len(doc).
+
+    One shuffle to count terms per doc, a window sum for the doc length
+    (same partitioning — no second exchange), one hash-agg onto the
+    hashed dims. Corpus-independent: the same doc always produces the
+    same features regardless of what other docs are present, which is
+    the train/serve-skew guarantee the classifier relies on."""
+    counts = tokens_long.groupBy(id_col, token_col).agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    w_doc = Window.partitionBy(id_col)
+    return (
+        counts.withColumn("_len", F.sum("_tf").over(w_doc))
+        .select(
+            id_col,
+            hashed_dim(token_col, n_dims).alias("dim"),
+            (
+                hashed_sign(token_col)
+                * F.col("_tf").cast("double")
+                / F.col("_len")
+            ).alias("_w"),
+        )
+        .groupBy(id_col, "dim")
+        .agg(F.sum("_w").alias("w"))
+    )
+
+
+def train_quality_classifier(
+    tokens_long: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    label_col: str = "label",
+    n_dims: int = 4096,
+    reg_param: float = 0.0,
+    elastic_net: float = 0.0,
+    max_iter: int = 100,
+) -> tuple[np.ndarray, float]:
+    """Fit logistic regression on the hashed features of the LABELED
+    docs (inner join against ``labels``: label 1 = keep-quality,
+    0 = reject) and return ``(weights[n_dims], intercept)`` — the
+    entire model, a few KB, ready for :func:`score_quality`.
+
+    ``standardization=False``: the features are already on a common
+    scale (length-normalized counts), and an un-standardized fit keeps
+    the learned coefficients directly interpretable against the raw
+    features the serve path computes (standardized coefficients would
+    bake train-set variances into the model — corpus state, the exact
+    thing the feature design avoids)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from yelp_recommender_spark.operators.vectorizer import (
+        assemble_embeddings,
+    )
+
+    feats = hashed_token_features(tokens_long, id_col, token_col, n_dims)
+    labeled = feats.join(
+        labels.select(
+            id_col, F.col(label_col).cast("double").alias("_y")
+        ),
+        id_col,
+    )
+    dense = assemble_embeddings(
+        labeled,
+        id_col=id_col,
+        n_dims=n_dims,
+        dim_col="dim",
+        weight_col="w",
+        out_col="_arr",
+    ).join(
+        labels.select(
+            id_col, F.col(label_col).cast("double").alias("_y")
+        ),
+        id_col,
+    )
+    train = dense.select(
+        array_to_vector("_arr").alias("features"),
+        F.col("_y").alias("label"),
+    )
+    lr = LogisticRegression(
+        maxIter=int(max_iter),
+        regParam=float(reg_param),
+        elasticNetParam=float(elastic_net),
+        standardization=False,
+    )
+    model = lr.fit(train)
+    return (
+        np.asarray(model.coefficients.toArray(), dtype=np.float64),
+        float(model.intercept),
+    )
+
+
+def score_quality(
+    tokens_long: DataFrame,
+    weights: np.ndarray,
+    intercept: float,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    n_dims: int | None = None,
+) -> DataFrame:
+    """(id, quality_score) — σ(Σ w·coef + b) for every doc in
+    ``tokens_long``, rounded to 6. The corpus-scale path: the model is
+    a broadcast (dim, coef) table (zero coefficients pruned — L1
+    training shrinks the broadcast), joined into the long-form features
+    and folded with one hash aggregation per doc. Entirely JVM-side.
+
+    Docs with no tokens never appear in ``tokens_long`` and so have no
+    output row; a caller scoring a doc universe left-joins and fills
+    ``σ(intercept)`` (the empty-doc score by definition)."""
+    weights = np.asarray(weights, dtype=np.float64)
+    if n_dims is None:
+        n_dims = len(weights)
+    if len(weights) != n_dims:
+        raise ValueError(
+            f"weights has {len(weights)} dims, expected n_dims={n_dims}"
+        )
+    spark = tokens_long.sparkSession
+    nz = [(int(i), float(c)) for i, c in enumerate(weights) if c != 0.0]
+    if nz:
+        coef = spark.createDataFrame(nz, "dim int, coef double")
+    else:
+        coef = spark.createDataFrame([], "dim int, coef double")
+    feats = hashed_token_features(tokens_long, id_col, token_col, n_dims)
+    z = (
+        feats.join(F.broadcast(coef), "dim", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("coef"), F.lit(0.0)) * F.col("w")
+            ).alias("_z")
+        )
+    )
+    logit = F.col("_z") + F.lit(float(intercept))
+    return z.select(
+        id_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_score"
+        ),
+    )
