@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -453,6 +454,54 @@ def main(argv: list[str] | None = None) -> None:
         "run's — the vector twin of --corpus-index; O(batch) output, "
         "--max-pairs-per-doc does not apply",
     )
+    cu.add_argument(
+        "--quality-model",
+        default=None,
+        help="qualityclf-v1 model file (from quality-train): adds a "
+        "learned quality filter after the heuristic one; docs scoring "
+        "below --quality-min-score are dropped",
+    )
+    cu.add_argument("--quality-min-score", type=float, default=0.5)
+    cu.add_argument(
+        "--semantic-dedup-eps",
+        type=float,
+        default=None,
+        help="SemDeDup stage (requires --embeddings): k-means the "
+        "surviving vectors and greedily prune within each cluster at "
+        "cosine >= 1-eps, keeping the member farthest from its "
+        "centroid per duplicate group (within-batch)",
+    )
+    cu.add_argument("--semantic-clusters", type=int, default=64)
+    cu.add_argument(
+        "--strip-spans-w",
+        type=int,
+        default=None,
+        help="strip cross-document repeated substrings: w-token "
+        "windows recurring across --span-min-docs docs are merged "
+        "into spans and removed from the token stream (boilerplate, "
+        "licence blocks); downstream stages see the cleaned tokens",
+    )
+    cu.add_argument("--span-min-docs", type=int, default=2)
+    cu.add_argument(
+        "--span-scope", choices=["docs", "occurrences"], default="docs",
+        help="occurrences also counts repeats within one document",
+    )
+    qt = sub.add_parser(
+        "quality-train",
+        help="fit the hashed-feature quality classifier on a labeled "
+        "doc set and write a qualityclf-v1 model file for "
+        "curate --quality-model",
+    )
+    qt.add_argument("--input", required=True, help="documents parquet")
+    qt.add_argument(
+        "--labels", required=True,
+        help="parquet of (doc_id, label) seed labels: 1 = keep, 0 = drop",
+    )
+    qt.add_argument("--model-out", required=True, help="model file path")
+    qt.add_argument("--n-dims", type=int, default=4096)
+    qt.add_argument("--reg-param", type=float, default=0.0)
+    qt.add_argument("--elastic-net", type=float, default=0.0)
+    qt.add_argument("--max-iter", type=int, default=100)
     ex = sub.add_parser(
         "explain",
         help="physical-plan audit: PLANS.md-style node counts for a "
@@ -756,8 +805,61 @@ def main(argv: list[str] | None = None) -> None:
                 else None
             ),
             embedding_index_dir=args.embedding_index,
+            quality_model_path=args.quality_model,
+            quality_min_score=args.quality_min_score,
+            semantic_eps=args.semantic_dedup_eps,
+            semantic_clusters=args.semantic_clusters,
+            strip_spans_w=args.strip_spans_w,
+            span_min_docs=args.span_min_docs,
+            span_scope=args.span_scope,
         )
         print(json.dumps(report, sort_keys=True))
+        return
+    if args.cmd == "quality-train":
+        from yelp_recommender_spark.functions.text import tokens_col
+        from yelp_recommender_spark.operators.qualityclf import (
+            save_model as save_quality_model,
+        )
+        from yelp_recommender_spark.operators.qualityclf import (
+            train_quality_classifier,
+        )
+
+        spark = get_spark(app_name="yelp_recommender_quality_train")
+        inp = args.input
+        if os.path.isdir(inp) and os.path.exists(
+            os.path.join(inp, "documents.parquet")
+        ):
+            inp = os.path.join(inp, "documents.parquet")
+        docs = spark.read.parquet(inp).select("doc_id", "text")
+        tokens = docs.select(
+            "doc_id",
+            F.explode(tokens_col("text")).alias("token"),
+        )
+        labels = spark.read.parquet(args.labels).select("doc_id", "label")
+        weights, intercept = train_quality_classifier(
+            tokens,
+            labels,
+            n_dims=args.n_dims,
+            reg_param=args.reg_param,
+            elastic_net=args.elastic_net,
+            max_iter=args.max_iter,
+        )
+        save_quality_model(args.model_out, weights, intercept)
+        import numpy as np
+
+        print(
+            json.dumps(
+                {
+                    "model": args.model_out,
+                    "n_dims": int(args.n_dims),
+                    "n_nonzero_weights": int(
+                        np.count_nonzero(np.asarray(weights))
+                    ),
+                    "intercept": float(intercept),
+                },
+                sort_keys=True,
+            )
+        )
         return
     cfg = load_config(args.config)
     spark = get_spark(app_name=f"yelp_recommender_{cfg['model']}")

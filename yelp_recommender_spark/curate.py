@@ -511,6 +511,13 @@ def curate_corpus(
     max_pairs_per_doc: int | None = 20,
     embedding_index_dir: str | None = None,
     embedding_broadcast_limit: int | None = None,
+    quality_model_path: str | None = None,
+    quality_min_score: float = 0.5,
+    semantic_eps: float | None = None,
+    semantic_clusters: int = 64,
+    strip_spans_w: int | None = None,
+    span_min_docs: int = 2,
+    span_scope: str = "docs",
 ) -> dict:
     """Run the full curation pipeline; returns the stage-count report.
 
@@ -569,12 +576,43 @@ def curate_corpus(
     computed-once rule the band-key index enforces for MinHash
     signatures. Docs without a vector in ``embeddings_path`` pass the
     stage unchecked (and are not appended). Requires
-    ``embeddings_path``; doc_ids must be unique across runs."""
+    ``embeddings_path``; doc_ids must be unique across runs.
+
+    ``quality_model_path`` adds a LEARNED quality filter right after the
+    heuristic one: a model trained by ``cli.py quality-train``
+    (:mod:`~yelp_recommender_spark.operators.qualityclf`) scores every
+    doc JVM-side (broadcast coefficient fold over hashed features) and
+    docs below ``quality_min_score`` are dropped.
+
+    ``semantic_eps`` adds a SemDeDup stage
+    (:func:`~yelp_recommender_spark.operators.semdedup.semantic_dedup`)
+    after the embedding near-dup one: cluster the surviving vectors into
+    ``semantic_clusters`` k-means cells and greedily prune within each,
+    keeping the member farthest from its centroid per duplicate group.
+    Within-batch only (the standing-index loop stays the pairwise
+    family's job); requires ``embeddings_path``; docs without a vector
+    pass unchecked.
+
+    ``strip_spans_w`` turns on cross-document repeated-substring
+    STRIPPING (:mod:`~yelp_recommender_spark.operators.spans`) after all
+    dedup stages: w-token windows recurring across ``span_min_docs``
+    docs (or total occurrences with ``span_scope="occurrences"``) are
+    merged into spans and removed from the token stream — boilerplate,
+    licence blocks, syndicated passages. Everything downstream (LM
+    filter, decontamination grams, token counts, packing) sees the
+    CLEANED tokens, and the output ``text`` is re-joined from them with
+    single spaces (the token stream is the training artifact; original
+    spacing is not)."""
     if embedding_index_dir is not None and embeddings_path is None:
         raise ValueError(
             "embedding_index_dir requires embeddings_path — the "
             "standing vector index has nothing to match without the "
             "batch's embeddings"
+        )
+    if semantic_eps is not None and embeddings_path is None:
+        raise ValueError(
+            "semantic_eps requires embeddings_path — SemDeDup has "
+            "nothing to cluster without the batch's embeddings"
         )
     cache_mark = registry_mark()
     if input_path.startswith("synthetic:"):
@@ -611,6 +649,30 @@ def curate_corpus(
     )
     n_quality = quality.count()  # one scan: fires obs_in AND counts
     n_input = int(obs_in.get["n"])
+
+    # ---- optional learned quality filter (qualityclf model) ------------
+    n_quality_model_filtered = 0
+    if quality_model_path is not None:
+        from yelp_recommender_spark.operators.qualityclf import (
+            load_model,
+            score_quality,
+        )
+
+        weights, intercept = load_model(quality_model_path)
+        scores = score_quality(
+            quality.select("doc_id", F.explode("toks").alias("token")),
+            weights,
+            intercept,
+        )
+        # docs below the floor; a doc with zero tokens has no score row
+        # and passes unchecked (same convention as a doc with no vector)
+        low = register_persist(
+            scores.filter(
+                F.col("quality_score") < quality_min_score
+            ).select("doc_id")
+        )
+        n_quality_model_filtered = low.count()
+        quality = quality.join(low, "doc_id", "left_anti")
 
     # exact dedup: min doc_id per text hash — hash-agg + semi join (no
     # window over the corpus; the winner set is (hash, min_id))
@@ -838,6 +900,78 @@ def curate_corpus(
             n_embedding_dup_rejected = emb_rejected.count()
             deduped = deduped.join(emb_rejected, "doc_id", "left_anti")
 
+    # ---- optional SemDeDup stage (cluster-then-prune, within-batch) ----
+    n_semantic_rejected: int | None = None
+    if semantic_eps is not None:
+        from yelp_recommender_spark.operators.semdedup import semantic_dedup
+
+        emb_cur = register_persist(
+            emb.join(deduped.select("doc_id"), "doc_id", "left_semi")
+        )
+        if emb_cur.head(1):
+            verdicts = semantic_dedup(
+                emb_cur,
+                id_col="doc_id",
+                vec_col="embedding",
+                n_clusters=semantic_clusters,
+                eps=semantic_eps,
+            )
+            sem_rejected = register_persist(
+                verdicts.filter(~F.col("kept")).select("doc_id")
+            )
+            n_semantic_rejected = sem_rejected.count()
+            deduped = deduped.join(sem_rejected, "doc_id", "left_anti")
+        else:  # no survivor has a vector: nothing to cluster
+            n_semantic_rejected = 0
+
+    # ---- optional cross-document repeated-span stripping ---------------
+    n_docs_span_stripped = 0
+    n_tokens_span_stripped = 0
+    if strip_spans_w is not None:
+        from yelp_recommender_spark.operators.spans import (
+            remove_spans,
+            repeated_window_spans,
+        )
+
+        spans = repeated_window_spans(
+            deduped,
+            id_col="doc_id",
+            tokens_col="toks",
+            w=strip_spans_w,
+            min_docs=span_min_docs,
+            scope=span_scope,
+        )
+        stripped = remove_spans(
+            deduped, spans, id_col="doc_id", tokens_col="toks"
+        )
+        # everything downstream (LM, decontam grams, counts, packing)
+        # sees the CLEANED token stream; text is re-joined from it —
+        # persisted because the strip fans into several later stages
+        deduped = register_persist(
+            stripped.withColumn(
+                "_n_stripped",
+                F.size("toks") - F.size("toks_clean"),
+            )
+            .withColumn("toks", F.col("toks_clean"))
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("_n_stripped") > 0,
+                    F.concat_ws(" ", F.col("toks")),
+                ).otherwise(F.col("text")),
+            )
+            .drop("toks_clean")
+        )
+        strip_row = deduped.agg(
+            F.coalesce(
+                F.sum((F.col("_n_stripped") > 0).cast("long")), F.lit(0)
+            ).alias("docs"),
+            F.coalesce(F.sum("_n_stripped"), F.lit(0)).alias("toks"),
+        ).collect()[0]  # two scalars off the persisted frame
+        n_docs_span_stripped = int(strip_row.docs)
+        n_tokens_span_stripped = int(strip_row.toks)
+        deduped = deduped.drop("_n_stripped")
+
     # ---- optional perplexity filter (bigram LM trained on the deduped
     # survivors themselves — the standard post-dedup placement: training
     # on the raw corpus would let mass duplicates define "normal") -----
@@ -1006,6 +1140,14 @@ def curate_corpus(
             else None
         ),
         "embedding_dedup": embedding_audit,
+        "n_quality_model_filtered": int(n_quality_model_filtered),
+        "n_semantic_rejected": (
+            int(n_semantic_rejected)
+            if n_semantic_rejected is not None
+            else None
+        ),
+        "n_docs_span_stripped": int(n_docs_span_stripped),
+        "n_tokens_span_stripped": int(n_tokens_span_stripped),
         "n_lm_filtered": int(n_lm_filtered),
         "n_curated": int(n_curated),
         "n_training_blocks": int(n_blocks_row.m) + 1

@@ -47,6 +47,8 @@ __all__ = [
     "hashed_token_features",
     "train_quality_classifier",
     "score_quality",
+    "save_model",
+    "load_model",
 ]
 
 
@@ -148,6 +150,50 @@ def train_quality_classifier(
         np.asarray(model.coefficients.toArray(), dtype=np.float64),
         float(model.intercept),
     )
+
+
+def save_model(path: str, weights: np.ndarray, intercept: float) -> None:
+    """Persist the model as one JSON file (weights + intercept + the
+    feature-space version stamp). A quality model is a few KB-MB —
+    a single driver-side file, same class as the ANN meta.json; the
+    atomic tmp-then-rename write means a crash never leaves a torn
+    model for a later `curate --quality-model` to half-read."""
+    import json
+    import os
+
+    payload = json.dumps(
+        {
+            "format": "qualityclf-v1",
+            "n_dims": int(len(weights)),
+            "intercept": float(intercept),
+            "weights": [float(w) for w in np.asarray(weights)],
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> tuple[np.ndarray, float]:
+    """Load a :func:`save_model` file -> (weights, intercept); rejects
+    unknown formats and length-inconsistent payloads rather than
+    scoring with a silently-wrong feature space."""
+    import json
+
+    with open(path) as f:
+        m = json.load(f)
+    if m.get("format") != "qualityclf-v1":
+        raise ValueError(
+            f"{path}: not a qualityclf-v1 model (format="
+            f"{m.get('format')!r})"
+        )
+    w = np.asarray(m["weights"], dtype=np.float64)
+    if len(w) != int(m["n_dims"]):
+        raise ValueError(
+            f"{path}: weights length {len(w)} != n_dims {m['n_dims']}"
+        )
+    return w, float(m["intercept"])
 
 
 def score_quality(
