@@ -125,6 +125,101 @@ def test_weight_length_mismatch_raises(spark):
         score_quality(tokens, np.zeros(8), 0.0, n_dims=16)
 
 
+def test_column_scorer_matches_long_form(spark, fitted):
+    """The map-only per-row scorer and the broadcast long-form scorer
+    compute the same function (ulp-level summation-order differences
+    only)."""
+    from yelp_recommender_spark.operators.qualityclf import (
+        score_quality_col,
+    )
+
+    tokens, _, w, b = fitted
+    texts = tokens.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.collect_list("token")).alias("text")
+    )
+    got = {
+        r["doc_id"]: r["q"]
+        for r in texts.select(
+            "doc_id", score_quality_col("text", w, b).alias("q")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["quality_score"]
+        for r in score_quality(tokens, w, b).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-6)
+
+
+def test_column_scorer_empty_text_and_plan(spark, fitted):
+    _, _, w, b = fitted
+    from yelp_recommender_spark.operators.qualityclf import (
+        score_quality_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "...!!"), (3, "lucid insight")],
+        "doc_id long, text string",
+    ).select("doc_id", score_quality_col("text", w, b).alias("q"))
+    rows = {r["doc_id"]: r["q"] for r in df.collect()}
+    sig_b = round(float(1.0 / (1.0 + np.exp(-b))), 6)
+    assert rows[1] == pytest.approx(sig_b, abs=1e-9)
+    assert rows[2] == pytest.approx(sig_b, abs=1e-9)  # punct-only
+    assert rows[3] != rows[1]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle: pure map-side algebra
+    with pytest.raises(ValueError, match="16384"):
+        score_quality_col("text", np.zeros(20000), 0.0)
+
+
+def test_column_scorer_streaming_parity(spark, fitted, tmp_path):
+    """The per-row scorer is stateless column algebra, so it runs
+    unchanged under readStream — scores equal the batch path's."""
+    from pyspark.sql import types as T
+
+    from yelp_recommender_spark.operators.qualityclf import (
+        score_quality_col,
+    )
+
+    _, _, w, b = fitted
+    src = str(tmp_path / "stream_src")
+    rows = [(i, f"lucid insight doc{i} evidence") for i in range(20)] + [
+        (100 + i, f"spam pills doc{i} winner") for i in range(20)
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.write.mode("overwrite").parquet(src)
+    want = {
+        r["doc_id"]: r["q"]
+        for r in spark.read.parquet(src)
+        .select("doc_id", score_quality_col("text", w, b).alias("q"))
+        .collect()
+    }
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("doc_id", score_quality_col("text", w, b).alias("q"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("qclf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["q"]
+        for r in spark.sql("select * from qclf_stream").collect()
+    }
+    assert got == want
+
+
 def test_serve_plan_broadcasts_model(spark, fitted):
     tokens, _, w, b = fitted
     plan = (

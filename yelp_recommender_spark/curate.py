@@ -581,8 +581,10 @@ def curate_corpus(
     ``quality_model_path`` adds a LEARNED quality filter right after the
     heuristic one: a model trained by ``cli.py quality-train``
     (:mod:`~yelp_recommender_spark.operators.qualityclf`) scores every
-    doc JVM-side (broadcast coefficient fold over hashed features) and
-    docs below ``quality_min_score`` are dropped.
+    doc with the map-only column scorer (zero shuffle; the coefficient
+    vector rides the plan as a literal) and docs below
+    ``quality_min_score`` are dropped; a doc with zero tokens scores
+    ``sigma(intercept)``.
 
     ``semantic_eps`` adds a SemDeDup stage
     (:func:`~yelp_recommender_spark.operators.semdedup.semantic_dedup`)
@@ -655,20 +657,18 @@ def curate_corpus(
     if quality_model_path is not None:
         from yelp_recommender_spark.operators.qualityclf import (
             load_model,
-            score_quality,
+            score_quality_col,
         )
 
         weights, intercept = load_model(quality_model_path)
-        scores = score_quality(
-            quality.select("doc_id", F.explode("toks").alias("token")),
-            weights,
-            intercept,
-        )
-        # docs below the floor; a doc with zero tokens has no score row
-        # and passes unchecked (same convention as a doc with no vector)
+        # the MAP-ONLY column scorer: zero shuffle added to the pipeline
+        # (the long-form broadcast scorer is the path for models wider
+        # than the plan-literal bound); a doc with zero tokens scores
+        # sigma(intercept) by definition
         low = register_persist(
-            scores.filter(
-                F.col("quality_score") < quality_min_score
+            quality.filter(
+                score_quality_col("text", weights, intercept)
+                < quality_min_score
             ).select("doc_id")
         )
         n_quality_model_filtered = low.count()

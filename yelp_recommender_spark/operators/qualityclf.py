@@ -47,6 +47,7 @@ __all__ = [
     "hashed_token_features",
     "train_quality_classifier",
     "score_quality",
+    "score_quality_col",
     "save_model",
     "load_model",
 ]
@@ -150,6 +151,56 @@ def train_quality_classifier(
         np.asarray(model.coefficients.toArray(), dtype=np.float64),
         float(model.intercept),
     )
+
+
+def score_quality_col(
+    text,
+    weights: np.ndarray,
+    intercept: float,
+) -> "F.Column":
+    """σ(model · features(text)) as a single MAP-ONLY Column expression
+    — the zero-shuffle serve path. The coefficient vector is embedded
+    as a constant array literal and each token's contribution is
+    ``sign(tok) · coef[dim(tok)] / len`` folded with `aggregate`; an
+    empty/tokenless text scores σ(intercept) (the empty-doc score by
+    definition). Output rounded to 6.
+
+    When to use which scorer: this column variant evaluates per row
+    with NO exchange at all, so it works identically over a batch scan
+    and under `readStream` (stateless — no watermark, no state store),
+    and is the right shape for scoring at ingest. It carries the
+    (n_dims)-element coefficient literal in the plan — fine at the
+    default 4096, wrong past ~2¹⁴ (plan bloat); the long-form
+    :func:`score_quality` (broadcast join + one hash-agg) is the path
+    for very wide models. Both compute the same function; float
+    summation order differs at the ulp level (token order vs
+    dim-grouped order).
+    """
+    from yelp_recommender_spark.functions.text import tokens_col
+
+    weights = np.asarray(weights, dtype=np.float64)
+    n_dims = len(weights)
+    if n_dims > 16384:
+        raise ValueError(
+            f"score_quality_col embeds the {n_dims}-dim coefficient "
+            "vector as a plan literal — use score_quality (broadcast "
+            "long-form) past 16384 dims"
+        )
+    coef_arr = F.array(*[F.lit(float(w)) for w in weights])
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c)
+    z = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + hashed_sign(t).cast("double")
+        * F.element_at(coef_arr, hashed_dim(t, n_dims) + 1),
+    ) / F.size(toks) + F.lit(float(intercept))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    empty = F.lit(
+        round(float(1.0 / (1.0 + np.exp(-float(intercept)))), 6)
+    )
+    return F.when(F.size(toks) == 0, empty).otherwise(F.round(score, 6))
 
 
 def save_model(path: str, weights: np.ndarray, intercept: float) -> None:
