@@ -156,7 +156,7 @@ def test_unknown_encoding_rejected(vectors):
 
     queries, index = vectors
     with pytest.raises(ValueError, match="unknown encoding"):
-        pq.ivfpq_topk(queries, index, encoding="opq", **PARAMS)
+        pq.ivfpq_topk(queries, index, encoding="sq8", **PARAMS)
     with pytest.raises(ValueError, match="unknown encoding"):
         pq.ivfpq_topk_indexed(
             queries, index, np.zeros((2, DIM)), np.zeros((2, 2, 8)),
@@ -215,5 +215,5 @@ def test_residual_persisted_index_roundtrip(vectors, tmp_path, spark):  # noqa: 
     with pytest.raises(ValueError, match="encoding must be"):
         build_ann_index(
             spark, src, str(tmp_path / "bad"), tier="ivfpq",
-            encoding="opq",
+            encoding="sq8",
         )

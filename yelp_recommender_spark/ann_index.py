@@ -44,13 +44,17 @@ def build_ann_index(
     """Train + persist an ANN index over a parquet table of embeddings;
     returns the build report (row counts + artifact paths).
 
-    ``encoding`` ('raw' default | 'residual') selects the IVF-PQ code
-    semantics (:func:`~yelp_recommender_spark.operators.pq.ivfpq_topk`:
-    residual quantizes centroid offsets — tighter ADC estimates on
-    clustered corpora for the same (m, ksub) budget). Recorded in
-    meta.json so the query path always scores the codes as what they
-    are. On the IVF tier it does not apply (float vectors serve exact
-    scores, strictly better than any PQ) and is not recorded.
+    ``encoding`` ('raw' default | 'residual' | 'opq') selects the
+    IVF-PQ code semantics
+    (:func:`~yelp_recommender_spark.operators.pq.ivfpq_topk`: residual
+    quantizes centroid offsets — tighter ADC estimates on clustered
+    corpora for the same (m, ksub) budget; opq learns an orthogonal
+    rotation balancing subspace energy — the gain on
+    correlated/anisotropic embeddings, with the rotation persisted as
+    a fourth artifact). Recorded in meta.json so the query path always
+    scores the codes as what they are. On the IVF tier it does not
+    apply (float vectors serve exact scores, strictly better than any
+    PQ) and is not recorded.
 
     ``tier="auto"`` (default) resolves the persisted rung by corpus
     cardinality with the SAME threshold as the serving planner
@@ -72,9 +76,10 @@ def build_ann_index(
         raise ValueError(
             f"tier must be one of {TIERS + ('auto',)}, got {tier!r}"
         )
-    if encoding not in ("raw", "residual"):
+    if encoding not in ("raw", "residual", "opq"):
         raise ValueError(
-            f"encoding must be 'raw' or 'residual', got {encoding!r}"
+            f"encoding must be 'raw', 'residual', or 'opq', "
+            f"got {encoding!r}"
         )
     df = spark.read.parquet(input_path)
     if tier == "auto":
@@ -105,15 +110,25 @@ def build_ann_index(
         from yelp_recommender_spark.cache import clear_caches, register_persist, registry_mark
         from yelp_recommender_spark.operators.pq import (
             codebooks_to_df,
+            rotation_to_df,
             train_and_encode,
+            train_and_encode_opq,
         )
 
         mark = registry_mark()
         assigned = register_persist(assigned)  # codebook sample + encode
-        books, coded = train_and_encode(
-            assigned, centers, id_col=id_col, m=m, ksub=ksub,
-            seed=seed, encoding=encoding,
-        )
+        if encoding == "opq":
+            books, coded, rotation = train_and_encode_opq(
+                assigned, id_col=id_col, m=m, ksub=ksub, seed=seed,
+            )
+            rotation_to_df(spark, rotation).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(index_dir, "rotation"))
+        else:
+            books, coded = train_and_encode(
+                assigned, centers, id_col=id_col, m=m, ksub=ksub,
+                seed=seed, encoding=encoding,
+            )
         coded.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
         codebooks_to_df(spark, books).write.mode("overwrite").parquet(
             os.path.join(index_dir, "codebooks")
@@ -173,8 +188,16 @@ def query_ann_index(
     from yelp_recommender_spark.operators.pq import (
         codebooks_from_df,
         ivfpq_topk_indexed,
+        rotation_from_df,
     )
 
+    # pre-r8 indexes carry no encoding field — they are raw codes
+    encoding = meta.get("encoding", "raw")
+    rotation = None
+    if encoding == "opq":
+        rotation = rotation_from_df(
+            spark.read.parquet(os.path.join(index_dir, "rotation"))
+        )
     return ivfpq_topk_indexed(
         queries,
         spark.read.parquet(os.path.join(index_dir, "codes")),
@@ -186,6 +209,6 @@ def query_ann_index(
         n_probe=n_probe,
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
-        # pre-r8 indexes carry no encoding field — they are raw codes
-        encoding=meta.get("encoding", "raw"),
+        encoding=encoding,
+        rotation=rotation,
     )

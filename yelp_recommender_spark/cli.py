@@ -538,10 +538,13 @@ def main(argv: list[str] | None = None) -> None:
     ab.add_argument("--m", type=int, default=8)
     ab.add_argument("--ksub", type=int, default=64)
     ab.add_argument(
-        "--encoding", choices=["raw", "residual"], default="raw",
+        "--encoding", choices=["raw", "residual", "opq"], default="raw",
         help="IVF-PQ code semantics: residual quantizes centroid "
         "offsets — tighter ADC estimates on clustered corpora at the "
-        "same (m, ksub) budget; recorded in meta.json",
+        "same (m, ksub) budget; opq learns an orthogonal rotation "
+        "balancing subspace energy (the gain on correlated/anisotropic "
+        "embeddings; rotation persisted as a fourth artifact); "
+        "recorded in meta.json",
     )
     ab.add_argument("--id-col", default="vec_id")
     ab.add_argument("--vec-col", default="embedding")

@@ -54,6 +54,10 @@ __all__ = [
     "DEFAULT_PQ_FLAT_INDEX_LIMIT",
     "train_codebooks",
     "train_and_encode",
+    "train_and_encode_opq",
+    "train_opq_rotation",
+    "rotation_to_df",
+    "rotation_from_df",
     "pq_encode",
     "pq_topk",
     "pq_reconstruct_error",
@@ -165,6 +169,74 @@ def train_codebooks(
     return books
 
 
+def train_opq_rotation(
+    X: np.ndarray,
+    m: int,
+    ksub: int,
+    seed: int = 42,
+    n_outer: int = 6,
+    n_iter: int = 6,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013
+    §4): jointly learn an ORTHOGONAL rotation R and PQ codebooks on the
+    (already normalized + padded) training sample by alternating (a) a
+    per-subspace Lloyd fit on the rotated sample and (b) the orthogonal
+    Procrustes update R = U·Vᵀ from svd(Xᵀ·X̂) against the current
+    reconstructions X̂ — each step monotonically reduces ‖X·R − X̂‖².
+    The rotation redistributes variance so no subspace carries
+    disproportionate (and therefore under-quantized) energy — the gain
+    raw PQ leaves on the table for correlated/anisotropic embeddings.
+
+    Driver-side on the bounded sample, like every quantizer fit here
+    (O(sample · d²) per iteration); R is (d_pad × d_pad) float64 — a
+    few KB-MB, the same artifact class as the codebooks. Returns
+    (R, books) with books trained in the ROTATED space."""
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"train_opq_rotation: d={d} not a multiple of m={m}")
+    dsub = d // m
+    ksub_eff = min(ksub, n)
+    R = np.eye(d)
+    books = np.zeros((m, ksub_eff, dsub))
+    for _ in range(int(n_outer)):
+        Xr = X @ R
+        for j in range(m):
+            books[j] = _lloyd(
+                Xr[:, j * dsub : (j + 1) * dsub], ksub_eff, seed + j, n_iter
+            )
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            sub = Xr[:, j * dsub : (j + 1) * dsub]
+            c = books[j]
+            a = (
+                -2.0 * (sub @ c.T) + (c * c).sum(axis=1)
+            ).argmin(axis=1)
+            Y[:, j * dsub : (j + 1) * dsub] = c[a]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    # final codebooks must match the final R (the loop updates R last)
+    Xr = X @ R
+    for j in range(m):
+        books[j] = _lloyd(
+            Xr[:, j * dsub : (j + 1) * dsub], ksub_eff, seed + j, n_iter
+        )
+    return R, books
+
+
+def rotation_to_df(spark, rotation: np.ndarray) -> DataFrame:
+    """The (d × d) OPQ rotation as a relational table (i, row) — the
+    persisted-index artifact, same class as :func:`codebooks_to_df`."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in rotation[i]]) for i in range(len(rotation))],
+        "i int, row array<double>",
+    )
+
+
+def rotation_from_df(df: DataFrame) -> np.ndarray:
+    rows = df.orderBy("i").collect()
+    return np.array([r["row"] for r in rows], dtype=np.float64)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -172,6 +244,7 @@ def pq_encode(
     vec_col: str = "embedding",
     passthrough: list[str] | None = None,
     normalize: bool = True,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, [passthrough...,] codes) — each row's L2-normalized vector
     (or the vector AS GIVEN with ``normalize=False`` — the residual
@@ -183,13 +256,16 @@ def pq_encode(
 
     Scale: map-only mapInPandas against the broadcast (m, ksub, dsub)
     codebooks (a few hundred KB); one batched argmin per subspace —
-    no shuffle, no driver state."""
+    no shuffle, no driver state. ``rotation`` (OPQ) applies the learned
+    orthogonal (d_pad × d_pad) matrix after normalize+pad — one extra
+    matmul per Arrow batch; the codebooks must have been trained in the
+    rotated space (:func:`train_opq_rotation`)."""
     spark = df.sparkSession
     m, ksub, dsub = codebooks.shape
     passthrough = passthrough or []
     # per-centroid squared norms fold into the argmin (−2x·c + ||c||²)
     b = spark.sparkContext.broadcast(
-        (codebooks, (codebooks * codebooks).sum(axis=2))
+        (codebooks, (codebooks * codebooks).sum(axis=2), rotation)
     )
 
     schema = T.StructType(
@@ -199,7 +275,7 @@ def pq_encode(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books, cnorms = b.value
+        books, cnorms, rot = b.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -207,6 +283,8 @@ def pq_encode(
             if normalize:
                 q = _normalize_rows(q)
             q = _pad_to_multiple(q, m)
+            if rot is not None:
+                q = q @ rot
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
                 sub = q[:, j * dsub : (j + 1) * dsub]
@@ -495,7 +573,7 @@ def ivfpq_topk(
 
     from yelp_recommender_spark.operators.ann import _id_type
 
-    if encoding not in ("raw", "residual"):
+    if encoding not in ("raw", "residual", "opq"):
         raise ValueError(f"ivfpq_topk: unknown encoding {encoding!r}")
     spark = queries.sparkSession
     if not index.select(id_col).head(1):
@@ -516,6 +594,15 @@ def ivfpq_topk(
     from yelp_recommender_spark.cache import register_persist
 
     assigned = register_persist(assigned)
+    if encoding == "opq":
+        books, coded, rotation = train_and_encode_opq(
+            assigned, id_col=id_col, m=m, ksub=ksub,
+            sample_n=sample_n, seed=seed,
+        )
+        return ivfpq_topk_indexed(
+            queries, coded, centers, books, k, n_probe, id_col, vec_col,
+            encoding="opq", rotation=rotation,
+        )
     books, coded = train_and_encode(
         assigned, centers, id_col=id_col, m=m, ksub=ksub,
         sample_n=sample_n, seed=seed, encoding=encoding,
@@ -583,6 +670,47 @@ def train_and_encode(
     return books, coded
 
 
+def train_and_encode_opq(
+    assigned: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 64,
+    sample_n: int = 65_536,
+    seed: int = 42,
+    n_outer: int = 6,
+) -> tuple[np.ndarray, DataFrame, np.ndarray]:
+    """The OPQ twin of :func:`train_and_encode`: learn the rotation +
+    codebooks on the deterministic bounded sample (same
+    hash-order-top-k sample rule as every quantizer fit), then encode
+    the whole assignment table map-only with the rotation applied in
+    the encode kernel. Returns (books, coded, rotation) — the rotation
+    is a serving artifact exactly like the codebooks: persist all
+    three. Routing is untouched (centers and queries stay in the
+    ORIGINAL space; R is orthogonal, so the ADC dot in rotated space
+    estimates the same cosine)."""
+    rows = (
+        assigned.select(id_col, "vec")
+        .orderBy(F.xxhash64(F.col(id_col)), id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_and_encode_opq: empty input")
+    X = _pad_to_multiple(
+        _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64)),
+        m,
+    )
+    rotation, books = train_opq_rotation(
+        X, m, ksub, seed=seed, n_outer=n_outer
+    )
+    coded = pq_encode(
+        assigned, books, id_col, "vec",
+        passthrough=["centroid_id"], rotation=rotation,
+    )
+    return books, coded, rotation
+
+
 def ivfpq_topk_indexed(
     queries: DataFrame,
     coded: DataFrame,
@@ -593,6 +721,7 @@ def ivfpq_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoding: str = "raw",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """:func:`ivfpq_topk` served from a PREBUILT index — ``coded`` is
     the (id, codes, centroid_id) table :func:`pq_encode` produced over
@@ -606,12 +735,21 @@ def ivfpq_topk_indexed(
 
     ``encoding`` must state what the codes ARE (the same value the
     encode side used): 'raw' scores Σ_j q_j·book[j, code_j]; 'residual'
-    adds the q·centroid base term per probed centroid group. A
+    adds the q·centroid base term per probed centroid group; 'opq'
+    scores with the ROTATED query against rotation-space codebooks
+    (``rotation`` required — it is a serving artifact like the books;
+    routing stays in the original space since R is orthogonal). A
     mismatch would silently score garbage, so serving artifacts must
     persist the encoding alongside the codebooks."""
-    if encoding not in ("raw", "residual"):
+    if encoding not in ("raw", "residual", "opq"):
         raise ValueError(
             f"ivfpq_topk_indexed: unknown encoding {encoding!r}"
+        )
+    if (encoding == "opq") != (rotation is not None):
+        raise ValueError(
+            "ivfpq_topk_indexed: rotation must be passed with "
+            "encoding='opq' and only then (a rotation/encoding mismatch "
+            "scores garbage)"
         )
     from yelp_recommender_spark.operators.ann import probe_routing
     from yelp_recommender_spark.operators.topk import top_n_per_key
@@ -624,13 +762,14 @@ def ivfpq_topk_indexed(
     )
     # per-query ADC lookup tables against the probed routing, built ONCE
     # on the driver: luts[q, j, c] = q_sub_j · centroid_{j,c}
-    luts = np.einsum(
-        "qjd,jkd->qjk",
-        _pad_to_multiple(q_mat, m_).reshape(q_mat.shape[0], m_, dsub)
-        if q_mat.size
-        else np.zeros((0, m_, dsub)),
-        books,
-    )
+    if q_mat.size:
+        qp = _pad_to_multiple(q_mat, m_)
+        if rotation is not None:  # OPQ: LUTs live in rotated space
+            qp = qp @ rotation
+        qp = qp.reshape(q_mat.shape[0], m_, dsub)
+    else:
+        qp = np.zeros((0, m_, dsub))
+    luts = np.einsum("qjd,jkd->qjk", qp, books)
     # residual mode needs the probed queries and the routing matrix in
     # the kernel for the q·centroid base term; raw mode ships neither
     resid_state = (q_mat, centers) if encoding == "residual" else None
