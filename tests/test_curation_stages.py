@@ -68,6 +68,29 @@ def test_curate_strips_cross_doc_boilerplate(spark, tmp_path):  # noqa: F811
     assert report2["n_tokens_span_stripped"] == 0
 
 
+def test_strip_reapplies_min_tokens_floor(spark, tmp_path):  # noqa: F811
+    """A doc that is MOSTLY shared boilerplate can fall below the
+    quality gate's min_tokens after stripping — it must not ship."""
+    from yelp_recommender_spark.curate import curate_corpus
+
+    rows = [
+        # 8 boilerplate tokens + 2-token unique tails: below
+        # min_tokens=5 once stripped
+        (i, f"{BOILER} only{i} two{i}", "en", "srcA") for i in range(3)
+    ] + [(100 + i, _body(i), "en", "srcA") for i in range(4)]
+    src = _write_docs(spark, tmp_path, rows)
+    out = str(tmp_path / "out")
+    report = curate_corpus(
+        spark, src, out, seq_len=64, strip_spans_w=5, min_tokens=5
+    )
+    assert report["n_span_stripped_below_min"] == 3
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "documents")).collect()
+    }
+    assert kept == {100, 101, 102, 103}
+
+
 # ----------------------------------------------------- learned quality filter
 def test_curate_learned_quality_filter(spark, tmp_path):  # noqa: F811
     from yelp_recommender_spark.curate import curate_corpus

@@ -159,18 +159,46 @@ def test_column_scorer_empty_text_and_plan(spark, fitted):
     )
 
     df = spark.createDataFrame(
-        [(1, ""), (2, "...!!"), (3, "lucid insight")],
+        [(1, ""), (2, "...!!"), (3, "lucid insight"), (4, None)],
         "doc_id long, text string",
     ).select("doc_id", score_quality_col("text", w, b).alias("q"))
     rows = {r["doc_id"]: r["q"] for r in df.collect()}
     sig_b = round(float(1.0 / (1.0 + np.exp(-b))), 6)
     assert rows[1] == pytest.approx(sig_b, abs=1e-9)
     assert rows[2] == pytest.approx(sig_b, abs=1e-9)  # punct-only
+    # NULL text must score sigma(intercept), never propagate NULL (a
+    # NULL score silently passes every `score < threshold` drop-filter)
+    assert rows[4] == pytest.approx(sig_b, abs=1e-9)
     assert rows[3] != rows[1]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero-shuffle: pure map-side algebra
     with pytest.raises(ValueError, match="16384"):
         score_quality_col("text", np.zeros(20000), 0.0)
+
+
+def test_column_scorer_tokenized_input_parity(spark, fitted):
+    """tokenized=True over a pre-tokenized array column (incl. a NULL
+    array) scores identically to the text path."""
+    from yelp_recommender_spark.functions.text import tokens_col
+    from yelp_recommender_spark.operators.qualityclf import (
+        score_quality_col,
+    )
+
+    _, _, w, b = fitted
+    df = spark.createDataFrame(
+        [(1, "lucid rigorous spam"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    ).withColumn(
+        "toks",
+        F.when(F.col("text").isNotNull(), tokens_col("text")),
+    )
+    rows = df.select(
+        "doc_id",
+        score_quality_col("text", w, b).alias("via_text"),
+        score_quality_col("toks", w, b, tokenized=True).alias("via_toks"),
+    ).collect()
+    for r in rows:
+        assert r["via_toks"] == pytest.approx(r["via_text"], abs=1e-9)
 
 
 def test_column_scorer_streaming_parity(spark, fitted, tmp_path):

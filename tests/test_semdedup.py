@@ -209,6 +209,34 @@ def test_partition_layout_invariance(spark):
     assert a == b
 
 
+def test_blocked_matrix_kernel_beyond_one_block(spark):
+    """Clusters larger than the 512-row kernel block exercise the
+    slab-wise prior-max path — verdicts must equal a full-matrix numpy
+    reference."""
+    rng = np.random.default_rng(41)
+    n = 1300
+    vecs = [_unit(np.eye(DIM)[0] + rng.normal(0, 0.3, DIM)) for _ in range(n)]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "doc_id long, embedding array<double>"
+    )
+    eps = 0.02
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, n_clusters=1, eps=eps, sample_n=2000, mode="matrix"
+        ).collect()
+    }
+    from yelp_recommender_spark.operators.ann import ivf_fit_assign
+
+    assigned, centers = ivf_fit_assign(
+        df, id_col="doc_id", vec_col="embedding", n_centroids=1,
+        seed=42, sample_n=2000,
+    )
+    model = _numpy_model(assigned.collect(), centers, eps, "matrix")
+    assert out == model
+    assert not all(out.values())  # the noise level actually drops rows
+
+
 def test_plan_has_no_cartesian_product(spark):
     df = _random_fixture(spark, n_per=5)
     plan = semantic_dedup(

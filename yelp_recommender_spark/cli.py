@@ -374,6 +374,17 @@ Generated by `python -m yelp_recommender_spark.cli explain --all
 """
 
 
+def _pos_int(s: str) -> int:
+    """argparse type for the strictly-positive knobs (--strip-spans-w,
+    --span-min-docs, --semantic-clusters): a typo'd zero/negative must
+    be a parse error, not an executor-side ValueError mid-run (the
+    --max-pairs-per-doc precedent, ADVICE r7)."""
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1 (got {v})")
+    return v
+
+
 def _nonneg_int(s: str) -> int:
     """argparse type for --max-pairs-per-doc: 0 is the documented
     unbounded opt-out; a (typo'd) negative value must be a parse error,
@@ -471,17 +482,17 @@ def main(argv: list[str] | None = None) -> None:
         "cosine >= 1-eps, keeping the member farthest from its "
         "centroid per duplicate group (within-batch)",
     )
-    cu.add_argument("--semantic-clusters", type=int, default=64)
+    cu.add_argument("--semantic-clusters", type=_pos_int, default=64)
     cu.add_argument(
         "--strip-spans-w",
-        type=int,
+        type=_pos_int,
         default=None,
         help="strip cross-document repeated substrings: w-token "
         "windows recurring across --span-min-docs docs are merged "
         "into spans and removed from the token stream (boilerplate, "
         "licence blocks); downstream stages see the cleaned tokens",
     )
-    cu.add_argument("--span-min-docs", type=int, default=2)
+    cu.add_argument("--span-min-docs", type=_pos_int, default=2)
     cu.add_argument(
         "--span-scope", choices=["docs", "occurrences"], default="docs",
         help="occurrences also counts repeats within one document",

@@ -661,13 +661,16 @@ def curate_corpus(
         )
 
         weights, intercept = load_model(quality_model_path)
-        # the MAP-ONLY column scorer: zero shuffle added to the pipeline
-        # (the long-form broadcast scorer is the path for models wider
-        # than the plan-literal bound); a doc with zero tokens scores
-        # sigma(intercept) by definition
+        # the MAP-ONLY column scorer over the frame's EXISTING token
+        # array (tokenized=True — no re-tokenization): zero shuffle
+        # added to the pipeline (the long-form broadcast scorer is the
+        # path for models wider than the plan-literal bound); a doc
+        # with zero tokens scores sigma(intercept) by definition
         low = register_persist(
             quality.filter(
-                score_quality_col("text", weights, intercept)
+                score_quality_col(
+                    "toks", weights, intercept, tokenized=True
+                )
                 < quality_min_score
             ).select("doc_id")
         )
@@ -905,8 +908,11 @@ def curate_corpus(
     if semantic_eps is not None:
         from yelp_recommender_spark.operators.semdedup import semantic_dedup
 
+        # narrow from the already-persisted, already-null-filtered
+        # emb_surv (a superset of the current survivors) — never a
+        # second scan of the embeddings parquet
         emb_cur = register_persist(
-            emb.join(deduped.select("doc_id"), "doc_id", "left_semi")
+            emb_surv.join(deduped.select("doc_id"), "doc_id", "left_semi")
         )
         if emb_cur.head(1):
             verdicts = semantic_dedup(
@@ -927,6 +933,7 @@ def curate_corpus(
     # ---- optional cross-document repeated-span stripping ---------------
     n_docs_span_stripped = 0
     n_tokens_span_stripped = 0
+    n_span_stripped_below_min = 0
     if strip_spans_w is not None:
         from yelp_recommender_spark.operators.spans import (
             remove_spans,
@@ -967,10 +974,22 @@ def curate_corpus(
                 F.sum((F.col("_n_stripped") > 0).cast("long")), F.lit(0)
             ).alias("docs"),
             F.coalesce(F.sum("_n_stripped"), F.lit(0)).alias("toks"),
-        ).collect()[0]  # two scalars off the persisted frame
+            # stripping can reduce a doc below the quality gate's
+            # floor (a doc that was MOSTLY boilerplate) — re-apply
+            # min_tokens so an all-licence-block doc never ships
+            F.coalesce(
+                F.sum(
+                    (F.size("toks") < min_tokens).cast("long")
+                ),
+                F.lit(0),
+            ).alias("below_min"),
+        ).collect()[0]  # three scalars off the persisted frame
         n_docs_span_stripped = int(strip_row.docs)
         n_tokens_span_stripped = int(strip_row.toks)
-        deduped = deduped.drop("_n_stripped")
+        n_span_stripped_below_min = int(strip_row.below_min)
+        deduped = deduped.filter(F.size("toks") >= min_tokens).drop(
+            "_n_stripped"
+        )
 
     # ---- optional perplexity filter (bigram LM trained on the deduped
     # survivors themselves — the standard post-dedup placement: training
@@ -1148,6 +1167,7 @@ def curate_corpus(
         ),
         "n_docs_span_stripped": int(n_docs_span_stripped),
         "n_tokens_span_stripped": int(n_tokens_span_stripped),
+        "n_span_stripped_below_min": int(n_span_stripped_below_min),
         "n_lm_filtered": int(n_lm_filtered),
         "n_curated": int(n_curated),
         "n_training_blocks": int(n_blocks_row.m) + 1

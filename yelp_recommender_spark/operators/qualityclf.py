@@ -116,26 +116,27 @@ def train_quality_classifier(
         assemble_embeddings,
     )
 
-    feats = hashed_token_features(tokens_long, id_col, token_col, n_dims)
-    labeled = feats.join(
-        labels.select(
-            id_col, F.col(label_col).cast("double").alias("_y")
-        ),
+    lab = labels.select(
+        id_col, F.col(label_col).cast("double").alias("_y")
+    )
+    # restrict to the LABELED docs before any featurization — the
+    # semi join is what keeps training bounded by the labeling budget
+    # (the aggregates below would otherwise shuffle the whole corpus,
+    # since Catalyst cannot push a join under them)
+    feats = hashed_token_features(
+        tokens_long.join(lab.select(id_col), id_col, "left_semi"),
         id_col,
+        token_col,
+        n_dims,
     )
     dense = assemble_embeddings(
-        labeled,
+        feats,
         id_col=id_col,
         n_dims=n_dims,
         dim_col="dim",
         weight_col="w",
         out_col="_arr",
-    ).join(
-        labels.select(
-            id_col, F.col(label_col).cast("double").alias("_y")
-        ),
-        id_col,
-    )
+    ).join(lab, id_col)
     train = dense.select(
         array_to_vector("_arr").alias("features"),
         F.col("_y").alias("label"),
@@ -157,13 +158,18 @@ def score_quality_col(
     text,
     weights: np.ndarray,
     intercept: float,
+    tokenized: bool = False,
 ) -> "F.Column":
     """σ(model · features(text)) as a single MAP-ONLY Column expression
     — the zero-shuffle serve path. The coefficient vector is embedded
     as a constant array literal and each token's contribution is
     ``sign(tok) · coef[dim(tok)] / len`` folded with `aggregate`; an
-    empty/tokenless text scores σ(intercept) (the empty-doc score by
-    definition). Output rounded to 6.
+    empty, tokenless, or NULL text scores σ(intercept) (the empty-doc
+    score by definition — a NULL must never propagate, since a NULL
+    score silently passes every ``score < threshold`` drop-filter).
+    Output rounded to 6. ``tokenized=True`` treats ``text`` as an
+    already-tokenized ``array<string>`` column (skips the tokenizer —
+    callers that carry a ``toks`` column avoid re-tokenizing).
 
     When to use which scorer: this column variant evaluates per row
     with NO exchange at all, so it works identically over a batch scan
@@ -188,7 +194,10 @@ def score_quality_col(
         )
     coef_arr = F.array(*[F.lit(float(w)) for w in weights])
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens_col(c)
+    if tokenized:
+        toks = F.coalesce(c, F.array().cast("array<string>"))
+    else:
+        toks = tokens_col(F.coalesce(c, F.lit("")))
     z = F.aggregate(
         toks,
         F.lit(0.0),

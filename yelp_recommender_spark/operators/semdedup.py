@@ -18,14 +18,18 @@ Scale shape (the reason this exists as a separate operator):
   pass with the (K × dim) center matrix in the task closure. No
   distributed iteration ever touches the full corpus.
 - Pruning is ONE shuffle (groupBy centroid_id) + a per-cluster numpy
-  kernel: O(Σ |c|²) ≈ O(n²/K) total work, embarrassingly parallel
-  across clusters. K is the knob that keeps |c| bounded — size it as
-  K ≈ n / target_cluster_rows (the paper uses |c| ≈ 10⁴-10⁵ at
-  billion-row scale). ``max_cluster_rows`` fails fast inside the
-  kernel before any O(|c|²) allocation if a cluster blows the budget
-  (re-run with larger K; k-means on normalized embeddings has no
-  adversarial whale key the way a string groupBy does, so in practice
-  the clusters are balanced).
+  kernel: O(Σ |c|²·d) ≈ O(n²·d/K) total COMPUTE, embarrassingly
+  parallel across clusters, and the kernels never materialize an
+  (n × n) matrix — the matrix mode scores in O(block · |c|) slabs and
+  the greedy mode dots each row against the kept set on demand, so
+  peak task memory is O(block · |c|) ≈ 0.4 GB at the cap. K is the
+  knob that keeps |c| bounded — size it as K ≈ n /
+  target_cluster_rows (the paper uses |c| ≈ 10⁴-10⁵ at billion-row
+  scale). ``max_cluster_rows`` fails fast inside the kernel, before
+  any quadratic compute, if a cluster blows the budget (re-run with
+  larger K; k-means on normalized embeddings has no adversarial whale
+  key the way a string groupBy does, so in practice the clusters are
+  balanced).
 - The verdict is O(n) rows — never a pair table.
 
 Determinism: the quantizer fit is bit-deterministic (seeded Lloyd on a
@@ -61,7 +65,7 @@ def semantic_dedup(
     seed: int = 42,
     max_iter: int = 8,
     sample_n: int = 65_536,
-    max_cluster_rows: int = 200_000,
+    max_cluster_rows: int = 100_000,
     mode: str = "greedy",
 ) -> DataFrame:
     """Per-row keep/drop verdicts for cluster-local semantic dedup.
@@ -174,23 +178,33 @@ def semantic_dedup(
         # the order (and thus every verdict) is layout-independent
         order = np.lexsort((pdf[id_col].to_numpy(), csim))
         Xo = X[order]
-        S = Xo @ Xo.T  # (n × n), guarded by the cap above
+        # Never materialize the (n × n) similarity matrix: peak kernel
+        # memory is O(block · n) regardless of cluster size, so the
+        # cap bounds COMPUTE (n²·d/2 flops), not an allocation.
+        blk = 512  # peak S_blk = blk · n · 8 B ≈ 0.4 GB at the cap
         kept = np.zeros(n, dtype=bool)
         max_kept = np.full(n, np.nan)
         if mode == "matrix":
-            # paper form: masked row-max over the strict prior
-            # triangle, no per-row Python
-            prior = np.tril(np.ones((n, n), dtype=bool), k=-1)
-            Sm = np.where(prior, S, -np.inf)
-            M = Sm.max(axis=1)
-            max_kept[1:] = M[1:]
-            kept = ~(M >= tau)
+            # paper form: per block, row-max over the strict prior
+            # triangle — batch-vectorized, no per-row Python
+            for a in range(0, n, blk):
+                b_end = min(a + blk, n)
+                S_blk = Xo[a:b_end] @ Xo[:b_end].T  # (B × b_end)
+                rows = np.arange(a, b_end)[:, None]
+                S_blk[np.arange(b_end)[None, :] >= rows] = -np.inf
+                M = S_blk.max(axis=1)
+                max_kept[a:b_end] = M
+                kept[a:b_end] = M < tau
             kept[0] = True
+            max_kept[0] = np.nan
         else:
             kept_rows: list[int] = []
             for i in range(n):
                 if kept_rows:
-                    m = S[i, kept_rows].max()
+                    # on-demand dot against the kept set only: the
+                    # greedy dependency is sequential anyway, and this
+                    # never allocates beyond O(|kept| · d)
+                    m = (Xo[kept_rows] @ Xo[i]).max()
                     max_kept[i] = m
                     if m >= tau:
                         continue

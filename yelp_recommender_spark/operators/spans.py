@@ -96,15 +96,24 @@ def repeated_window_spans(
     al. criterion). ``min_docs`` is the threshold for either count.
 
     ``n_windows`` is the number of hit windows merged into the span —
-    span_end - span_start - w + 1 when the whole span is repeated
-    (contiguous hits), smaller never, larger impossible."""
+    equal to span_end - span_start - w + 1 when every window position
+    inside the span is itself a hit, SMALLER when overlapping hits
+    bridge interior non-hit positions (e.g. hits at 0 and 4 with w=8
+    merge to one 12-token span of 2 windows), larger impossible."""
     if scope not in ("docs", "occurrences"):
         raise ValueError(
             f"scope must be 'docs' or 'occurrences', got {scope!r}"
         )
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    wh = window_hashes(docs, id_col, tokens_col, w)
+    from yelp_recommender_spark.cache import register_persist
+
+    # persisted boundary: the window table feeds BOTH the recurrence
+    # aggregate and the hit join — without it the map-side
+    # hash-every-window transform (the operator's most expensive
+    # phase) runs twice per call (released by clear_caches() at the
+    # pipeline boundary, the engine-wide hygiene convention)
+    wh = register_persist(window_hashes(docs, id_col, tokens_col, w))
     cnt = (
         F.countDistinct(id_col)
         if scope == "docs"
