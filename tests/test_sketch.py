@@ -1,0 +1,442 @@
+"""Mergeable sketch state (`operators/sketch.py`): the merge property
+itself (state(A ∪ B) == merge(state(A), state(B)) — exact for the
+linear sketches, estimate-identical for HLL/KMV), the published error
+bounds, signed-delta retraction for the linear sketches, parameter
+mismatch guards, and the map-only probe plan for count-min lookups.
+The merge property is the whole point: it is what lets a standing
+summary refresh per ingest batch in O(|batch|) instead of rescanning
+accumulated facts (the non-distributive tail `incr_agg.py` cannot
+cover)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401 (fixture)
+
+
+# --------------------------------------------------------------------
+# HLL distinct count
+# --------------------------------------------------------------------
+
+
+def _hll_feed(spark, lo, hi):  # noqa: F811
+    # key k sees distinct items lo..hi-1 thinned by (item % (k+1) == 0)
+    return (
+        spark.range(lo, hi)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            F.concat(F.lit("item-"), F.col("id")).alias("item"),
+        )
+    )
+
+
+def test_hll_estimates_close_to_exact(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        hll_estimate,
+        hll_state,
+    )
+
+    df = _hll_feed(spark, 0, 70_000)
+    got = {
+        r.k: r.dv_item
+        for r in hll_estimate(
+            hll_state(df, ["k"], ["item"], lg_k=12), ["item"]
+        ).collect()
+    }
+    exact = {
+        r.k: r.dv
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("item").alias("dv"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, dv in exact.items():
+        # 1.04/sqrt(2^12) ~ 1.6% one-sigma; allow 5%
+        assert abs(got[k] - dv) / dv < 0.05
+
+
+def test_hll_merge_equals_whole_and_is_layout_independent(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    a, b = _hll_feed(spark, 0, 40_000), _hll_feed(spark, 30_000, 70_000)
+    whole = hll_state(a.unionByName(b), ["k"], ["item"])
+    merged = hll_merge(
+        hll_state(a, ["k"], ["item"]),
+        hll_state(b.repartition(13), ["k"], ["item"]),
+        ["k"],
+        ["item"],
+    )
+    ew = {r.k: r.dv_item for r in hll_estimate(whole, ["item"]).collect()}
+    em = {r.k: r.dv_item for r in hll_estimate(merged, ["item"]).collect()}
+    # register union is exact set semantics, but DataSketches serves a
+    # direct build from the HIP estimator and a unioned sketch from the
+    # composite estimator — the two NUMBERS agree within the bound, not
+    # bit-for-bit
+    assert set(ew) == set(em)
+    for k in ew:
+        assert abs(em[k] - ew[k]) / ew[k] < 0.05
+    # and the merge itself is layout-independent: same inputs split the
+    # same way, different partitioning → identical merged estimates
+    em2 = {
+        r.k: r.dv_item
+        for r in hll_estimate(
+            hll_merge(
+                hll_state(a.repartition(5), ["k"], ["item"]),
+                hll_state(b, ["k"], ["item"]),
+                ["k"],
+                ["item"],
+            ),
+            ["item"],
+        ).collect()
+    }
+    assert em == em2
+
+
+def test_hll_incremental_loop_matches_rescan(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    batches = [
+        _hll_feed(spark, lo, lo + 10_000) for lo in (0, 10_000, 20_000)
+    ]
+    standing = hll_state(batches[0], ["k"], ["item"])
+    for batch in batches[1:]:
+        standing = hll_merge(
+            standing, hll_state(batch, ["k"], ["item"]), ["k"], ["item"]
+        )
+    rescan = hll_state(
+        batches[0].unionByName(batches[1]).unionByName(batches[2]),
+        ["k"],
+        ["item"],
+    )
+    es = {r.k: r.dv_item for r in hll_estimate(standing, ["item"]).collect()}
+    er = {r.k: r.dv_item for r in hll_estimate(rescan, ["item"]).collect()}
+    assert set(es) == set(er)
+    for k in er:  # HIP vs composite estimator: close, not bit-equal
+        assert abs(es[k] - er[k]) / er[k] < 0.05
+
+
+# --------------------------------------------------------------------
+# Count-min frequency sketch
+# --------------------------------------------------------------------
+
+
+def _zipf_items(spark, n_rows=20_000, n_items=200):  # noqa: F811
+    # item i appears ~ n_rows/(i+1) times (heavy head, long tail)
+    return spark.range(n_rows).select(
+        F.concat(
+            F.lit("w-"),
+            F.floor(
+                F.pow(
+                    F.lit(float(n_items)),
+                    F.pmod(F.xxhash64("id"), 10_000).cast("double")
+                    / 10_000.0,
+                )
+            )
+            - 1,
+        ).alias("item")
+    )
+
+
+def test_cms_one_sided_and_within_bound(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        cms_lookup,
+        cms_state,
+    )
+
+    df = _zipf_items(spark)
+    state = cms_state(df, "item", depth=5, width=2048)
+    exact = df.groupBy("item").agg(F.count("*").alias("true_n"))
+    probed = cms_lookup(state, exact, "item").collect()
+    n_total = df.count()
+    eps_n = (2.718281828 / 2048) * n_total  # ~27 at 20k rows
+    for r in probed:
+        assert r.est_n >= r.true_n  # never under-counts (structural)
+        assert r.est_n <= r.true_n + eps_n * 3  # generous 3x slack
+
+
+def test_cms_merge_is_exact_and_signed_deltas_retract(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        cms_merge,
+        cms_state,
+    )
+
+    def rows(state):
+        return sorted(
+            (r.d, r.pos, r.n) for r in state.collect() if r.n != 0
+        )
+
+    a = _zipf_items(spark, 8_000)
+    b = _zipf_items(spark, 6_000).select(
+        F.concat(F.lit("x"), "item").alias("item")
+    )
+    whole = cms_state(a.unionByName(b), "item", depth=4, width=512)
+    merged = cms_merge(
+        cms_state(a, "item", depth=4, width=512),
+        cms_state(b.repartition(7), "item", depth=4, width=512),
+    )
+    # linear sketch: the merged COUNTER TABLE is row-identical, not
+    # just estimate-close
+    assert rows(whole) == rows(merged)
+
+    # signed retraction: insert A∪B, retract B → the state of A alone
+    retract_b = b.withColumn("w", F.lit(-1))
+    retracted = cms_merge(
+        whole, cms_state(retract_b, "item", depth=4, width=512, weight_col="w")
+    )
+    assert rows(retracted) == rows(cms_state(a, "item", depth=4, width=512))
+
+
+def test_cms_shape_mismatch_raises_and_null_item_is_null(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        cms_lookup,
+        cms_merge,
+        cms_state,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("item"))
+    s1 = cms_state(df, "item", depth=3, width=64)
+    s2 = cms_state(df, "item", depth=3, width=128)
+    with pytest.raises(ValueError, match="different shapes"):
+        cms_merge(s1, s2)
+
+    probe = spark.createDataFrame(
+        [("5",), (None,)], "item string"
+    )
+    got = {r.item: r.est_n for r in cms_lookup(s1, probe, "item").collect()}
+    assert got["5"] >= 1
+    assert got[None] is None
+
+
+def test_cms_lookup_plan_is_map_side(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        cms_lookup,
+        cms_state,
+    )
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("item"))
+    state = cms_state(df, "item", depth=4, width=256)
+    probed = cms_lookup(state, df, "item")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probe side meets the counter grid only through broadcasts:
+    # the probed table itself is never shuffled or sort-merge joined
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 4
+
+
+# --------------------------------------------------------------------
+# KMV bottom-k distinct sample
+# --------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_state,
+    )
+
+    # key 0: 30 distinct items (< k, exact); key 1: 20000 (estimated)
+    small = spark.range(30).select(
+        F.lit(0).alias("k"), F.concat(F.lit("s"), "id").alias("item")
+    )
+    big = spark.range(20_000).select(
+        F.lit(1).alias("k"), F.concat(F.lit("b"), "id").alias("item")
+    )
+    # multiplicity must not matter: duplicate the feeds
+    feed = small.unionByName(big).unionByName(small).unionByName(big)
+    est = {
+        r.k: r.dv_est
+        for r in kmv_estimate(kmv_state(feed, ["k"], "item", k=256)).collect()
+    }
+    assert est[0] == 30.0  # below k: the sample IS the distinct set
+    assert abs(est[1] - 20_000) / 20_000 < 0.15  # ~1/sqrt(256) ≈ 6%
+
+
+def test_kmv_merge_equals_whole_build(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        kmv_merge,
+        kmv_state,
+    )
+
+    a = spark.range(5_000).select(
+        (F.col("id") % 3).alias("k"),
+        F.concat(F.lit("i"), "id").alias("item"),
+    )
+    b = spark.range(3_000, 9_000).select(
+        (F.col("id") % 3).alias("k"),
+        F.concat(F.lit("i"), "id").alias("item"),
+    )
+    whole = kmv_state(a.unionByName(b), ["k"], "item", k=64)
+    merged = kmv_merge(
+        kmv_state(a, ["k"], "item", k=64),
+        kmv_state(b.repartition(11), ["k"], "item", k=64),
+        ["k"],
+    )
+    got_w = {r.k: [(e.h, e.item) for e in r.kmv] for r in whole.collect()}
+    got_m = {r.k: [(e.h, e.item) for e in r.kmv] for r in merged.collect()}
+    # bottom-k of a union == bottom-k of the two bottom-k's: the merged
+    # STATE is identical element-for-element (overlap included)
+    assert got_w == got_m
+
+
+def test_kmv_k_mismatch_raises(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        kmv_merge,
+        kmv_state,
+    )
+
+    df = spark.range(100).select(
+        F.lit(0).alias("k"), F.col("id").cast("string").alias("item")
+    )
+    with pytest.raises(ValueError, match="different k"):
+        kmv_merge(
+            kmv_state(df, ["k"], "item", k=16),
+            kmv_state(df, ["k"], "item", k=32),
+            ["k"],
+        )
+
+
+# --------------------------------------------------------------------
+# Log-binned histogram quantiles
+# --------------------------------------------------------------------
+
+
+def test_hist_quantiles_within_relative_bound(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        hist_quantiles,
+        hist_state,
+    )
+
+    df = spark.range(1, 10_001).select(
+        (F.col("id") % 2).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    state = hist_state(df, ["k"], "v", bins_per_octave=16)
+    got = {
+        r.k: (r.q_0_5, r.q_0_99)
+        for r in hist_quantiles(state, [0.5, 0.99]).collect()
+    }
+    exact = {
+        r.k: (r.m, r.p99)
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("m"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    bound = 2 ** (1.0 / (2 * 16)) * 1.01  # discretization + rank-step slack
+    for k in exact:
+        for got_v, true_v in zip(got[k], exact[k]):
+            assert true_v / bound <= got_v <= true_v * bound
+
+
+def test_hist_zeros_merge_and_signed_retraction(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_state,
+    )
+
+    def rows(state):
+        return sorted((r.k, r.bin, r.n) for r in state.collect())
+
+    zeros = spark.range(50).select(F.lit(0).alias("k"), F.lit(0.0).alias("v"))
+    ones = spark.range(10).select(F.lit(0).alias("k"), F.lit(8.0).alias("v"))
+    state = hist_state(zeros.unionByName(ones), ["k"], "v")
+    q = hist_quantiles(state, [0.5, 0.95]).collect()[0]
+    assert q.q_0_5 == 0.0  # median sits in the zero bin
+    assert q.q_0_95 == pytest.approx(8.0, rel=0.03)
+
+    # merge equals whole-build, and a signed retraction of `ones`
+    # returns exactly the zeros-only state table
+    merged = hist_merge(
+        hist_state(zeros, ["k"], "v"), hist_state(ones, ["k"], "v")
+    )
+    assert rows(merged) == rows(state)
+    retracted = hist_merge(
+        state,
+        hist_state(
+            ones.withColumn("w", F.lit(-1)), ["k"], "v", weight_col="w"
+        ),
+    )
+    assert rows(retracted) == rows(hist_state(zeros, ["k"], "v"))
+
+
+def test_hist_negative_value_fails_loudly_and_bpo_mismatch(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        hist_merge,
+        hist_state,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, 1.0), (0, -2.0)], "k int, v double"
+    )
+    with pytest.raises(Exception, match="negative value"):
+        hist_state(bad, ["k"], "v").collect()
+
+    ok = spark.createDataFrame([(0, 1.0)], "k int, v double")
+    with pytest.raises(ValueError, match="bins_per_octave"):
+        hist_merge(
+            hist_state(ok, ["k"], "v", bins_per_octave=8),
+            hist_state(ok, ["k"], "v", bins_per_octave=16),
+        )
+
+
+# --------------------------------------------------------------------
+# Measured growth (the test_scale_sweep_r8 treatment): all four sketch
+# builds over the documents token stream, sf0.01 → sf0.1 (10× docs).
+# Sketch state is FIXED-SIZE per key, so build cost must track the
+# input linearly — a superlinear reading means a sketch is secretly
+# materializing per-item state.
+# --------------------------------------------------------------------
+
+
+def _sketch_pass(spark, sf_dir):  # noqa: F811
+    import os
+    import time
+
+    from yelp_recommender_spark.functions.text import tokens_col
+    from yelp_recommender_spark.operators.sketch import (
+        cms_state,
+        hist_state,
+        hll_state,
+        kmv_state,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "source", tokens_col("text").alias("toks"))
+    tokens = docs.select(
+        "source", F.explode("toks").alias("token")
+    )
+    lengths = docs.select("source", F.size("toks").cast("double").alias("v"))
+    start = time.perf_counter()
+    hll_state(tokens, ["source"], ["token"]).count()
+    cms_state(tokens, "token").count()
+    kmv_state(tokens, ["source"], "token", k=256).count()
+    hist_state(lengths, ["source"], "v").count()
+    return time.perf_counter() - start
+
+
+def test_sketch_builds_grow_linearish_first_decade(spark):  # noqa: F811
+    _sketch_pass(spark, "/root/testdata/sf0.001")  # warm-up
+    small = _sketch_pass(spark, "/root/testdata/sf0.01")
+    big = _sketch_pass(spark, "/root/testdata/sf0.1")
+    ratio = big / max(small, 0.5)
+    print(f"sketch build growth: {small:.2f}s -> {big:.2f}s ({ratio:.1f}x)")
+    if ratio >= 25.0:  # stall re-measure: min-of-2, the bench rationale
+        small = min(small, _sketch_pass(spark, "/root/testdata/sf0.01"))
+        big = min(big, _sketch_pass(spark, "/root/testdata/sf0.1"))
+        ratio = big / max(small, 0.5)
+    assert ratio < 25.0, f"superlinear sketch build growth: {ratio:.1f}x"

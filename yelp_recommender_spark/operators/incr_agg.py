@@ -14,6 +14,12 @@ DataFrame algebra over a relational state table, so the "view" is just a
 parquet table the caller re-writes (pair with
 ``overwrite_partitions_dynamic`` to touch only changed partitions).
 
+The NON-distributive tail — distinct counts, item frequencies,
+quantiles — cannot be maintained this way at any cost; those are
+covered by the mergeable sketch state in ``operators/sketch.py``
+(HLL / count-min / KMV bottom-k / log-histogram), which trades a
+bounded, documented error for the same O(|delta|) refresh.
+
 Exactness: sums are maintained as DECIMAL end-to-end — incremental
 maintenance with float sums would drift from a from-scratch recompute;
 decimal state makes "maintained" and "recomputed" bit-identical, which is

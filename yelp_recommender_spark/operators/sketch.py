@@ -1,0 +1,512 @@
+"""Mergeable sketch state — the non-distributive tail of incremental
+aggregation.
+
+``operators/incr_agg.py`` maintains COUNT/SUM (and anything derivable)
+exactly in O(|delta|) per refresh, because those aggregates are
+distributive. Distinct counts, item frequencies, heavy hitters, and
+quantiles are NOT: maintaining them exactly means either rescanning the
+fact table per batch or keeping per-key state proportional to the data.
+At 100 TB the standard answer is mergeable summaries — bounded-size
+state S with a merge operation such that ``S(A ∪ B) = merge(S(A),
+S(B))``, so a standing summary is refreshed by summarizing ONLY the new
+batch and merging, never by rescanning the accumulated facts.
+
+Four summaries, each a plain DataFrame (persistable as parquet state,
+mergeable by DataFrame algebra, zero Python anywhere):
+
+- **HLL distinct count** (Apache DataSketches via Spark's built-in
+  ``hll_sketch_agg`` / ``hll_union_agg``): per-key binary sketch,
+  ~|2^lg_k| bytes each, relative error ≈ 1.04/√(2^lg_k). Register
+  state is a MAX per slot, so the union SET SEMANTICS are exact and
+  partitioning-independent; the reported NUMBER can differ slightly
+  between a direct build and a merge because DataSketches serves a
+  fresh sketch from its order-dependent HIP estimator but a unioned
+  one from the composite estimator — both inside the published bound
+  (the test pins both the bound and merge determinism). Max is
+  irreversible: **insert-only** (a deletion requires recompute; pair
+  with :func:`cms_state` — linear — when the feed is signed).
+- **Count-min frequency table** (Cormen/Muthukrishnan): a (depth ×
+  width) counter grid stored LONG-FORM as rows ``(d, pos, n)`` — the
+  sketch IS a DataFrame, built by one hash-aggregation, merged by
+  union + re-aggregate, probed map-side by ``depth`` broadcast joins +
+  ``LEAST``. Point estimates are one-sided (≥ true count, ≤ true +
+  ε·N with prob 1−δ, ε = e/width, δ = e^−depth). The sketch is
+  LINEAR, so signed deltas (deletions, retractions) merge exactly.
+- **KMV bottom-k distinct sample**: per key, the k distinct items with
+  the smallest ``xxhash64`` values. Bottom-k of a union equals
+  bottom-k of the concatenated bottom-k's, so the merge is exact; the
+  k-th smallest normalized hash gives the classic (k−1)/u_k distinct
+  estimate (rel. error ≈ 1/√k), and the state doubles as a uniform
+  sample OVER DISTINCT ITEMS per key — something a row sample cannot
+  give under skewed multiplicities. Insert-only (like HLL).
+- **Log-binned histogram for quantiles**: per (key, bin) counts with
+  bin = ⌊bpo·log2(v)⌋. Ranks are EXACT (the cdf is an exact count);
+  only the reported value is discretized, with relative error bounded
+  by 2^(1/(2·bpo)) − 1 (≈ 2.2% at bpo=16) — the opposite trade from
+  rank-error sketches (KLL/GK). Linear: signed deltas merge exactly.
+
+No reference counterpart (the reference has no incremental anything —
+see ``incr_agg.py``); this is a beyond-reference scale surface in the
+same family as the bloom join (``operators/bloom.py``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_state",
+    "hll_merge",
+    "hll_estimate",
+    "cms_width_for_eps",
+    "cms_depth_for_delta",
+    "cms_state",
+    "cms_merge",
+    "cms_lookup",
+    "kmv_state",
+    "kmv_merge",
+    "kmv_estimate",
+    "hist_state",
+    "hist_merge",
+    "hist_quantiles",
+]
+
+
+# --------------------------------------------------------------------
+# HLL distinct count (insert-only; union is exact because registers max)
+# --------------------------------------------------------------------
+
+
+def hll_state(
+    df: DataFrame, keys: list[str], cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch state: one binary ``hll_<c>`` column per
+    requested column. State size per key per column is ~2^lg_k bytes;
+    estimate relative error ≈ 1.04/√(2^lg_k) (≈1.6% at the default
+    lg_k=12). The sketch binary embeds lg_k, so a mismatched merge
+    fails loudly inside ``hll_union_agg`` rather than silently — no
+    side-channel stamp needed (contrast :func:`cms_state`, whose plain
+    counter rows carry their parameters as columns)."""
+    return df.groupBy(*keys).agg(
+        *[
+            F.hll_sketch_agg(F.col(c), F.lit(int(lg_k))).alias(f"hll_{c}")
+            for c in cols
+        ]
+    )
+
+
+def hll_merge(
+    state: DataFrame, delta: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    """Merged HLL state: union the two state tables and re-union
+    sketches per key. Register state merges exactly (per-slot max), so
+    the merged sketch represents precisely A ∪ B whatever the split or
+    partitioning; the ESTIMATE read from it can differ from a direct
+    ``hll_state(A ∪ B)`` build within the error bound, because a
+    post-union sketch is served by the composite estimator instead of
+    the insert-order HIP estimator (DataSketches semantics — pinned by
+    test along with merge determinism).
+    Output schema equals :func:`hll_state`'s, so merges compose: a
+    standing distinct-count summary is refreshed per ingest batch by
+    sketching ONLY the batch and merging — O(|batch| + |keys|), never
+    a rescan of accumulated facts. Insert-only by construction."""
+    both = state.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        *[
+            F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}")
+            for c in cols
+        ]
+    )
+
+
+def hll_estimate(state: DataFrame, cols: list[str]) -> DataFrame:
+    """Readable view of an HLL state table: each sketch column replaced
+    by its ``dv_<c>`` (distinct-value estimate, long)."""
+    others = [
+        c for c in state.columns if c not in {f"hll_{x}" for x in cols}
+    ]
+    return state.select(
+        *others,
+        *[
+            F.hll_sketch_estimate(F.col(f"hll_{c}")).alias(f"dv_{c}")
+            for c in cols
+        ],
+    )
+
+
+# --------------------------------------------------------------------
+# Count-min frequency sketch (linear: signed deltas merge exactly)
+# --------------------------------------------------------------------
+
+
+def cms_width_for_eps(eps: float) -> int:
+    """Counter-grid width for an additive-error bound of ε·N (the
+    textbook w = ⌈e/ε⌉)."""
+    return int(math.ceil(math.e / eps))
+
+
+def cms_depth_for_delta(delta: float) -> int:
+    """Rows needed so the ε·N bound holds with probability 1−δ
+    (d = ⌈ln(1/δ)⌉)."""
+    return int(math.ceil(math.log(1.0 / delta)))
+
+
+def _cms_pos(item: Column, d: int, width: int) -> Column:
+    """Row d's counter position for an item: ``xxhash64(item, d)``
+    folded into [0, width) — the same seeded-literal JVM hash family as
+    the bloom filter, and the identical expression on build and probe
+    sides is what makes the one-sided (never under-count) guarantee
+    structural."""
+    return F.pmod(F.xxhash64(item, F.lit(d)), F.lit(width))
+
+
+def cms_state(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of an item stream as a long-form counter table:
+    rows ``(d, pos, n, depth, width)``, at most depth×width of them.
+    ``weight_col`` (long; default +1 per row) makes the feed signed —
+    the sketch is linear, so a −1-weighted deletion feed subtracts
+    exactly (estimates stay one-sided as long as every TRUE count is
+    non-negative at query time, the standard turnstile caveat).
+
+    Scale: one explode(×depth) + one hash-aggregation; partial
+    aggregation collapses each map task to ≤ depth×width rows before
+    the single (tiny) shuffle. The full item stream is never collected
+    or broadcast — only the fixed-size grid is."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    item = F.col(item_col)
+    rows = df.where(item.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(item, d, width).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+        w.alias("_w"),
+    )
+    return (
+        rows.groupBy(F.col("cell.d").alias("d"), F.col("cell.pos").alias("pos"))
+        .agg(F.sum("_w").alias("n"))
+        .withColumn("depth", F.lit(int(depth)))
+        .withColumn("width", F.lit(int(width)))
+    )
+
+
+def _cms_params(state: DataFrame) -> tuple[int, int]:
+    """(depth, width) stamped on a CMS state table — the table is at
+    most depth×width rows, so the head() is cheap (the bloom word
+    table's validation pattern)."""
+    head = state.select("depth", "width").head(1)
+    if not head:
+        return (0, 0)
+    return (int(head[0][0]), int(head[0][1]))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merged CMS state: cell-wise sum. Exact (the sketch is linear),
+    so ``cms_state(A ∪ B)`` and this merge are row-identical tables —
+    pinned by test, not just estimate-close. Raises ``ValueError`` on
+    mismatched (depth, width): summing differently-shaped grids would
+    silently corrupt estimates."""
+    pa, pb = _cms_params(a), _cms_params(b)
+    if pa != (0, 0) and pb != (0, 0) and pa != pb:
+        raise ValueError(
+            f"count-min states have different shapes {pa} vs {pb} — "
+            "merging them would silently corrupt estimates"
+        )
+    return (
+        a.unionByName(b)
+        .groupBy("d", "pos", "depth", "width")
+        .agg(F.sum("n").alias("n"))
+        .select("d", "pos", "n", "depth", "width")
+        .filter(F.col("n") != 0)
+    )
+
+
+def cms_lookup(
+    state: DataFrame, items: DataFrame, item_col: str
+) -> DataFrame:
+    """Point frequency estimates: ``items`` with an ``est_n`` column
+    (min over the depth counters; ≥ true count always, ≤ true + ε·N
+    with prob 1−δ). Plan shape: ``depth`` broadcast joins of the probe
+    side against the ≤ depth×width-row counter table + a codegen'd
+    ``LEAST`` — map-side only, the probed table is never shuffled
+    (asserted by test). Absent cells count 0 via coalesce; a NULL item
+    estimates NULL (``xxhash64`` skips NULL inputs, which would
+    otherwise silently send every NULL to one arbitrary cell)."""
+    depth, width = _cms_params(state)
+    if depth == 0:
+        return items.withColumn(
+            "est_n",
+            F.when(
+                F.col(item_col).isNotNull(), F.lit(0).cast("long")
+            ),
+        )
+    out = items
+    ests = []
+    for d in range(depth):
+        row_d = F.broadcast(
+            state.filter(F.col("d") == d).select(
+                F.col("pos").alias(f"_cp{d}"), F.col("n").alias(f"_cn{d}")
+            )
+        )
+        out = out.withColumn(f"_cq{d}", _cms_pos(F.col(item_col), d, width))
+        out = out.join(row_d, F.col(f"_cq{d}") == F.col(f"_cp{d}"), "left")
+        ests.append(F.coalesce(F.col(f"_cn{d}"), F.lit(0).cast("long")))
+    est = F.least(*ests) if depth > 1 else ests[0]
+    est = F.when(F.col(item_col).isNotNull(), est)
+    drop = [f"_cq{d}" for d in range(depth)]
+    drop += [f"_cp{d}" for d in range(depth)]
+    drop += [f"_cn{d}" for d in range(depth)]
+    return out.withColumn("est_n", est).drop(*drop)
+
+
+# --------------------------------------------------------------------
+# KMV bottom-k distinct sample + estimator (insert-only)
+# --------------------------------------------------------------------
+
+_HASH_SPAN = 2.0**64  # xxhash64 range: signed 64-bit
+
+
+def kmv_state(
+    df: DataFrame, keys: list[str], item_col: str, k: int = 256
+) -> DataFrame:
+    """Per-key bottom-k state: ``kmv`` = the ≤ k distinct items with the
+    smallest ``xxhash64`` values, as a hash-sorted array of (h, item)
+    structs, plus the ``kmv_k`` stamp. Build cost: one distinct + one
+    per-key rank (sort-based window, spillable) that keeps only k rows
+    per key before the collect — per-key state is bounded at k whatever
+    the key's cardinality. Ties (astronomically rare 64-bit collisions
+    between distinct items) break on the item value, keeping the state
+    deterministic under any partitioning (pinned by test)."""
+    item = F.col(item_col)
+    pairs = (
+        df.where(item.isNotNull())
+        .select(*keys, item.alias("_item"))
+        .distinct()
+        .withColumn("_h", F.xxhash64(F.col("_item")))
+    )
+    w = Window.partitionBy(*keys).orderBy("_h", "_item")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_h").alias("h"), F.col("_item").alias("item")
+                    )
+                )
+            ).alias("kmv")
+        )
+        .withColumn("kmv_k", F.lit(int(k)))
+    )
+
+
+def _kmv_k(state: DataFrame) -> int:
+    head = state.select("kmv_k").head(1)
+    return int(head[0][0]) if head else 0
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merged bottom-k state: explode both sides, dedup, re-rank, keep
+    k. Exact — bottom-k(A ∪ B) ⊆ bottom-k(A) ∪ bottom-k(B), so merging
+    the two summaries reproduces ``kmv_state`` over the combined feed
+    row-for-row (pinned by test). Raises on mismatched k (a merge at
+    the smaller k would silently loosen the estimator)."""
+    ka, kb = _kmv_k(a), _kmv_k(b)
+    if ka and kb and ka != kb:
+        raise ValueError(
+            f"KMV states have different k ({ka} vs {kb}) — merging "
+            "would silently change the estimator's accuracy"
+        )
+    k = ka or kb
+    both = (
+        a.unionByName(b)
+        .select(*keys, F.explode("kmv").alias("e"))
+        .select(*keys, F.col("e.h").alias("_h"), F.col("e.item").alias("_item"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("_h", "_item")
+    return (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_h").alias("h"), F.col("_item").alias("item")
+                    )
+                )
+            ).alias("kmv")
+        )
+        .withColumn("kmv_k", F.lit(int(k)))
+    )
+
+
+def kmv_estimate(state: DataFrame) -> DataFrame:
+    """Distinct-count estimates from a bottom-k state: exact |kmv| when
+    the key saw fewer than k distinct items (the sample IS the distinct
+    set), else the classic (k−1)/u_k with u_k the k-th smallest hash
+    normalized to (0, 1] over the signed-64-bit range (rel. error
+    ≈ 1/√k). Output: key columns + ``dv_est`` (double)."""
+    size = F.size("kmv")
+    k = F.col("kmv_k")
+    u_k = (
+        F.element_at("kmv", k).getField("h").cast("double")
+        + F.lit(2.0**63)
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPAN)
+    keys = [c for c in state.columns if c not in ("kmv", "kmv_k")]
+    return state.select(
+        *keys,
+        F.when(size < k, size.cast("double"))
+        .otherwise((k.cast("double") - 1.0) / u_k)
+        .alias("dv_est"),
+    )
+
+
+# --------------------------------------------------------------------
+# Log-binned histogram for quantiles (linear; exact ranks,
+# value discretized with a bounded RELATIVE error)
+# --------------------------------------------------------------------
+
+_ZERO_BIN = -(2**31)  # sentinel bin for exact zeros (log2 undefined)
+
+
+def hist_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bins_per_octave: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-(key, bin) count state over a NON-NEGATIVE value column with
+    bin = ⌊bpo·log2(v)⌋ (zeros get a sentinel bin; NULLs are ignored,
+    matching SQL aggregates; a negative value fails the job loudly via
+    a ``raise_error`` branch ON the bin expression — an unreferenced
+    assertion column would be pruned by the optimizer and never run —
+    rather than landing in a nonsense bin). State per key is bounded by
+    the value range: ~bpo bins per octave — 64 octaves of double range
+    × bpo=16 is ≤ ~1k bins, whatever the row count. ``weight_col``
+    makes the feed signed (linear sketch: retractions subtract exactly;
+    :func:`hist_merge` drops zeroed bins)."""
+    v = F.col(value_col)
+    wgt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    bin_idx = (
+        F.when(
+            v < 0,
+            F.raise_error(
+                F.lit(f"hist_state: negative value in {value_col}")
+            ),
+        )
+        .when(v == 0, F.lit(_ZERO_BIN))
+        .otherwise(
+            F.floor(
+                F.lit(float(bins_per_octave)) * F.log2(v.cast("double"))
+            )
+        )
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bin_idx.cast("int").alias("bin"))
+        .agg(F.sum(wgt).alias("n"))
+        .withColumn("hist_bpo", F.lit(int(bins_per_octave)))
+    )
+
+
+def _hist_bpo(state: DataFrame) -> int:
+    head = state.select("hist_bpo").head(1)
+    return int(head[0][0]) if head else 0
+
+
+def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merged histogram state: per-(key, bin) sum, zeroed bins dropped.
+    Exact (linear), so a standing quantile summary refreshes per batch
+    — including signed retraction feeds — without rescanning facts.
+    Raises on mismatched bins_per_octave (bin indexes would collide
+    across different discretizations)."""
+    ba, bb = _hist_bpo(a), _hist_bpo(b)
+    if ba and bb and ba != bb:
+        raise ValueError(
+            f"histogram states have different bins_per_octave ({ba} vs "
+            f"{bb}) — their bin indexes are not comparable"
+        )
+    keys = [c for c in a.columns if c not in ("bin", "n", "hist_bpo")]
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin", "hist_bpo")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") != 0)
+        .select(*keys, "bin", "n", "hist_bpo")
+    )
+
+
+def hist_quantiles(
+    state: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates per key: for each q, the geometric midpoint
+    of the first bin whose exact cumulative count reaches q·total
+    (zero-bin → 0.0). Ranks are exact — the error is ONLY the value
+    discretization, bounded by a 2^(1/(2·bpo)) relative factor (≈2.2%
+    at bpo=16). Output: key columns + one ``q_<q>`` double per
+    requested quantile (dots become underscores: q=0.5 → ``q_0_5``).
+
+    Plan: one per-key ordered window (cumulative sum over ≤ ~1k bins
+    per key) + one hash-aggregation — never a sort of the raw data."""
+    bpo = _hist_bpo(state)
+    keys = [c for c in state.columns if c not in ("bin", "n", "hist_bpo")]
+    w_tot = Window.partitionBy(*keys)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        state.withColumn("_total", F.sum("n").over(w_tot))
+        .withColumn("_cum", F.sum("n").over(w_cum))
+    )
+    rep = F.when(F.col("bin") == _ZERO_BIN, F.lit(0.0)).otherwise(
+        F.pow(
+            F.lit(2.0),
+            (F.col("bin").cast("double") + 0.5) / F.lit(float(bpo)),
+        )
+    )
+    aggs = []
+    for q in qs:
+        name = f"q_{q}".replace(".", "_")
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.lit(float(q)) * F.col("_total").cast("double"),
+                    rep,
+                )
+            ).alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
