@@ -252,3 +252,68 @@ def test_cli_quality_train_then_curate(spark, tmp_path):  # noqa: F811
     }
     assert all(i in kept for i in range(20))
     assert sum(1 for i in range(20) if 50 + i in kept) <= 3
+
+
+# ------------------------------------------------------------ DSIR selection
+def _dsir_body(i, voc):
+    """Half topic-vocabulary, half doc-unique filler: the unique tokens
+    kill exact/near-dup overlap between docs (every shingle straddles
+    one) while the vocab half carries the distribution DSIR learns."""
+    toks = []
+    for j in range(20):
+        toks.append(
+            voc[(i + j * (i + 1)) % len(voc)] if j % 2 == 0 else f"u{i}x{j}"
+        )
+    return " ".join(toks)
+
+
+def test_curate_dsir_selection_stage(spark, tmp_path):  # noqa: F811
+    from yelp_recommender_spark.curate import curate_corpus
+
+    voc_a = ["protein", "enzyme", "binding", "assay", "fold", "kinetics"]
+    voc_b = ["season", "coach", "ballot", "senate", "quarterback", "goal"]
+    raw = _write_docs(
+        spark,
+        tmp_path,
+        [(i, _dsir_body(i, voc_a), "en", "srcA") for i in range(20)]
+        + [(100 + i, _dsir_body(i, voc_b), "en", "srcB") for i in range(30)],
+    )
+    target = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1000 + i, " ".join(voc_a[(i + j) % 6] for j in range(20)),
+             "en", "tgt")
+            for i in range(8)
+        ],
+        name="target.parquet",
+    )
+    out = str(tmp_path / "out_dsir")
+    report = curate_corpus(
+        spark, raw, out, seq_len=64,
+        dsir_target_path=target, dsir_keep=15, dsir_dim=4096,
+    )
+    assert report["n_dsir_rejected"] == 50 - 15
+    assert report["n_curated"] == 15
+    kept = [
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "documents")).collect()
+    ]
+    assert len(kept) == 15
+    # the importance-weight gap between on- and off-target docs dwarfs
+    # the Gumbel noise: the budget goes to the target-like docs
+    assert len([i for i in kept if i < 100]) >= 13
+
+
+def test_dsir_knobs_go_together(spark, tmp_path):  # noqa: F811
+    from yelp_recommender_spark.curate import curate_corpus
+
+    src = _write_docs(
+        spark, tmp_path, [(1, _dsir_body(1, ["alpha", "beta"]), "en", "s")]
+    )
+    with pytest.raises(ValueError, match="dsir_target_path and dsir_keep"):
+        curate_corpus(
+            spark, src, str(tmp_path / "o1"), dsir_target_path=src
+        )
+    with pytest.raises(ValueError, match="dsir_target_path and dsir_keep"):
+        curate_corpus(spark, src, str(tmp_path / "o2"), dsir_keep=5)

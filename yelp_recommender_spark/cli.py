@@ -497,6 +497,21 @@ def main(argv: list[str] | None = None) -> None:
         "--span-scope", choices=["docs", "occurrences"], default="docs",
         help="occurrences also counts repeats within one document",
     )
+    cu.add_argument(
+        "--dsir-target",
+        default=None,
+        help="target documents parquet (or sf dir): adds a DSIR "
+        "selection stage after all filters — Gumbel-top-k resample "
+        "--dsir-keep surviving docs with probability proportional to "
+        "their hashed-n-gram importance weight under the target "
+        "distribution (Xie et al. 2023); goes with --dsir-keep",
+    )
+    cu.add_argument(
+        "--dsir-keep", type=_pos_int, default=None,
+        help="DSIR selection budget (number of docs kept)",
+    )
+    cu.add_argument("--dsir-dim", type=_pos_int, default=10_000)
+    cu.add_argument("--dsir-seed", type=int, default=0)
     qt = sub.add_parser(
         "quality-train",
         help="fit the hashed-feature quality classifier on a labeled "
@@ -822,6 +837,10 @@ def main(argv: list[str] | None = None) -> None:
             quality_model_path=args.quality_model,
             quality_min_score=args.quality_min_score,
             semantic_eps=args.semantic_dedup_eps,
+            dsir_target_path=args.dsir_target,
+            dsir_keep=args.dsir_keep,
+            dsir_dim=args.dsir_dim,
+            dsir_seed=args.dsir_seed,
             semantic_clusters=args.semantic_clusters,
             strip_spans_w=args.strip_spans_w,
             span_min_docs=args.span_min_docs,

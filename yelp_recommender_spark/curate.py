@@ -518,6 +518,10 @@ def curate_corpus(
     strip_spans_w: int | None = None,
     span_min_docs: int = 2,
     span_scope: str = "docs",
+    dsir_target_path: str | None = None,
+    dsir_keep: int | None = None,
+    dsir_dim: int = 10_000,
+    dsir_seed: int = 0,
 ) -> dict:
     """Run the full curation pipeline; returns the stage-count report.
 
@@ -604,7 +608,17 @@ def curate_corpus(
     filter, decontamination grams, token counts, packing) sees the
     CLEANED tokens, and the output ``text`` is re-joined from them with
     single spaces (the token stream is the training artifact; original
-    spacing is not)."""
+    spacing is not).
+
+    ``dsir_target_path`` + ``dsir_keep`` add a DSIR selection stage
+    (:mod:`~yelp_recommender_spark.operators.dsir`, Xie et al. 2023)
+    as the LAST filter: fit hashed-n-gram importance weights of the
+    target corpus (a documents parquet or sf dir) against this
+    pipeline's survivors, then Gumbel-top-k resample ``dsir_keep``
+    docs without replacement with probability ∝ the importance weight
+    — the output corpus is steered toward the target's distribution.
+    Seeded and layout-independent (``dsir_seed``), so the selected
+    training set is reproducible. Both knobs go together."""
     if embedding_index_dir is not None and embeddings_path is None:
         raise ValueError(
             "embedding_index_dir requires embeddings_path — the "
@@ -615,6 +629,12 @@ def curate_corpus(
         raise ValueError(
             "semantic_eps requires embeddings_path — SemDeDup has "
             "nothing to cluster without the batch's embeddings"
+        )
+    if (dsir_target_path is None) != (dsir_keep is None):
+        raise ValueError(
+            "dsir_target_path and dsir_keep go together — a target "
+            "with no selection budget (or a budget with no target) "
+            "selects nothing"
         )
     cache_mark = registry_mark()
     if input_path.startswith("synthetic:"):
@@ -1030,6 +1050,38 @@ def curate_corpus(
     else:
         survivors = deduped
 
+    # ---- optional DSIR target-distribution selection (last filter:
+    # everything surviving curation competes for the dsir_keep budget
+    # with probability ∝ its importance weight under the target) ------
+    n_dsir_rejected: int | None = None
+    if dsir_target_path is not None:
+        from yelp_recommender_spark.operators.dsir import (
+            dsir_fit,
+            dsir_resample,
+            dsir_score,
+        )
+
+        tpath = dsir_target_path
+        if os.path.isdir(tpath) and os.path.exists(
+            os.path.join(tpath, "documents.parquet")
+        ):
+            tpath = os.path.join(tpath, "documents.parquet")
+        target_toks = spark.read.parquet(tpath).select(
+            tokens_col("text").alias("toks")
+        )
+        # persisted boundary: the survivor frame feeds the raw-side
+        # fit, the scoring pass, and the stage count — one compute
+        survivors = register_persist(survivors)
+        n_before_dsir = survivors.count()
+        weights = dsir_fit(target_toks, survivors, dim=dsir_dim)
+        selected = dsir_resample(
+            dsir_score(survivors, weights),
+            dsir_keep,
+            seed=dsir_seed,
+        ).select("doc_id")
+        survivors = survivors.join(selected, "doc_id", "left_semi")
+        n_dsir_rejected = max(0, int(n_before_dsir) - int(dsir_keep))
+
     curated = register_persist(
         survivors.select(
             "doc_id",
@@ -1169,6 +1221,7 @@ def curate_corpus(
         "n_tokens_span_stripped": int(n_tokens_span_stripped),
         "n_span_stripped_below_min": int(n_span_stripped_below_min),
         "n_lm_filtered": int(n_lm_filtered),
+        "n_dsir_rejected": n_dsir_rejected,
         "n_curated": int(n_curated),
         "n_training_blocks": int(n_blocks_row.m) + 1
         if n_blocks_row.m is not None
