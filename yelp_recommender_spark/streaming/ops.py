@@ -690,3 +690,151 @@ def attribution_join_outer_stream(
         "trigger_event_id",
         "trigger_ts",
     )
+
+
+# ---------------------------------------------------------------------
+# Standing sketch summaries over a stream (mergeable-state maintenance)
+# ---------------------------------------------------------------------
+
+
+def _committed_summary_batches(state_path: str) -> list[int]:
+    """batch_ids with a fully-written state version (``_SUCCESS``
+    present — a torn write from a crash mid-batch has no marker and is
+    invisible to readers; its replay overwrites the same dir)."""
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for d in os.listdir(state_path):
+        if d.startswith("batch_id=") and os.path.exists(
+            os.path.join(state_path, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def latest_summary(
+    spark: SparkSession, state_path: str, before: int | None = None
+) -> DataFrame | None:
+    """The newest committed summary state (optionally the newest
+    STRICTLY BEFORE a batch_id — what a replaying batch must read so it
+    never consumes its own partial output). None when no version has
+    committed yet."""
+    ids = _committed_summary_batches(state_path)
+    if before is not None:
+        ids = [i for i in ids if i < before]
+    if not ids:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_path, f"batch_id={ids[-1]}")
+    )
+
+
+def summary_apply_batch(
+    state_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    build_fn,
+    merge_fn,
+    keep_last: int = 2,
+) -> None:
+    """One exactly-once step of standing-summary maintenance:
+    ``state(N) = merge(state(M), build(batch))`` with M the newest
+    committed version < N, written to ``batch_id=N`` and committed by
+    the write's own ``_SUCCESS`` marker.
+
+    Replay-safe for ANY sketch, linear ones included: a re-delivered
+    batch re-reads the same prior version M (never its own torn
+    output) and overwrites ``batch_id=N`` with identical bytes — the
+    versioned state is what makes a count-min/histogram stream
+    exactly-once, where merging into a single mutable state table
+    would double-count every replay. (HLL union happens to be
+    idempotent by algebra, but the discipline here doesn't rely on
+    that.)
+
+    After a successful commit, versions older than the newest
+    ``keep_last`` are vacuumed — ``keep_last >= 2`` retains the replay
+    anchor M alongside N; state size is O(keys), so retention is
+    cheap."""
+    spark = batch_df.sparkSession
+    batch_state = build_fn(batch_df)
+    prior = latest_summary(spark, state_path, before=batch_id)
+    merged = batch_state if prior is None else merge_fn(prior, batch_state)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"batch_id={batch_id}")
+    )
+    if keep_last >= 1:
+        for old in _committed_summary_batches(state_path)[:-keep_last]:
+            shutil.rmtree(
+                os.path.join(state_path, f"batch_id={old}"),
+                ignore_errors=True,
+            )
+
+
+def summary_stream(
+    stream: DataFrame,
+    state_path: str,
+    build_fn,
+    merge_fn,
+    timeout_s: int = 300,
+    keep_last: int = 2,
+) -> None:
+    """Maintain a standing mergeable summary (`operators/sketch.py`)
+    over a stream: each micro-batch is summarized with ``build_fn``
+    (batch DataFrame → state table) and folded into the persisted
+    state with ``merge_fn`` (prior, batch state → state table) under
+    the versioned exactly-once discipline of
+    :func:`summary_apply_batch`. This is incremental view maintenance
+    for the NON-distributive aggregates streaming aggregation cannot
+    express in update mode (distinct counts, frequencies, quantiles):
+    per batch it costs O(|batch| + |summary|), and the summary a
+    reader sees (:func:`latest_summary`) is always a committed,
+    consistent version — never a half-merged one."""
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2 on the streaming path: a replayed "
+            "batch reads the PREVIOUS committed version, and vacuuming "
+            "it would silently rebuild the summary from one batch"
+        )
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        summary_apply_batch(
+            state_path, batch_df, batch_id, build_fn, merge_fn,
+            keep_last=keep_last,
+        )
+
+    name = f"summary_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def distinct_summary_stream(
+    stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    cols: list[str],
+    lg_k: int = 12,
+    timeout_s: int = 300,
+    keep_last: int = 2,
+) -> None:
+    """:func:`summary_stream` specialized to the per-key HLL distinct
+    summary: the streaming answer to "how many distinct X per key so
+    far" with O(keys · 2^lg_k) state, where exact streaming
+    countDistinct state grows with the data itself. Read the current
+    estimates with ``hll_estimate(latest_summary(...), cols)``."""
+    from yelp_recommender_spark.operators.sketch import hll_merge, hll_state
+
+    summary_stream(
+        stream,
+        state_path,
+        build_fn=lambda b: hll_state(b, keys, cols, lg_k=lg_k),
+        merge_fn=lambda prior, batch: hll_merge(prior, batch, keys, cols),
+        timeout_s=timeout_s,
+        keep_last=keep_last,
+    )
