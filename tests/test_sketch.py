@@ -412,6 +412,7 @@ def _sketch_pass(spark, sf_dir):  # noqa: F811
         hist_state,
         hll_state,
         kmv_state,
+        mg_state,
     )
 
     docs = spark.read.parquet(
@@ -426,6 +427,7 @@ def _sketch_pass(spark, sf_dir):  # noqa: F811
     cms_state(tokens, "token").count()
     kmv_state(tokens, ["source"], "token", k=256).count()
     hist_state(lengths, ["source"], "v").count()
+    mg_state(tokens, ["source"], "token", k=64).count()
     return time.perf_counter() - start
 
 
@@ -440,3 +442,140 @@ def test_sketch_builds_grow_linearish_first_decade(spark):  # noqa: F811
         big = min(big, _sketch_pass(spark, "/root/testdata/sf0.1"))
         ratio = big / max(small, 0.5)
     assert ratio < 25.0, f"superlinear sketch build growth: {ratio:.1f}x"
+
+
+# --------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# --------------------------------------------------------------------
+
+
+def _mg_feed():
+    """(key, item) rows: key 0 skewed with a 40% heavy item plus a
+    long tail; key 1 uniform (12 items x 3, defeats every counter at
+    k=4 so only the sentinel survives)."""
+    rows = []
+    rows += [(0, "hot")] * 80
+    rows += [(0, f"warm{i}") for i in range(8) for _ in range(10)]
+    rows += [(0, f"cold{i}") for i in range(40)]
+    rows += [(1, f"u{i}") for i in range(12) for _ in range(3)]
+    return rows
+
+
+def _exact(rows):
+    from collections import Counter
+
+    by_key = {}
+    for k, it in rows:
+        by_key.setdefault(k, Counter())[it] += 1
+    return by_key
+
+
+def _check_bounds(state_rows, exact):
+    """The three Misra-Gries guarantees against exact counts."""
+    by_key = {}
+    for r in state_rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        delta = rs[0].mg_delta
+        total = rs[0].mg_n
+        assert all(r.mg_delta == delta and r.mg_n == total for r in rs)
+        assert total == sum(exact[k].values())
+        kk = rs[0].mg_k
+        assert delta <= total / (kk + 1)  # the frequent-elements bound
+        summarized = {r.item for r in rs if r.item is not None}
+        for r in rs:
+            if r.item is not None:
+                assert r.n_lo <= exact[k][r.item] <= r.n_lo + delta
+        for item, c in exact[k].items():
+            if item not in summarized:
+                assert c <= delta  # absent => light
+            if c > total / (kk + 1):
+                assert item in summarized  # heavy => present
+
+
+def test_mg_bounds_heavy_guarantee_and_sentinel(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        mg_heavy_hitters,
+        mg_state,
+    )
+
+    rows = _mg_feed()
+    df = spark.createDataFrame(rows, "k int, item string")
+    state = mg_state(df, ["k"], "item", k=4)
+    collected = state.collect()
+    _check_bounds(collected, _exact(rows))
+    # key 1 is uniform: every counter dies in the compress, but the
+    # sentinel keeps its error budget alive
+    key1 = [r for r in collected if r.k == 1]
+    assert [r.item for r in key1] == [None]
+    assert key1[0].mg_delta == 3 and key1[0].mg_n == 36
+    hh = mg_heavy_hitters(state, min_frac=0.3).collect()
+    assert [(r.k, r.item) for r in hh] == [(0, "hot")]
+    assert hh[0].n_lo <= 80 <= hh[0].n_hi
+
+
+def test_mg_merge_preserves_guarantees(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import mg_merge, mg_state
+
+    rows = _mg_feed()
+    # interleaved split so both halves see both keys
+    a_rows = rows[0::2]
+    b_rows = rows[1::2]
+    a = mg_state(
+        spark.createDataFrame(a_rows, "k int, item string"), ["k"],
+        "item", k=4,
+    )
+    b = mg_state(
+        spark.createDataFrame(b_rows, "k int, item string").repartition(7),
+        ["k"], "item", k=4,
+    )
+    merged = mg_merge(a, b, ["k"])
+    _check_bounds(merged.collect(), _exact(rows))
+    # the 40% heavy item survives the merge (true freq >> 1/(k+1))
+    assert "hot" in {r.item for r in merged.collect() if r.k == 0}
+
+
+def test_mg_guards(spark):  # noqa: F811
+    import pytest as _pytest
+
+    from yelp_recommender_spark.operators.sketch import mg_merge, mg_state
+
+    df = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", -2)], "k int, item string, w int"
+    )
+    with _pytest.raises(Exception, match="insert-only"):
+        mg_state(df, ["k"], "item", k=4, weight_col="w").collect()
+    ok = spark.createDataFrame([(0, "a")], "k int, item string")
+    with _pytest.raises(ValueError, match="different k"):
+        mg_merge(
+            mg_state(ok, ["k"], "item", k=4),
+            mg_state(ok, ["k"], "item", k=8),
+            ["k"],
+        )
+
+
+def test_mg_composes_with_streaming_summary_discipline(spark, tmp_path):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import mg_merge, mg_state
+    from yelp_recommender_spark.streaming.ops import (
+        latest_summary,
+        summary_apply_batch,
+    )
+
+    rows = _mg_feed()
+    build = lambda b: mg_state(b, ["k"], "item", k=4)  # noqa: E731
+    merge = lambda p, s: mg_merge(p, s, ["k"])  # noqa: E731
+    state = str(tmp_path / "mg_state")
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    ):
+        summary_apply_batch(
+            state,
+            spark.createDataFrame(chunk, "k int, item string"),
+            i,
+            build,
+            merge,
+        )
+    _check_bounds(
+        latest_summary(spark, state).collect(), _exact(rows)
+    )

@@ -11,7 +11,7 @@ state S with a merge operation such that ``S(A ∪ B) = merge(S(A),
 S(B))``, so a standing summary is refreshed by summarizing ONLY the new
 batch and merging, never by rescanning the accumulated facts.
 
-Four summaries, each a plain DataFrame (persistable as parquet state,
+Five summaries, each a plain DataFrame (persistable as parquet state,
 mergeable by DataFrame algebra, zero Python anywhere):
 
 - **HLL distinct count** (Apache DataSketches via Spark's built-in
@@ -44,6 +44,13 @@ mergeable by DataFrame algebra, zero Python anywhere):
   only the reported value is discretized, with relative error bounded
   by 2^(1/(2·bpo)) − 1 (≈ 2.2% at bpo=16) — the opposite trade from
   rank-error sketches (KLL/GK). Linear: signed deltas merge exactly.
+- **Misra-Gries heavy hitters** (mergeable per Agarwal et al.
+  PODS'12): at most k counters per key with guaranteed count
+  intervals; every item heavier than a 1/(k+1) fraction is always
+  present, merges add the error budgets and re-compress. The
+  IDENTIFICATION counterpart to count-min's point queries (a CMS
+  can't enumerate the heavy items without a candidate set).
+  Insert-only.
 
 No reference counterpart (the reference has no incremental anything —
 see ``incr_agg.py``); this is a beyond-reference scale surface in the
@@ -72,6 +79,9 @@ __all__ = [
     "hist_state",
     "hist_merge",
     "hist_quantiles",
+    "mg_state",
+    "mg_merge",
+    "mg_heavy_hitters",
 ]
 
 
@@ -510,3 +520,219 @@ def hist_quantiles(
             ).alias(name)
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+# --------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries, Agarwal et al.
+# PODS'12; insert-only like HLL/KMV)
+# --------------------------------------------------------------------
+
+
+def mg_state(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    k: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-key Misra-Gries summary: at most ``k`` surviving items with
+    lower-bound counts, plus one per-key sentinel row (``item`` NULL)
+    so a key whose items ALL fell below the decrement never loses its
+    error-budget bookkeeping. Columns: ``item``, ``n_lo`` (guaranteed
+    lower bound), ``mg_n`` (exact total weight — distributive, rides
+    along), ``mg_delta`` (max undercount), ``mg_k``.
+
+    Guarantees (per key): ``n_lo ≤ true ≤ n_lo + mg_delta`` for every
+    summarized item, ``true ≤ mg_delta`` for every absent one, and
+    ``mg_delta ≤ mg_n/(k+1)`` — so any item heavier than a 1/(k+1)
+    fraction is ALWAYS present (the classic frequent-elements bound;
+    merging preserves all three, the PODS'12 mergeability result).
+
+    Build: exact batch counts (one hash-agg — partial aggregation
+    bounds map output at the batch's distinct items), then the
+    compress step: subtract the (k+1)-th largest count from all and
+    drop non-positives. Deterministic under any partitioning (count
+    ties break on the item). Insert-only: a negative weight fails the
+    job loudly (it would silently break every bound)."""
+    item = F.col(item_col)
+    wgt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    wgt = F.when(
+        wgt < 0,
+        F.raise_error(
+            F.lit("mg_state: negative weight — Misra-Gries is insert-only")
+        ),
+    ).otherwise(wgt)
+    counts = (
+        df.where(item.isNotNull())
+        .groupBy(*keys, item.alias("_item"))
+        .agg(F.sum(wgt).alias("_c"))
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(
+        F.col("_c").desc(), F.col("_item")
+    )
+    w_all = Window.partitionBy(*keys)
+    ranked = (
+        counts.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn(
+            "_d",
+            F.coalesce(
+                F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))).over(
+                    w_all
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_n", F.sum("_c").over(w_all))
+    )
+    survivors = ranked.filter(
+        (F.col("_rn") <= k) & (F.col("_c") > F.col("_d"))
+    ).select(
+        *keys,
+        F.col("_item").alias("item"),
+        (F.col("_c") - F.col("_d")).alias("n_lo"),
+        F.col("_n").alias("mg_n"),
+        F.col("_d").alias("mg_delta"),
+    )
+    sentinel = (
+        ranked.groupBy(*keys)
+        .agg(
+            F.max("_n").alias("mg_n"), F.max("_d").alias("mg_delta")
+        )
+        .select(
+            *keys,
+            F.lit(None).cast(counts.schema["_item"].dataType).alias("item"),
+            F.lit(0).cast("long").alias("n_lo"),
+            "mg_n",
+            "mg_delta",
+        )
+    )
+    return survivors.unionByName(sentinel).withColumn(
+        "mg_k", F.lit(int(k))
+    )
+
+
+def _mg_k(state: DataFrame) -> int:
+    head = state.select("mg_k").head(1)
+    return int(head[0][0]) if head else 0
+
+
+def mg_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merged Misra-Gries state: sum the lower-bound counts item-wise,
+    re-compress to k (subtract the (k+1)-th largest, drop
+    non-positives), and add up the error budgets — new ``mg_delta`` =
+    δ_a + δ_b + the new decrement, which the PODS'12 analysis keeps
+    ≤ (n_a+n_b)/(k+1). Output schema equals :func:`mg_state`'s, so a
+    standing heavy-hitter summary refreshes per batch in
+    O(|batch| + k·|keys|). Raises on mismatched k."""
+    ka, kb = _mg_k(a), _mg_k(b)
+    if ka and kb and ka != kb:
+        raise ValueError(
+            f"Misra-Gries states have different k ({ka} vs {kb}) — "
+            "their error budgets are not comparable"
+        )
+    k = ka or kb
+    tagged = a.select(
+        *keys, "item", "n_lo", "mg_n", "mg_delta", F.lit(0).alias("_side")
+    ).unionByName(
+        b.select(
+            *keys, "item", "n_lo", "mg_n", "mg_delta",
+            F.lit(1).alias("_side"),
+        )
+    )
+    # per-key error budget / total: one (mg_n, mg_delta) value per side
+    # per key (they ride every row including the sentinel), summed
+    # ACROSS sides — max within a side, sum between them
+    meta = (
+        tagged.groupBy(*keys, "_side")
+        .agg(F.max("mg_n").alias("_n"), F.max("mg_delta").alias("_d"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("_n").alias("mg_n"), F.sum("_d").alias("_d_in")
+        )
+    )
+    summed = (
+        tagged.where(F.col("item").isNotNull())
+        .groupBy(*keys, "item")
+        .agg(F.sum("n_lo").alias("_c"))
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(
+        F.col("_c").desc(), F.col("item")
+    )
+    w_all = Window.partitionBy(*keys)
+    ranked = summed.withColumn(
+        "_rn", F.row_number().over(w_rank)
+    ).withColumn(
+        "_d_new",
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))).over(w_all),
+            F.lit(0).cast("long"),
+        ),
+    )
+    survivors = (
+        ranked.filter((F.col("_rn") <= k) & (F.col("_c") > F.col("_d_new")))
+        .select(
+            *keys,
+            "item",
+            (F.col("_c") - F.col("_d_new")).alias("n_lo"),
+            F.col("_d_new"),
+        )
+        .join(meta, list(keys))
+        .select(
+            *keys, "item", "n_lo", "mg_n",
+            (F.col("_d_in") + F.col("_d_new")).alias("mg_delta"),
+        )
+    )
+    # keys can lose every item in the re-compress (or have had none on
+    # either side): the sentinel keeps their budget alive
+    d_new_per_key = ranked.groupBy(*keys).agg(
+        F.max("_d_new").alias("_d_new")
+    )
+    item_type = a.schema["item"].dataType
+    sentinel = (
+        meta.join(d_new_per_key, list(keys), "left")
+        .select(
+            *keys,
+            F.lit(None).cast(item_type).alias("item"),
+            F.lit(0).cast("long").alias("n_lo"),
+            "mg_n",
+            (
+                F.col("_d_in")
+                + F.coalesce(F.col("_d_new"), F.lit(0).cast("long"))
+            ).alias("mg_delta"),
+        )
+    )
+    return survivors.unionByName(sentinel).withColumn(
+        "mg_k", F.lit(int(k))
+    )
+
+
+def mg_heavy_hitters(
+    state: DataFrame, min_frac: float | None = None
+) -> DataFrame:
+    """Readable view of a Misra-Gries state: the summarized items with
+    their guaranteed count interval [``n_lo``, ``n_hi``] (sentinel rows
+    dropped). With ``min_frac``, only items whose lower bound clears
+    ``min_frac · mg_n`` — every TRUE heavy hitter above
+    ``min_frac + 1/(k+1)`` is guaranteed present and reported."""
+    keys = [
+        c
+        for c in state.columns
+        if c not in ("item", "n_lo", "mg_n", "mg_delta", "mg_k")
+    ]
+    out = state.where(F.col("item").isNotNull()).select(
+        *keys,
+        "item",
+        "n_lo",
+        (F.col("n_lo") + F.col("mg_delta")).alias("n_hi"),
+        "mg_n",
+    )
+    if min_frac is not None:
+        out = out.filter(
+            F.col("n_lo")
+            >= F.lit(float(min_frac)) * F.col("mg_n").cast("double")
+        )
+    return out
