@@ -1,0 +1,118 @@
+"""One-pass table profiler (`operators/profile.py` + the `profile`
+CLI): per-column stats vs exact answers, Misra-Gries value intervals
+containing the exact counts, quantiles within the histogram bound on
+signed numerics, the one-scan plan pin for the stats pass, and the CLI
+round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, spark  # noqa: F401 (fixture)
+
+
+def test_column_stats_match_exact(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.profile import (
+        profile_column_stats,
+    )
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    stats = {
+        r.column: r for r in profile_column_stats(cust).collect()
+    }
+    n = cust.count()
+    assert set(stats) == set(cust.columns)
+    for c in cust.columns:
+        exact_nn = cust.where(F.col(c).isNotNull()).count()
+        exact_dv = cust.select(c).distinct().count()
+        r = stats[c]
+        assert r.n_rows == n
+        assert r.n_nonnull == exact_nn
+        assert abs(r.approx_distinct - exact_dv) <= max(2, 0.05 * exact_dv)
+    # min/max report the string cast of the column's own min/max
+    r = stats["c_acctbal"]
+    lo, hi = cust.agg(
+        F.min(F.col("c_acctbal").cast("string")),
+        F.max(F.col("c_acctbal").cast("string")),
+    ).collect()[0]
+    assert (r.min_value, r.max_value) == (lo, hi)
+
+
+def test_heavy_hitters_and_quantiles(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.profile import profile_table
+
+    li = spark.read.parquet(
+        os.path.join(SF_DIR, "lineitem.parquet")
+    ).select("l_returnflag", "l_quantity", "l_discount")
+    prof = profile_table(li, topk=5)
+
+    hh = [
+        r
+        for r in prof["heavy_hitters"].collect()
+        if r.column == "l_returnflag"
+    ]
+    exact = {
+        r.l_returnflag: r.c
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("c"))
+        .collect()
+    }
+    got = {r.value for r in hh}
+    assert got == set(exact)  # 3 flag values, all way above 1/(k+1)
+    for r in hh:
+        assert r.n_lo <= exact[r.value] <= r.n_hi
+
+    q = {r.column: r for r in prof["quantiles"].collect()}
+    assert set(q) == {"l_quantity", "l_discount"}
+    bound = 2 ** (1.0 / 32) * 1.02
+    for c in q:
+        true_med = li.agg(F.expr(f"percentile({c}, 0.5)")).collect()[0][0]
+        got_med = q[c].q_0_5
+        if true_med == 0:
+            assert abs(got_med) < 1e-12
+        else:
+            assert true_med / bound <= got_med <= true_med * bound
+
+
+def test_stats_pass_is_one_scan_one_agg_row(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.profile import (
+        profile_column_stats,
+    )
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    stats = profile_column_stats(cust)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # every counter, one pass
+    assert "Sort" not in plan  # never value-sorts the table
+
+
+def test_profile_cli_round_trip(spark, tmp_path):  # noqa: F811
+    import contextlib
+    import io
+
+    from yelp_recommender_spark.cli import main
+
+    out = str(tmp_path / "prof")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(
+            [
+                "profile",
+                "--input", os.path.join(SF_DIR, "nation.parquet"),
+                "--output", out,
+                "--columns", "n_name,n_regionkey",
+                "--topk", "3",
+            ]
+        )
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_rows"] == 25
+    assert report["columns"]["n_name"]["approx_distinct"] == 25
+    assert set(report["columns"]) == {"n_name", "n_regionkey"}
+    for part in ("columns", "heavy_hitters", "quantiles"):
+        assert os.path.exists(os.path.join(out, part))
+    hh = spark.read.parquet(os.path.join(out, "heavy_hitters"))
+    assert hh.groupBy("column").count().agg(F.max("count")).collect()[0][
+        0
+    ] <= 3

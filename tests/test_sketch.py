@@ -373,17 +373,29 @@ def test_hist_zeros_merge_and_signed_retraction(spark):  # noqa: F811
     assert rows(retracted) == rows(hist_state(zeros, ["k"], "v"))
 
 
-def test_hist_negative_value_fails_loudly_and_bpo_mismatch(spark):  # noqa: F811
+def test_hist_negative_values_and_bpo_mismatch(spark):  # noqa: F811
     from yelp_recommender_spark.operators.sketch import (
         hist_merge,
+        hist_quantiles,
         hist_state,
     )
 
-    bad = spark.createDataFrame(
-        [(0, 1.0), (0, -2.0)], "k int, v double"
+    # symmetric signed values: -5000..5000 without zero, plus one zero
+    df = (
+        spark.range(1, 5_001)
+        .select(F.col("id").cast("double").alias("v"))
+        .select(F.explode(F.array(F.col("v"), -F.col("v"))).alias("v"))
+        .unionByName(spark.createDataFrame([(0.0,)], "v double"))
+        .select(F.lit(0).alias("k"), "v")
     )
-    with pytest.raises(Exception, match="negative value"):
-        hist_state(bad, ["k"], "v").collect()
+    state = hist_state(df, ["k"], "v", bins_per_octave=16)
+    got = hist_quantiles(state, [0.25, 0.5, 0.75]).collect()[0]
+    bound = 2 ** (1.0 / 32) * 1.01
+    # bin order is value order: the quartiles land at ±2500-ish and the
+    # median at the zero sentinel exactly
+    assert -2500 * bound <= got.q_0_25 <= -2500 / bound
+    assert got.q_0_5 == 0.0
+    assert 2500 / bound <= got.q_0_75 <= 2500 * bound
 
     ok = spark.createDataFrame([(0, 1.0)], "k int, v double")
     with pytest.raises(ValueError, match="bins_per_octave"):

@@ -596,6 +596,23 @@ def main(argv: list[str] | None = None) -> None:
         "--overwrite", action="store_true",
         help="replace an existing amplification with different params",
     )
+    pf = sub.add_parser(
+        "profile",
+        help="one-pass table profile over bounded sketch state: "
+        "per-column stats (nulls, HLL distinct, min/max), Misra-Gries "
+        "top values with guaranteed count intervals, log-histogram "
+        "quantiles for numerics — three scans total whatever the "
+        "table's width; outputs are mergeable parquet state",
+    )
+    pf.add_argument("--input", required=True, help="parquet table path")
+    pf.add_argument(
+        "--output", required=True,
+        help="dir for columns/ heavy_hitters/ quantiles/ parquet",
+    )
+    pf.add_argument(
+        "--columns", default=None, help="comma-separated column subset"
+    )
+    pf.add_argument("--topk", type=_pos_int, default=10)
     mt = sub.add_parser(
         "maintain",
         help="maintenance: table small-file compaction (+ optional "
@@ -738,6 +755,43 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(report, sort_keys=True))
         if failed:
             raise SystemExit(2)
+        return
+    if args.cmd == "profile":
+        from yelp_recommender_spark.operators.profile import profile_table
+
+        spark = get_spark(app_name="yelp_recommender_profile")
+        df = spark.read.parquet(args.input)
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else None
+        )
+        prof = profile_table(df, columns=cols, topk=args.topk)
+        for name, d in prof.items():
+            d.write.mode("overwrite").parquet(
+                os.path.join(args.output, name)
+            )
+        # the stats table is O(width) rows — a bounded driver read for
+        # the operator-facing summary line
+        stats = spark.read.parquet(
+            os.path.join(args.output, "columns")
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "n_rows": int(stats[0].n_rows) if stats else 0,
+                    "columns": {
+                        r.column: {
+                            "n_nonnull": int(r.n_nonnull),
+                            "approx_distinct": int(r.approx_distinct),
+                        }
+                        for r in stats
+                    },
+                    "output": args.output,
+                },
+                sort_keys=True,
+            )
+        )
         return
     if args.cmd == "ann-build":
         from yelp_recommender_spark.ann_index import build_ann_index

@@ -1,0 +1,179 @@
+"""One-pass table profiler over bounded sketch state — "describe a
+100-TB table without sorting it, collecting it, or keeping per-value
+state".
+
+Three fixed passes whatever the table's width or size, each a single
+scan with map-side partial aggregation and bounded output:
+
+1. **Column stats** (one scan, ONE aggregation row): row count and,
+   per column, non-null count, HLL distinct estimate, min, max.
+   The 1-row result is unpivoted to a per-column table with
+   ``stack`` — no driver round-trip.
+2. **Heavy hitters** (one scan): every profiled column melted to
+   ``(column, value)`` long form — ONE shuffle for all columns
+   together, not one per column — then the Misra-Gries summary per
+   column with its guaranteed count intervals.
+3. **Numeric quantiles** (one scan): numeric columns melted the same
+   way into the log-binned histogram; ranks exact, values within the
+   documented relative bound, negatives and zeros included.
+
+``df.describe()``/``summary()`` cover part of (1)+(3) but give no
+distinct estimates, no heavy hitters, no error contracts, and no
+reusable state; this profiler returns the plain DataFrames so the
+outputs persist as parquet and MERGE with the next batch's profile
+(every part is `operators/sketch.py` mergeable state — a standing
+daily profile refreshes in O(|batch|)).
+
+No reference counterpart — beyond-reference production surface in the
+table-maintenance family (`operators/quality.py`, `maintain` CLI).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yelp_recommender_spark.operators.sketch import (
+    hist_quantiles,
+    hist_state,
+    hll_state,
+    mg_heavy_hitters,
+    mg_state,
+)
+
+__all__ = ["profile_table", "profile_column_stats"]
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def profile_column_stats(
+    df: DataFrame, columns: list[str] | None = None, lg_k: int = 12
+) -> DataFrame:
+    """Per-column stats table ``(column, n_rows, n_nonnull,
+    approx_distinct, min_value, max_value)`` from ONE scan and one
+    aggregation row: every column's counters ride the same hash-agg
+    (map-side partials), and the single result row is unpivoted with
+    ``stack`` — nothing is collected, sorted, or grouped by value.
+    min/max are reported as strings so one schema carries every column
+    type; distinct counts are HLL estimates (≈1.6% at lg_k=12)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(s, F.lit(int(lg_k)))
+            ).alias(f"dv_{c}"),
+            F.min(s).alias(f"min_{c}"),
+            F.max(s).alias(f"max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `nn_{c}`, `dv_{c}`, `min_{c}`, `max_{c}`" for c in cols
+    )
+    return one.select(
+        F.col("_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stacked}) as "
+            "(column, n_nonnull, approx_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column", "n_rows", "n_nonnull", "approx_distinct",
+        "min_value", "max_value",
+    )
+
+
+def _melt(df: DataFrame, cols: list[str], cast: str) -> DataFrame:
+    """(column, value) long form of the requested columns — one pass,
+    one explode; the single shuffle downstream serves EVERY column."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast(cast).alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.column", "e.value")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    lg_k: int = 12,
+    mg_k: int = 64,
+    topk: int = 10,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    bins_per_octave: int = 16,
+) -> dict[str, DataFrame]:
+    """The full profile as three DataFrames:
+
+    - ``"columns"``: :func:`profile_column_stats`'s per-column row.
+    - ``"heavy_hitters"``: per column, the top-``topk`` most frequent
+      values by guaranteed lower bound, with the Misra-Gries interval
+      [``n_lo``, ``n_hi``] (any value above a 1/(mg_k+1) frequency
+      fraction is guaranteed present).
+    - ``"quantiles"``: per NUMERIC column, ``q_<q>`` estimates with
+      exact ranks and the histogram's relative value bound (empty
+      frame with that schema when the table has no numeric columns).
+
+    Each output is bounded (O(width), O(width·topk), O(width·#bins))
+    and is mergeable sketch state downstream — persist today's parquet,
+    merge tomorrow's batch."""
+    cols = columns or df.columns
+    stats = profile_column_stats(df, cols, lg_k=lg_k)
+
+    mg = mg_state(
+        _melt(df, cols, "string").where(F.col("value").isNotNull()),
+        ["column"],
+        "value",
+        k=mg_k,
+    )
+    hh = mg_heavy_hitters(mg)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_lo").desc(), F.col("item")
+    )
+    hh = (
+        hh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topk)
+        .select(
+            "column", F.col("item").alias("value"), "n_lo", "n_hi", "mg_n"
+        )
+    )
+
+    num_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in cols and isinstance(f.dataType, _NUMERIC)
+    ]
+    if num_cols:
+        hstate = hist_state(
+            _melt(df, num_cols, "double"),
+            ["column"],
+            "value",
+            bins_per_octave=bins_per_octave,
+        )
+        qdf = hist_quantiles(hstate, list(quantiles))
+    else:
+        spark = df.sparkSession
+        qcols = ", ".join(
+            f"`q_{str(q).replace('.', '_')}` double" for q in quantiles
+        )
+        qdf = spark.createDataFrame([], f"column string, {qcols}")
+    return {"columns": stats, "heavy_hitters": hh, "quantiles": qdf}

@@ -40,10 +40,13 @@ mergeable by DataFrame algebra, zero Python anywhere):
   sample OVER DISTINCT ITEMS per key — something a row sample cannot
   give under skewed multiplicities. Insert-only (like HLL).
 - **Log-binned histogram for quantiles**: per (key, bin) counts with
-  bin = ⌊bpo·log2(v)⌋. Ranks are EXACT (the cdf is an exact count);
-  only the reported value is discretized, with relative error bounded
-  by 2^(1/(2·bpo)) − 1 (≈ 2.2% at bpo=16) — the opposite trade from
-  rank-error sketches (KLL/GK). Linear: signed deltas merge exactly.
+  bin = ⌊bpo·log2(v)⌋ for positives, a sign-mirrored band for
+  negatives, and a zero sentinel between them — bin order IS value
+  order over the full real line. Ranks are EXACT (the cdf is an exact
+  count); only the reported value is discretized, with |value|
+  relative error bounded by 2^(1/(2·bpo)) − 1 (≈ 2.2% at bpo=16) —
+  the opposite trade from rank-error sketches (KLL/GK). Linear:
+  signed deltas merge exactly.
 - **Misra-Gries heavy hitters** (mergeable per Agarwal et al.
   PODS'12): at most k counters per key with guaranteed count
   intervals; every item heavier than a 1/(k+1) fraction is always
@@ -402,7 +405,14 @@ def kmv_estimate(state: DataFrame) -> DataFrame:
 # value discretized with a bounded RELATIVE error)
 # --------------------------------------------------------------------
 
-_ZERO_BIN = -(2**31)  # sentinel bin for exact zeros (log2 undefined)
+# Bin layout over the FULL real line, monotone in the value so an
+# ascending-bin scan is an ascending-value scan: negative values live
+# around _NEG_OFFSET (more negative value → smaller bin), the exact-zero
+# sentinel sits strictly between every negative and every positive bin
+# (log bins of double range span ±~17k around their anchor, far from
+# either sentinel), positives are plain ⌊bpo·log2(v)⌋.
+_NEG_OFFSET = -(2**30)
+_ZERO_BIN = -(2**29)
 
 
 def hist_state(
@@ -412,15 +422,14 @@ def hist_state(
     bins_per_octave: int = 16,
     weight_col: str | None = None,
 ) -> DataFrame:
-    """Per-(key, bin) count state over a NON-NEGATIVE value column with
-    bin = ⌊bpo·log2(v)⌋ (zeros get a sentinel bin; NULLs are ignored,
-    matching SQL aggregates; a negative value fails the job loudly via
-    a ``raise_error`` branch ON the bin expression — an unreferenced
-    assertion column would be pruned by the optimizer and never run —
-    rather than landing in a nonsense bin). State per key is bounded by
-    the value range: ~bpo bins per octave — 64 octaves of double range
-    × bpo=16 is ≤ ~1k bins, whatever the row count. ``weight_col``
-    makes the feed signed (linear sketch: retractions subtract exactly;
+    """Per-(key, bin) count state over ANY numeric column: positives
+    bin at ⌊bpo·log2(v)⌋, negatives mirror onto ``_NEG_OFFSET − ⌊bpo·
+    log2(−v)⌋`` (monotone: bin order IS value order), exact zeros get
+    the sentinel bin between them; NULLs are ignored, matching SQL
+    aggregates. State per key is bounded by the value range: ~bpo bins
+    per octave — both signs of the full double range at bpo=16 is ≤
+    ~2k bins, whatever the row count. ``weight_col`` makes the feed
+    signed (linear sketch: retractions subtract exactly;
     :func:`hist_merge` drops zeroed bins)."""
     v = F.col(value_col)
     wgt = (
@@ -428,18 +437,13 @@ def hist_state(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
+    bpo_l = F.lit(float(bins_per_octave))
     bin_idx = (
-        F.when(
-            v < 0,
-            F.raise_error(
-                F.lit(f"hist_state: negative value in {value_col}")
-            ),
-        )
-        .when(v == 0, F.lit(_ZERO_BIN))
+        F.when(v == 0, F.lit(_ZERO_BIN))
+        .when(v > 0, F.floor(bpo_l * F.log2(v.cast("double"))))
         .otherwise(
-            F.floor(
-                F.lit(float(bins_per_octave)) * F.log2(v.cast("double"))
-            )
+            F.lit(_NEG_OFFSET)
+            - F.floor(bpo_l * F.log2((-v).cast("double")))
         )
     )
     return (
@@ -480,12 +484,14 @@ def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def hist_quantiles(
     state: DataFrame, qs: list[float]
 ) -> DataFrame:
-    """Quantile estimates per key: for each q, the geometric midpoint
-    of the first bin whose exact cumulative count reaches q·total
-    (zero-bin → 0.0). Ranks are exact — the error is ONLY the value
-    discretization, bounded by a 2^(1/(2·bpo)) relative factor (≈2.2%
-    at bpo=16). Output: key columns + one ``q_<q>`` double per
-    requested quantile (dots become underscores: q=0.5 → ``q_0_5``).
+    """Quantile estimates per key: for each q, the (sign-aware)
+    geometric midpoint of the first bin whose exact cumulative count
+    reaches q·total (zero-bin → 0.0; bin order is value order across
+    negatives, zero, and positives). Ranks are exact — the error is
+    ONLY the value discretization, bounded by a 2^(1/(2·bpo)) relative
+    factor on |value| (≈2.2% at bpo=16). Output: key columns + one
+    ``q_<q>`` double per requested quantile (dots become underscores:
+    q=0.5 → ``q_0_5``).
 
     Plan: one per-key ordered window (cumulative sum over ≤ ~1k bins
     per key) + one hash-aggregation — never a sort of the raw data."""
@@ -501,10 +507,24 @@ def hist_quantiles(
         state.withColumn("_total", F.sum("n").over(w_tot))
         .withColumn("_cum", F.sum("n").over(w_cum))
     )
-    rep = F.when(F.col("bin") == _ZERO_BIN, F.lit(0.0)).otherwise(
-        F.pow(
-            F.lit(2.0),
-            (F.col("bin").cast("double") + 0.5) / F.lit(float(bpo)),
+    rep = (
+        F.when(F.col("bin") == _ZERO_BIN, F.lit(0.0))
+        .when(
+            F.col("bin") > _ZERO_BIN,
+            F.pow(
+                F.lit(2.0),
+                (F.col("bin").cast("double") + 0.5) / F.lit(float(bpo)),
+            ),
+        )
+        .otherwise(
+            -F.pow(
+                F.lit(2.0),
+                (
+                    (F.lit(float(_NEG_OFFSET)) - F.col("bin").cast("double"))
+                    + 0.5
+                )
+                / F.lit(float(bpo)),
+            )
         )
     )
     aggs = []
