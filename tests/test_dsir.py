@@ -193,3 +193,48 @@ def test_dsir_grows_linearish_first_decade(spark):  # noqa: F811
         big = min(big, one_pass("/root/testdata/sf0.1"))
         ratio = big / max(small, 0.5)
     assert ratio < 25.0, f"superlinear dsir growth: {ratio:.1f}x"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SWEEP_SF1"),
+    reason="second-decade sweep is opt-in (amplifies ~170 MB, runs "
+    "minutes); set SPARK_GRAFT_SWEEP_SF1=1",
+)
+def test_dsir_second_decade(spark):  # noqa: F811
+    import os
+    import time
+
+    from yelp_recommender_spark.amplify import amplify
+    from yelp_recommender_spark.functions.text import tokens_col
+    from yelp_recommender_spark.operators.dsir import dsir_select
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "scale_data", "sf1"),
+    )
+    amplify("/root/testdata/sf0.1", sf1_dir, 10)  # idempotent
+
+    def one_pass(sf_dir):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", tokens_col("text").alias("toks"), "source")
+        target = docs.filter(F.col("source") == "src0").select(
+            "doc_id", "toks"
+        )
+        start = time.perf_counter()
+        assert dsir_select(
+            target, docs.select("doc_id", "toks"), k=50, dim=10_000
+        ).count() == 50
+        return time.perf_counter() - start
+
+    one_pass("/root/testdata/sf0.01")  # warm-up
+    small = one_pass("/root/testdata/sf0.1")
+    big = one_pass(sf1_dir)
+    ratio = big / max(small, 0.5)
+    print(f"second-decade dsir growth: {small:.2f}s -> {big:.2f}s "
+          f"({ratio:.1f}x)")
+    if ratio >= 25.0:  # stall re-measure, min-of-2
+        small = min(small, one_pass("/root/testdata/sf0.1"))
+        big = min(big, one_pass(sf1_dir))
+        ratio = big / max(small, 0.5)
+    assert ratio < 25.0, f"superlinear dsir growth: {ratio:.1f}x"

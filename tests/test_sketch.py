@@ -591,3 +591,48 @@ def test_mg_composes_with_streaming_summary_discipline(spark, tmp_path):  # noqa
     _check_bounds(
         latest_summary(spark, state).collect(), _exact(rows)
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SWEEP_SF1"),
+    reason="second-decade sweep is opt-in (amplifies ~170 MB, runs "
+    "minutes); set SPARK_GRAFT_SWEEP_SF1=1",
+)
+def test_sketch_and_profile_second_decade(spark):  # noqa: F811
+    import os
+    import time
+
+    from yelp_recommender_spark.amplify import amplify
+    from yelp_recommender_spark.operators.profile import profile_table
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "scale_data", "sf1"),
+    )
+    amplify("/root/testdata/sf0.1", sf1_dir, 10)  # idempotent
+
+    def profile_pass(sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        start = time.perf_counter()
+        prof = profile_table(docs, topk=5)
+        for d in prof.values():
+            d.count()
+        return time.perf_counter() - start
+
+    def sketch_pass(sf_dir):
+        return _sketch_pass(spark, sf_dir)
+
+    _sketch_pass(spark, "/root/testdata/sf0.01")  # warm-up
+    results = {}
+    for name, fn in (("sketch", sketch_pass), ("profile", profile_pass)):
+        small = fn("/root/testdata/sf0.1")
+        big = fn(sf1_dir)
+        ratio = big / max(small, 0.5)
+        results[name] = (round(small, 2), round(big, 2), round(ratio, 1))
+        if ratio >= 25.0:  # stall re-measure, min-of-2
+            small = min(small, fn("/root/testdata/sf0.1"))
+            big = min(big, fn(sf1_dir))
+            ratio = big / max(small, 0.5)
+            results[name] = (round(small, 2), round(big, 2), round(ratio, 1))
+        assert ratio < 25.0, f"superlinear {name} growth: {results[name]}"
+    print("second-decade sketch/profile growth:", results)
