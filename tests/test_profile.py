@@ -32,13 +32,15 @@ def test_column_stats_match_exact(spark):  # noqa: F811
         assert r.n_rows == n
         assert r.n_nonnull == exact_nn
         assert abs(r.approx_distinct - exact_dv) <= max(2, 0.05 * exact_dv)
-    # min/max report the string cast of the column's own min/max
+    # min/max are the NATIVE-type extremes rendered as strings — never
+    # the lexicographic extremes of the string cast ("100" < "99")
     r = stats["c_acctbal"]
     lo, hi = cust.agg(
-        F.min(F.col("c_acctbal").cast("string")),
-        F.max(F.col("c_acctbal").cast("string")),
+        F.min("c_acctbal").cast("string"),
+        F.max("c_acctbal").cast("string"),
     ).collect()[0]
     assert (r.min_value, r.max_value) == (lo, hi)
+    assert float(r.min_value) < 0 < float(r.max_value)
 
 
 def test_heavy_hitters_and_quantiles(spark):  # noqa: F811
@@ -116,3 +118,89 @@ def test_profile_cli_round_trip(spark, tmp_path):  # noqa: F811
     assert hh.groupBy("column").count().agg(F.max("count")).collect()[0][
         0
     ] <= 3
+
+
+def test_column_stats_merge_across_batches(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.profile import (
+        merge_column_stats,
+        profile_column_stats,
+    )
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    a = spark.range(0, 6_000).select(
+        F.col("id").alias("n"),
+        (F.col("id") - 3_000).cast("double").alias("v"),
+        F.concat(F.lit("s"), F.col("id") % 97).alias("s"),
+    )
+    b = spark.range(4_000, 10_000).select(
+        F.col("id").alias("n"),
+        (F.col("id") - 3_000).cast("double").alias("v"),
+        F.concat(F.lit("s"), F.col("id") % 97).alias("s"),
+    )
+    merged = merge_column_stats(
+        profile_column_stats(a, keep_sketches=True),
+        profile_column_stats(b, keep_sketches=True),
+    )
+    got = {r.column: r for r in merged.collect()}
+    assert got["n"].n_rows == 12_000  # row counts SUM (batch semantics)
+    # distinct of the union, not the sum of distincts (overlap 2k rows)
+    assert abs(got["n"].approx_distinct - 10_000) / 10_000 < 0.05
+    # numeric fold: -3000 beats "-1" lexicographically losing to "-999"
+    assert float(got["v"].min_value) == -3000.0
+    assert float(got["v"].max_value) == 6999.0
+    assert got["s"].min_value == "s0" and got["s"].max_value == "s96"
+    # merging estimate-only stats must refuse, not silently mis-merge
+    with _pytest.raises(ValueError, match="keep_sketches"):
+        merge_column_stats(
+            profile_column_stats(a), profile_column_stats(b)
+        )
+
+
+def test_kmv_jaccard_and_intersection(spark):  # noqa: F811
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from yelp_recommender_spark.operators.sketch import (
+        kmv_jaccard,
+        kmv_state,
+    )
+
+    # key 0: |A|=|B|=8000, overlap 4000 -> J = 4000/12000 = 1/3
+    # key 1: small sets below k -> exact J = 2/4 = 0.5
+    a_rows = spark.range(0, 8_000).select(
+        F.lit(0).alias("k"), F.concat(F.lit("i"), "id").alias("item")
+    ).unionByName(
+        spark.createDataFrame(
+            [(1, "x"), (1, "y"), (1, "z")], "k int, item string"
+        )
+    )
+    b_rows = spark.range(4_000, 12_000).select(
+        F.lit(0).alias("k"), F.concat(F.lit("i"), "id").alias("item")
+    ).unionByName(
+        spark.createDataFrame(
+            [(1, "y"), (1, "z"), (1, "w")], "k int, item string"
+        )
+    )
+    got = {
+        r.k: r
+        for r in kmv_jaccard(
+            kmv_state(a_rows, ["k"], "item", k=256),
+            kmv_state(b_rows, ["k"], "item", k=256),
+            ["k"],
+        ).collect()
+    }
+    assert abs(got[0].jaccard_est - 1 / 3) < 0.1  # ~1/sqrt(256) noise
+    assert abs(got[0].union_est - 12_000) / 12_000 < 0.15
+    assert abs(got[0].intersection_est - 4_000) / 4_000 < 0.35
+    assert got[1].jaccard_est == 0.5  # below k: the samples ARE the sets
+    assert got[1].union_est == 4.0
+    assert got[1].intersection_est == 2.0
+
+    with _pytest.raises(ValueError, match="different k"):
+        kmv_jaccard(
+            kmv_state(a_rows, ["k"], "item", k=64),
+            kmv_state(b_rows, ["k"], "item", k=128),
+            ["k"],
+        )

@@ -18,11 +18,14 @@ scan with map-side partial aggregation and bounded output:
    documented relative bound, negatives and zeros included.
 
 ``df.describe()``/``summary()`` cover part of (1)+(3) but give no
-distinct estimates, no heavy hitters, no error contracts, and no
-reusable state; this profiler returns the plain DataFrames so the
-outputs persist as parquet and MERGE with the next batch's profile
-(every part is `operators/sketch.py` mergeable state — a standing
-daily profile refreshes in O(|batch|)).
+distinct estimates, no heavy hitters, and no error contracts. The
+returned tables are READABLE VIEWS (estimates and intervals, ready to
+persist and inspect); a STANDING profile that refreshes per batch
+instead of rescanning history keeps the underlying mergeable state —
+:func:`profile_column_stats` with ``keep_sketches=True`` merged via
+:func:`merge_column_stats`, and ``mg_state`` / ``hist_state`` over the
+same melts merged with their own merge functions — then derives these
+views from it.
 
 No reference counterpart — beyond-reference production surface in the
 table-maintenance family (`operators/quality.py`, `maintain` CLI).
@@ -42,7 +45,11 @@ from yelp_recommender_spark.operators.sketch import (
     mg_state,
 )
 
-__all__ = ["profile_table", "profile_column_stats"]
+__all__ = [
+    "profile_table",
+    "profile_column_stats",
+    "merge_column_stats",
+]
 
 _NUMERIC = (
     T.ByteType,
@@ -56,7 +63,10 @@ _NUMERIC = (
 
 
 def profile_column_stats(
-    df: DataFrame, columns: list[str] | None = None, lg_k: int = 12
+    df: DataFrame,
+    columns: list[str] | None = None,
+    lg_k: int = 12,
+    keep_sketches: bool = False,
 ) -> DataFrame:
     """Per-column stats table ``(column, n_rows, n_nonnull,
     approx_distinct, min_value, max_value)`` from ONE scan and one
@@ -64,32 +74,100 @@ def profile_column_stats(
     (map-side partials), and the single result row is unpivoted with
     ``stack`` — nothing is collected, sorted, or grouped by value.
     min/max are reported as strings so one schema carries every column
-    type; distinct counts are HLL estimates (≈1.6% at lg_k=12)."""
+    type; distinct counts are HLL estimates (≈1.6% at lg_k=12).
+
+    ``keep_sketches`` adds the HLL BINARY per column (``hll_value``):
+    counts and min/max merge trivially (sum/min/max), but a
+    materialized estimate does not — the sketch column is what makes a
+    persisted stats profile mergeable with the next batch's via
+    :func:`merge_column_stats`."""
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         s = F.col(c).cast("string")
         aggs += [
             F.count(F.col(c)).alias(f"nn_{c}"),
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg(s, F.lit(int(lg_k)))
-            ).alias(f"dv_{c}"),
-            F.min(s).alias(f"min_{c}"),
-            F.max(s).alias(f"max_{c}"),
+            F.hll_sketch_agg(s, F.lit(int(lg_k))).alias(f"hll_{c}"),
+            # min/max on the NATIVE type, rendered to string after — a
+            # string-cast min would be lexicographic ("100" < "99")
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
         ]
     one = df.agg(*aggs)
     stacked = ", ".join(
-        f"'{c}', `nn_{c}`, `dv_{c}`, `min_{c}`, `max_{c}`" for c in cols
+        f"'{c}', `nn_{c}`, `hll_{c}`, `min_{c}`, `max_{c}`" for c in cols
     )
-    return one.select(
+    out = one.select(
         F.col("_rows").alias("n_rows"),
         F.expr(
             f"stack({len(cols)}, {stacked}) as "
-            "(column, n_nonnull, approx_distinct, min_value, max_value)"
+            "(column, n_nonnull, hll_value, min_value, max_value)"
         ),
     ).select(
-        "column", "n_rows", "n_nonnull", "approx_distinct",
-        "min_value", "max_value",
+        "column",
+        "n_rows",
+        "n_nonnull",
+        F.hll_sketch_estimate("hll_value").alias("approx_distinct"),
+        "min_value",
+        "max_value",
+        "hll_value",
+    )
+    return out if keep_sketches else out.drop("hll_value")
+
+
+def merge_column_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merged per-column stats (both sides built with
+    ``keep_sketches=True``): counts sum, min/max fold, the distinct
+    estimate is re-read from the unioned HLL sketches — a standing
+    daily profile refreshes in O(width) from the new batch's stats,
+    never a rescan of history."""
+    for s in (a, b):
+        if "hll_value" not in s.columns:
+            raise ValueError(
+                "merge_column_stats needs keep_sketches=True stats — a "
+                "materialized approx_distinct cannot be merged"
+            )
+    both = a.unionByName(b)
+    # min/max carry the NATIVE order rendered as strings: fold
+    # numerically when both sides parse as numbers (string min would
+    # be lexicographic), else as strings (correct for text, and for
+    # ISO-rendered dates/timestamps, whose lexicographic order IS
+    # their temporal order)
+    as_num = F.expr("try_cast(min_value as double)")
+    min_key = F.when(as_num.isNotNull(), F.struct(as_num, F.col("min_value")))
+    as_num_max = F.expr("try_cast(max_value as double)")
+    max_key = F.when(
+        as_num_max.isNotNull(), F.struct(as_num_max, F.col("max_value"))
+    )
+    tagged = both.withColumn("_minkey", min_key).withColumn(
+        "_maxkey", max_key
+    )
+    merged = tagged.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.hll_union_agg("hll_value").alias("hll_value"),
+        F.min("_minkey").alias("_minkey"),
+        F.min("min_value").alias("_min_s"),
+        F.max("_maxkey").alias("_maxkey"),
+        F.max("max_value").alias("_max_s"),
+    ).select(
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "hll_value",
+        F.coalesce(F.col("_minkey").getField("min_value"), F.col("_min_s"))
+        .alias("min_value"),
+        F.coalesce(F.col("_maxkey").getField("max_value"), F.col("_max_s"))
+        .alias("max_value"),
+    )
+    return merged.select(
+        "column",
+        "n_rows",
+        "n_nonnull",
+        F.hll_sketch_estimate("hll_value").alias("approx_distinct"),
+        "min_value",
+        "max_value",
+        "hll_value",
     )
 
 
@@ -131,9 +209,10 @@ def profile_table(
       exact ranks and the histogram's relative value bound (empty
       frame with that schema when the table has no numeric columns).
 
-    Each output is bounded (O(width), O(width·topk), O(width·#bins))
-    and is mergeable sketch state downstream — persist today's parquet,
-    merge tomorrow's batch."""
+    Each output is bounded: O(width), O(width·topk), O(width·#qs).
+    These are views for reading; for a standing profile that merges
+    across batches, keep the state forms instead (see the module
+    docstring)."""
     cols = columns or df.columns
     stats = profile_column_stats(df, cols, lg_k=lg_k)
 

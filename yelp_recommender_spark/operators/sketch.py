@@ -79,6 +79,7 @@ __all__ = [
     "kmv_state",
     "kmv_merge",
     "kmv_estimate",
+    "kmv_jaccard",
     "hist_state",
     "hist_merge",
     "hist_quantiles",
@@ -756,3 +757,53 @@ def mg_heavy_hitters(
             >= F.lit(float(min_frac)) * F.col("mg_n").cast("double")
         )
     return out
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Per-key Jaccard / intersection estimates between two KMV states
+    — the set-operation queries an HLL cannot serve (register maxima
+    destroy membership; bottom-k samples keep it). For each key present
+    in BOTH states: take the bottom-k of the union of the two samples
+    (a valid KMV sample of A ∪ B by the merge property), estimate
+    J = |union-sample members seen in both sides' samples| / |union
+    sample| (the classic bottom-k Jaccard estimator, ±≈1/√k), the
+    union size from the union sample's k-th hash, and the intersection
+    as J · |A ∪ B|. Exact whenever both keys held fewer than k distinct
+    items (the samples ARE the sets). Pure array algebra on the joined
+    states — no explode, no shuffle beyond the key join.
+
+    Output: key columns + ``jaccard_est``, ``union_est``,
+    ``intersection_est`` (doubles). Raises on mismatched k."""
+    ka, kb = _kmv_k(a), _kmv_k(b)
+    if ka and kb and ka != kb:
+        raise ValueError(
+            f"KMV states have different k ({ka} vs {kb}) — their "
+            "samples are not comparable"
+        )
+    k = ka or kb
+    joined = a.select(
+        *keys, F.col("kmv").alias("_ka")
+    ).join(b.select(*keys, F.col("kmv").alias("_kb")), list(keys))
+    u = F.slice(
+        F.array_sort(F.array_union("_ka", "_kb")), 1, k
+    )
+    both = F.array_intersect("_ka", "_kb")
+    inter_in_u = F.size(F.array_intersect(u, both))
+    j = inter_in_u.cast("double") / F.size(u).cast("double")
+    u_size = F.size(u)
+    u_k_hash = (
+        F.element_at(u, u_size).getField("h").cast("double")
+        + F.lit(2.0**63)
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPAN)
+    union_est = F.when(
+        u_size < k, u_size.cast("double")
+    ).otherwise((F.lit(float(k)) - 1.0) / u_k_hash)
+    return joined.select(
+        *keys,
+        j.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (j * union_est).alias("intersection_est"),
+    )
