@@ -204,3 +204,47 @@ def test_kmv_jaccard_and_intersection(spark):  # noqa: F811
             kmv_state(b_rows, ["k"], "item", k=128),
             ["k"],
         )
+
+
+def test_merge_matches_whole_build_for_digitlike_strings(spark):  # noqa: F811
+    """The value_kind rule: a STRING column of numeric-looking values
+    must merge in the same (lexicographic) order its per-batch stats
+    were built in — a numeric fold here would make merge-then-read
+    disagree with a whole rescan."""
+    from yelp_recommender_spark.operators.profile import (
+        merge_column_stats,
+        profile_column_stats,
+    )
+
+    a = spark.createDataFrame([("100",), ("99",)], "s string")
+    b = spark.createDataFrame([("98",)], "s string")
+    whole = profile_column_stats(a.unionByName(b)).collect()[0]
+    merged = merge_column_stats(
+        profile_column_stats(a, keep_sketches=True),
+        profile_column_stats(b, keep_sketches=True),
+    ).collect()[0]
+    assert (whole.min_value, whole.max_value) == ("100", "99")
+    assert (merged.min_value, merged.max_value) == (
+        whole.min_value,
+        whole.max_value,
+    )
+    assert merged.value_kind == "other"
+
+
+def test_profile_handles_hostile_column_names(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.profile import profile_table
+
+    df = spark.range(10).select(
+        F.col("id").alias("it's"),
+        (F.col("id") % 3).alias("a`b"),
+        F.col("id").cast("string").alias("a.b"),
+    )
+    prof = profile_table(df, topk=2)
+    stats = {r.column: r for r in prof["columns"].collect()}
+    assert set(stats) == {"it's", "a`b", "a.b"}
+    assert stats["it's"].approx_distinct == 10
+    assert stats["a`b"].n_nonnull == 10
+    hh_cols = {r.column for r in prof["heavy_hitters"].collect()}
+    assert hh_cols == {"it's", "a`b", "a.b"}
+    q_cols = {r.column for r in prof["quantiles"].collect()}
+    assert q_cols == {"it's", "a`b"}  # the string column has no quantiles

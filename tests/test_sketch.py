@@ -636,3 +636,37 @@ def test_sketch_and_profile_second_decade(spark):  # noqa: F811
             results[name] = (round(small, 2), round(big, 2), round(ratio, 1))
         assert ratio < 25.0, f"superlinear {name} growth: {results[name]}"
     print("second-decade sketch/profile growth:", results)
+
+
+def test_hist_handles_nan_and_infinities(spark):  # noqa: F811
+    import math
+
+    from yelp_recommender_spark.operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_state,
+    )
+
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(0, -inf), (0, -4.0), (0, 0.0), (0, 2.0), (0, inf),
+         (0, float("nan")), (0, None)],
+        "k int, v double",
+    )
+    state = hist_state(df, ["k"], "v")
+    # six non-null values in Spark's sort order:
+    # -Inf, -4, 0, 2, +Inf, NaN (NaN greatest, matching ORDER BY)
+    q = hist_quantiles(
+        state, [0.1, 0.33, 0.5, 0.66, 0.81, 0.99]
+    ).collect()[0]
+    assert q.q_0_1 == -inf
+    assert -4.1 < q.q_0_33 < -3.9
+    assert q.q_0_5 == 0.0
+    assert 1.9 < q.q_0_66 < 2.1
+    assert q.q_0_81 == inf
+    assert math.isnan(q.q_0_99)
+    # special bins merge like any other bin (linear sketch)
+    merged = hist_merge(state, hist_state(df, ["k"], "v"))
+    rows = {r.bin: r.n for r in merged.collect()}
+    assert set(rows) == {r.bin for r in state.collect()}
+    assert all(n == 2 for n in rows.values())

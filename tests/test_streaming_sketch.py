@@ -136,3 +136,86 @@ def test_summary_stream_rejects_anchorless_retention(spark, tmp_path):  # noqa: 
         summary_stream(
             stream, str(tmp_path / "s"), build_fn, merge_fn, keep_last=1
         )
+
+
+def test_summary_stream_resumes_across_invocations(spark, tmp_path):  # noqa: F811
+    """The cross-run lifecycle: a SECOND summary_stream invocation on
+    the same state_path must CONTINUE the batch-id lineage (checkpoint
+    co-located with the state), not restart at 0 and vacuum/overwrite
+    live versions — the failure mode the stale-id guard exists for."""
+    from yelp_recommender_spark.operators.sketch import (
+        hll_estimate,
+    )
+    from yelp_recommender_spark.schemas import TESTDATA_SCHEMAS
+    from yelp_recommender_spark.streaming.ops import (
+        _committed_summary_batches,
+        distinct_summary_stream,
+        latest_summary,
+    )
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("source", "doc_id")
+    half1 = src.where(F.col("doc_id") % 2 == 0)
+    half2 = src.where(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "stream_src")
+    half1.repartition(2).write.mode("overwrite").parquet(d)
+
+    def run():
+        stream = (
+            spark.readStream.schema("source string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        distinct_summary_stream(stream, state, ["source"], ["doc_id"])
+
+    state = str(tmp_path / "state")
+    run()
+    ids_run1 = _committed_summary_batches(state)
+    # append the second half as NEW files and re-invoke: the co-located
+    # checkpoint resumes, so batch ids continue past run 1's
+    half2.repartition(2).write.mode("append").parquet(d)
+    run()
+    ids_run2 = _committed_summary_batches(state)
+    assert ids_run2[-1] > ids_run1[-1]
+
+    got = {
+        r.source: r.dv_doc_id
+        for r in hll_estimate(
+            latest_summary(spark, state), ["doc_id"]
+        ).collect()
+    }
+    exact = {
+        r.source: r.dv
+        for r in src.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("dv"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for s in exact:
+        assert abs(got[s] - exact[s]) / exact[s] < 0.05
+    # schemas import used only for parity with the sibling test
+    assert "documents" in TESTDATA_SCHEMAS
+
+
+def test_stale_batch_id_is_rejected_loudly(spark, tmp_path):  # noqa: F811
+    import pytest
+
+    from yelp_recommender_spark.streaming.ops import summary_apply_batch
+
+    build_fn, merge_fn = _cms_fns()
+    state = str(tmp_path / "stale_state")
+    for i in range(3):
+        b = spark.range(10).select(F.col("id").cast("string").alias("item"))
+        summary_apply_batch(state, b, i, build_fn, merge_fn)
+    # a fresh checkpoint would re-deliver batch 0 against version-2
+    # state: folding it in would vacuum/overwrite live versions — the
+    # guard turns silent corruption into a loud error
+    with pytest.raises(ValueError, match="restarted checkpoint"):
+        summary_apply_batch(
+            state,
+            spark.range(5).select(F.col("id").cast("string").alias("item")),
+            0,
+            build_fn,
+            merge_fn,
+        )

@@ -15,7 +15,7 @@ scan with map-side partial aggregation and bounded output:
    column with its guaranteed count intervals.
 3. **Numeric quantiles** (one scan): numeric columns melted the same
    way into the log-binned histogram; ranks exact, values within the
-   documented relative bound, negatives and zeros included.
+   documented relative bound, negatives/zeros/±Inf/NaN included.
 
 ``df.describe()``/``summary()`` cover part of (1)+(3) but give no
 distinct estimates, no heavy hitters, and no error contracts. The
@@ -40,7 +40,6 @@ from pyspark.sql import types as T
 from yelp_recommender_spark.operators.sketch import (
     hist_quantiles,
     hist_state,
-    hll_state,
     mg_heavy_hitters,
     mg_state,
 )
@@ -62,6 +61,34 @@ _NUMERIC = (
 )
 
 
+def _bq(name: str) -> str:
+    """Backquote-escape an identifier for interpolation into SQL text
+    (a backtick in a column name would otherwise break — or inject
+    into — the stack() expression)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(name: str) -> str:
+    """String-literal-escape a column name for the stack() labels."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _c(df: DataFrame, name: str) -> F.Column:
+    """Column reference that survives hostile names: plain ``F.col``
+    (and ``df[...]``) PARSE the name, so a backtick breaks it and a dot
+    becomes a field access — explicit backquote-escaping treats the
+    name as one exact identifier."""
+    return df[_bq(name)]
+
+
+def _kind(dt: T.DataType) -> str:
+    """Ordering class recorded with min/max: 'numeric' folds
+    numerically on merge; everything else folds lexicographically —
+    correct for text, and for ISO-rendered dates/timestamps whose
+    lexicographic order IS their temporal order."""
+    return "numeric" if isinstance(dt, _NUMERIC) else "other"
+
+
 def profile_column_stats(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -69,39 +96,46 @@ def profile_column_stats(
     keep_sketches: bool = False,
 ) -> DataFrame:
     """Per-column stats table ``(column, n_rows, n_nonnull,
-    approx_distinct, min_value, max_value)`` from ONE scan and one
-    aggregation row: every column's counters ride the same hash-agg
-    (map-side partials), and the single result row is unpivoted with
-    ``stack`` — nothing is collected, sorted, or grouped by value.
-    min/max are reported as strings so one schema carries every column
-    type; distinct counts are HLL estimates (≈1.6% at lg_k=12).
+    approx_distinct, min_value, max_value, value_kind)`` from ONE scan
+    and one aggregation row: every column's counters ride the same
+    hash-agg (map-side partials), and the single result row is
+    unpivoted with ``stack`` — nothing is collected, sorted, or grouped
+    by value. min/max aggregate on the NATIVE type and render to string
+    after (a string-cast min would be lexicographic: "100" < "99");
+    ``value_kind`` records the column's ordering class so a later merge
+    folds the same way the build ordered. Distinct counts are HLL
+    estimates (≈1.6% at lg_k=12).
 
     ``keep_sketches`` adds the HLL BINARY per column (``hll_value``):
-    counts and min/max merge trivially (sum/min/max), but a
+    counts and min/max merge trivially (sum / order-aware fold), but a
     materialized estimate does not — the sketch column is what makes a
     persisted stats profile mergeable with the next batch's via
     :func:`merge_column_stats`."""
     cols = columns or df.columns
+    kinds = {f.name: _kind(f.dataType) for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
-        s = F.col(c).cast("string")
+        s = _c(df, c).cast("string")
         aggs += [
-            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.count(_c(df, c)).alias(f"nn_{c}"),
             F.hll_sketch_agg(s, F.lit(int(lg_k))).alias(f"hll_{c}"),
             # min/max on the NATIVE type, rendered to string after — a
             # string-cast min would be lexicographic ("100" < "99")
-            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+            F.min(_c(df, c)).cast("string").alias(f"min_{c}"),
+            F.max(_c(df, c)).cast("string").alias(f"max_{c}"),
         ]
     one = df.agg(*aggs)
     stacked = ", ".join(
-        f"'{c}', `nn_{c}`, `hll_{c}`, `min_{c}`, `max_{c}`" for c in cols
+        f"{_sq(c)}, {_bq(f'nn_{c}')}, {_bq(f'hll_{c}')}, "
+        f"{_bq(f'min_{c}')}, {_bq(f'max_{c}')}, {_sq(kinds[c])}"
+        for c in cols
     )
     out = one.select(
         F.col("_rows").alias("n_rows"),
         F.expr(
             f"stack({len(cols)}, {stacked}) as "
-            "(column, n_nonnull, hll_value, min_value, max_value)"
+            "(column, n_nonnull, hll_value, min_value, max_value, "
+            "value_kind)"
         ),
     ).select(
         "column",
@@ -110,6 +144,7 @@ def profile_column_stats(
         F.hll_sketch_estimate("hll_value").alias("approx_distinct"),
         "min_value",
         "max_value",
+        "value_kind",
         "hll_value",
     )
     return out if keep_sketches else out.drop("hll_value")
@@ -117,10 +152,15 @@ def profile_column_stats(
 
 def merge_column_stats(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merged per-column stats (both sides built with
-    ``keep_sketches=True``): counts sum, min/max fold, the distinct
-    estimate is re-read from the unioned HLL sketches — a standing
-    daily profile refreshes in O(width) from the new batch's stats,
-    never a rescan of history."""
+    ``keep_sketches=True``): counts sum, min/max fold IN THE ORDER THE
+    BUILD USED (``value_kind='numeric'`` → numeric fold; anything else
+    → lexicographic, so a digit-like STRING column merges exactly like
+    it built — folding it numerically would make merge-then-read
+    disagree with a whole rescan), and the distinct estimate is re-read
+    from the unioned HLL sketches. A column whose kind drifts between
+    sides (schema change) degrades to the lexicographic fold rather
+    than guessing. Refreshes a standing daily profile in O(width) from
+    the new batch's stats — never a rescan of history."""
     for s in (a, b):
         if "hll_value" not in s.columns:
             raise ValueError(
@@ -128,45 +168,46 @@ def merge_column_stats(a: DataFrame, b: DataFrame) -> DataFrame:
                 "materialized approx_distinct cannot be merged"
             )
     both = a.unionByName(b)
-    # min/max carry the NATIVE order rendered as strings: fold
-    # numerically when both sides parse as numbers (string min would
-    # be lexicographic), else as strings (correct for text, and for
-    # ISO-rendered dates/timestamps, whose lexicographic order IS
-    # their temporal order)
-    as_num = F.expr("try_cast(min_value as double)")
-    min_key = F.when(as_num.isNotNull(), F.struct(as_num, F.col("min_value")))
-    as_num_max = F.expr("try_cast(max_value as double)")
-    max_key = F.when(
-        as_num_max.isNotNull(), F.struct(as_num_max, F.col("max_value"))
+    num_min = F.when(
+        F.col("value_kind") == "numeric",
+        F.struct(
+            F.expr("try_cast(min_value as double)"), F.col("min_value")
+        ),
     )
-    tagged = both.withColumn("_minkey", min_key).withColumn(
-        "_maxkey", max_key
+    num_max = F.when(
+        F.col("value_kind") == "numeric",
+        F.struct(
+            F.expr("try_cast(max_value as double)"), F.col("max_value")
+        ),
     )
-    merged = tagged.groupBy("column").agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("n_nonnull").alias("n_nonnull"),
-        F.hll_union_agg("hll_value").alias("hll_value"),
-        F.min("_minkey").alias("_minkey"),
-        F.min("min_value").alias("_min_s"),
-        F.max("_maxkey").alias("_maxkey"),
-        F.max("max_value").alias("_max_s"),
-    ).select(
-        "column",
-        "n_rows",
-        "n_nonnull",
-        "hll_value",
-        F.coalesce(F.col("_minkey").getField("min_value"), F.col("_min_s"))
-        .alias("min_value"),
-        F.coalesce(F.col("_maxkey").getField("max_value"), F.col("_max_s"))
-        .alias("max_value"),
+    merged = (
+        both.withColumn("_minkey", num_min)
+        .withColumn("_maxkey", num_max)
+        .groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nonnull").alias("n_nonnull"),
+            F.hll_union_agg("hll_value").alias("hll_value"),
+            F.max("value_kind").alias("value_kind"),  # drift → 'other'
+            F.min("_minkey").alias("_minkey"),
+            F.min("min_value").alias("_min_s"),
+            F.max("_maxkey").alias("_maxkey"),
+            F.max("max_value").alias("_max_s"),
+        )
     )
+    numeric = F.col("value_kind") == "numeric"
     return merged.select(
         "column",
         "n_rows",
         "n_nonnull",
         F.hll_sketch_estimate("hll_value").alias("approx_distinct"),
-        "min_value",
-        "max_value",
+        F.when(numeric, F.col("_minkey").getField("min_value"))
+        .otherwise(F.col("_min_s"))
+        .alias("min_value"),
+        F.when(numeric, F.col("_maxkey").getField("max_value"))
+        .otherwise(F.col("_max_s"))
+        .alias("max_value"),
+        "value_kind",
         "hll_value",
     )
 
@@ -180,7 +221,7 @@ def _melt(df: DataFrame, cols: list[str], cast: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(c).cast(cast).alias("value"),
+                        _c(df, c).cast(cast).alias("value"),
                     )
                     for c in cols
                 ]

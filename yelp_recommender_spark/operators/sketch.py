@@ -317,6 +317,17 @@ def kmv_state(
         .distinct()
         .withColumn("_h", F.xxhash64(F.col("_item")))
     )
+    return _bottomk_collect(pairs, keys, k)
+
+
+def _bottomk_collect(
+    pairs: DataFrame, keys: list[str], k: int
+) -> DataFrame:
+    """The bottom-k kernel shared by build and merge (ONE definition,
+    so the tie-break and collation rules cannot silently diverge
+    between the two paths the merge-equals-build test compares):
+    distinct ``(keys, _h, _item)`` rows → per-key rank by (hash, item)
+    → keep k → hash-sorted struct array + the k stamp."""
     w = Window.partitionBy(*keys).orderBy("_h", "_item")
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
@@ -358,25 +369,12 @@ def kmv_merge(
     both = (
         a.unionByName(b)
         .select(*keys, F.explode("kmv").alias("e"))
-        .select(*keys, F.col("e.h").alias("_h"), F.col("e.item").alias("_item"))
+        .select(
+            *keys, F.col("e.h").alias("_h"), F.col("e.item").alias("_item")
+        )
         .distinct()
     )
-    w = Window.partitionBy(*keys).orderBy("_h", "_item")
-    return (
-        both.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*keys)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("_h").alias("h"), F.col("_item").alias("item")
-                    )
-                )
-            ).alias("kmv")
-        )
-        .withColumn("kmv_k", F.lit(int(k)))
-    )
+    return _bottomk_collect(both, keys, k)
 
 
 def kmv_estimate(state: DataFrame) -> DataFrame:
@@ -407,13 +405,20 @@ def kmv_estimate(state: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------
 
 # Bin layout over the FULL real line, monotone in the value so an
-# ascending-bin scan is an ascending-value scan: negative values live
-# around _NEG_OFFSET (more negative value → smaller bin), the exact-zero
-# sentinel sits strictly between every negative and every positive bin
-# (log bins of double range span ±~17k around their anchor, far from
-# either sentinel), positives are plain ⌊bpo·log2(v)⌋.
+# ascending-bin scan is an ascending-value scan: −Inf below everything,
+# negative values around _NEG_OFFSET (more negative value → smaller
+# bin), the exact-zero sentinel strictly between every negative and
+# every positive bin (log bins of double range span ±~17k around their
+# anchor, far from every sentinel), positives at plain ⌊bpo·log2(v)⌋,
+# +Inf above them, and NaN above +Inf — matching Spark's own ORDER BY,
+# where NaN sorts greater than any value. Without the sentinels a NaN
+# silently lands in the bin of ~1.0 (NaN comparisons are true against
+# v > 0 in Spark) and ±Inf kills the job with CAST_OVERFLOW under ANSI.
+_NEG_INF_BIN = -(2**31)
 _NEG_OFFSET = -(2**30)
 _ZERO_BIN = -(2**29)
+_POS_INF_BIN = 2**30
+_NAN_BIN = 2**30 + 1
 
 
 def hist_state(
@@ -426,7 +431,10 @@ def hist_state(
     """Per-(key, bin) count state over ANY numeric column: positives
     bin at ⌊bpo·log2(v)⌋, negatives mirror onto ``_NEG_OFFSET − ⌊bpo·
     log2(−v)⌋`` (monotone: bin order IS value order), exact zeros get
-    the sentinel bin between them; NULLs are ignored, matching SQL
+    the sentinel bin between them, and ±Inf / NaN get sentinel bins in
+    Spark's own sort order (−Inf below all, +Inf above all finite, NaN
+    above +Inf) so dirty real-world doubles neither crash the job nor
+    silently skew a quantile; NULLs are ignored, matching SQL
     aggregates. State per key is bounded by the value range: ~bpo bins
     per octave — both signs of the full double range at bpo=16 is ≤
     ~2k bins, whatever the row count. ``weight_col`` makes the feed
@@ -439,13 +447,14 @@ def hist_state(
         else F.lit(1).cast("long")
     )
     bpo_l = F.lit(float(bins_per_octave))
+    vd = v.cast("double")
     bin_idx = (
-        F.when(v == 0, F.lit(_ZERO_BIN))
-        .when(v > 0, F.floor(bpo_l * F.log2(v.cast("double"))))
-        .otherwise(
-            F.lit(_NEG_OFFSET)
-            - F.floor(bpo_l * F.log2((-v).cast("double")))
-        )
+        F.when(F.isnan(vd), F.lit(_NAN_BIN))  # first: NaN compares true
+        .when(vd == float("inf"), F.lit(_POS_INF_BIN))
+        .when(vd == float("-inf"), F.lit(_NEG_INF_BIN))
+        .when(vd == 0, F.lit(_ZERO_BIN))
+        .when(vd > 0, F.floor(bpo_l * F.log2(vd)))
+        .otherwise(F.lit(_NEG_OFFSET) - F.floor(bpo_l * F.log2(-vd)))
     )
     return (
         df.where(v.isNotNull())
@@ -509,7 +518,10 @@ def hist_quantiles(
         .withColumn("_cum", F.sum("n").over(w_cum))
     )
     rep = (
-        F.when(F.col("bin") == _ZERO_BIN, F.lit(0.0))
+        F.when(F.col("bin") == _NAN_BIN, F.lit(float("nan")))
+        .when(F.col("bin") == _POS_INF_BIN, F.lit(float("inf")))
+        .when(F.col("bin") == _NEG_INF_BIN, F.lit(float("-inf")))
+        .when(F.col("bin") == _ZERO_BIN, F.lit(0.0))
         .when(
             F.col("bin") > _ZERO_BIN,
             F.pow(
@@ -592,22 +604,8 @@ def mg_state(
         .groupBy(*keys, item.alias("_item"))
         .agg(F.sum(wgt).alias("_c"))
     )
-    w_rank = Window.partitionBy(*keys).orderBy(
-        F.col("_c").desc(), F.col("_item")
-    )
-    w_all = Window.partitionBy(*keys)
-    ranked = (
-        counts.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn(
-            "_d",
-            F.coalesce(
-                F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))).over(
-                    w_all
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .withColumn("_n", F.sum("_c").over(w_all))
+    ranked = _mg_compress(counts, keys, k, "_item").withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*keys))
     )
     survivors = ranked.filter(
         (F.col("_rn") <= k) & (F.col("_c") > F.col("_d"))
@@ -633,6 +631,30 @@ def mg_state(
     )
     return survivors.unionByName(sentinel).withColumn(
         "mg_k", F.lit(int(k))
+    )
+
+
+def _mg_compress(
+    counts: DataFrame, keys: list[str], k: int, item_col: str
+) -> DataFrame:
+    """The Misra-Gries compress kernel shared by build and merge (ONE
+    definition, so the rank tie-break and decrement rule cannot
+    silently diverge between the two paths the merge-preserves-bounds
+    tests compare): per-key rank by (count desc, item), ``_d`` = the
+    (k+1)-th largest count (0 when ≤ k items). Callers keep rows with
+    ``_rn <= k`` and ``_c > _d`` and subtract."""
+    w_rank = Window.partitionBy(*keys).orderBy(
+        F.col("_c").desc(), F.col(item_col)
+    )
+    w_all = Window.partitionBy(*keys)
+    return counts.withColumn(
+        "_rn", F.row_number().over(w_rank)
+    ).withColumn(
+        "_d",
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))).over(w_all),
+            F.lit(0).cast("long"),
+        ),
     )
 
 
@@ -680,18 +702,8 @@ def mg_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
         .groupBy(*keys, "item")
         .agg(F.sum("n_lo").alias("_c"))
     )
-    w_rank = Window.partitionBy(*keys).orderBy(
-        F.col("_c").desc(), F.col("item")
-    )
-    w_all = Window.partitionBy(*keys)
-    ranked = summed.withColumn(
-        "_rn", F.row_number().over(w_rank)
-    ).withColumn(
-        "_d_new",
-        F.coalesce(
-            F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))).over(w_all),
-            F.lit(0).cast("long"),
-        ),
+    ranked = _mg_compress(summed, keys, k, "item").withColumnRenamed(
+        "_d", "_d_new"
     )
     survivors = (
         ranked.filter((F.col("_rn") <= k) & (F.col("_c") > F.col("_d_new")))

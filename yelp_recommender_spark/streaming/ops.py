@@ -754,8 +754,27 @@ def summary_apply_batch(
     After a successful commit, versions older than the newest
     ``keep_last`` are vacuumed — ``keep_last >= 2`` retains the replay
     anchor M alongside N; state size is O(keys), so retention is
-    cheap."""
+    cheap.
+
+    Raises on a batch_id BELOW the newest committed version: that only
+    happens when a stream restarts against this state with a FRESH
+    checkpoint (Structured Streaming batch ids restart at 0), and
+    folding restarted ids in silently would vacuum and overwrite live
+    versions while readers keep serving the stale old state — the
+    checkpoint and the state dir must travel together
+    (:func:`summary_stream` co-locates them for exactly this
+    reason)."""
     spark = batch_df.sparkSession
+    ids = _committed_summary_batches(state_path)
+    if ids and batch_id < ids[-1]:
+        raise ValueError(
+            f"summary state at {state_path} already holds version "
+            f"{ids[-1]} but the stream delivered batch {batch_id} — "
+            "a restarted checkpoint is replaying old batch ids against "
+            "newer state; resume the original checkpoint (it lives "
+            "inside the state dir when driven by summary_stream) or "
+            "start a fresh state_path"
+        )
     batch_state = build_fn(batch_df)
     prior = latest_summary(spark, state_path, before=batch_id)
     merged = batch_state if prior is None else merge_fn(prior, batch_state)
@@ -802,16 +821,31 @@ def summary_stream(
             keep_last=keep_last,
         )
 
-    name = f"summary_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    # the checkpoint LIVES WITH the state and is never deleted: batch
+    # ids are only monotone within one checkpoint lineage, and the
+    # whole versioned-state discipline keys on them — a fresh
+    # checkpoint per invocation would restart ids at 0 and (but for
+    # the stale-id guard) vacuum/overwrite live versions. Co-location
+    # also makes re-invocation the natural operation: new source files
+    # resume from the same checkpoint with CONTINUING batch ids.
+    ckpt = os.path.join(state_path, "_checkpoint")
     q = (
         stream.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"summary_stream did not drain the backlog within "
+                f"{timeout_s}s; the checkpoint and state at "
+                f"{state_path} are consistent and resumable"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
 
 
 def distinct_summary_stream(
