@@ -670,3 +670,48 @@ def test_hist_handles_nan_and_infinities(spark):  # noqa: F811
     rows = {r.bin: r.n for r in merged.collect()}
     assert set(rows) == {r.bin for r in state.collect()}
     assert all(n == 2 for n in rows.values())
+
+
+def test_mg_rollup_preserves_guarantees(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        mg_rollup,
+        mg_state,
+    )
+
+    rows = _mg_feed()
+    # partials per hash bucket (an extra leading key), rolled up global
+    df = spark.createDataFrame(rows, "k int, item string").withColumn(
+        "b", F.pmod(F.xxhash64("item"), F.lit(4))
+    )
+    partial = mg_state(df, ["b", "k"], "item", k=4)
+    rolled = mg_rollup(partial, ["k"])
+    _check_bounds(rolled.collect(), _exact(rows))
+    assert "hot" in {r.item for r in rolled.collect() if r.k == 0}
+    # no-op rollup: keys unchanged returns the state as-is
+    assert mg_rollup(partial, ["b", "k"]).columns == partial.columns
+
+
+def test_detect_skew_finds_planted_whale(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.skew import detect_skew
+
+    n = 40_000
+    # user 7 owns 30% of events; everyone else is uniform noise
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(7))
+        .otherwise(F.pmod(F.xxhash64("id"), 5_000) + 100)
+        .alias("user_id")
+    )
+    got = detect_skew(df, ["user_id"], min_frac=0.05, k=64)
+    rows = got.collect()
+    assert [r.user_id for r in rows] == [7]
+    r = rows[0]
+    assert r.n_lo <= 12_000 <= r.n_hi
+    assert r.n_total == n
+    assert r.frac_lo <= 0.3 <= r.frac_hi
+    # guarantee margin: 0.05 + 1/65 ~ 0.065 << 0.3
+    assert r.frac_lo >= 0.05
+
+    uniform = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), 5_000)).alias("user_id")
+    )
+    assert detect_skew(uniform, ["user_id"], min_frac=0.05, k=64).count() == 0

@@ -85,6 +85,7 @@ __all__ = [
     "hist_quantiles",
     "mg_state",
     "mg_merge",
+    "mg_rollup",
     "mg_heavy_hitters",
 ]
 
@@ -818,4 +819,82 @@ def kmv_jaccard(
         j.alias("jaccard_est"),
         union_est.alias("union_est"),
         (j * union_est).alias("intersection_est"),
+    )
+
+
+def mg_rollup(state: DataFrame, keys_out: list[str]) -> DataFrame:
+    """Coarsen a Misra-Gries state to fewer key columns — the s-way
+    merge: every group of dropped-key values sharing a ``keys_out``
+    prefix folds into one summary (sum the lower bounds item-wise,
+    re-compress, add the error budgets; MG merging is associative, so
+    the PODS'12 δ ≤ n/(k+1) bound survives any merge tree). This is
+    what makes a SCALABLE global heavy-hitter pass possible: partial
+    summaries per hash bucket (parallel rank windows over bounded
+    groups), then one rollup over the ≤ buckets·(k+1) surviving rows —
+    never a global rank over all distinct items."""
+    k = _mg_k(state)
+    keys_in = [
+        c
+        for c in state.columns
+        if c not in ("item", "n_lo", "mg_n", "mg_delta", "mg_k")
+    ]
+    dropped = [c for c in keys_in if c not in keys_out]
+    if not dropped:
+        return state
+    # one (mg_n, mg_delta) per dropped-key group: max within the group
+    # (it rides every row incl. the sentinel), summed across groups
+    meta = (
+        state.groupBy(*keys_out, *dropped)
+        .agg(F.max("mg_n").alias("_n"), F.max("mg_delta").alias("_d"))
+        .groupBy(*keys_out)
+        .agg(F.sum("_n").alias("mg_n"), F.sum("_d").alias("_d_in"))
+    )
+    summed = (
+        state.where(F.col("item").isNotNull())
+        .groupBy(*keys_out, "item")
+        .agg(F.sum("n_lo").alias("_c"))
+    )
+    ranked = _mg_compress(summed, keys_out, k, "item").withColumnRenamed(
+        "_d", "_d_new"
+    )
+    kept = ranked.filter(
+        (F.col("_rn") <= k) & (F.col("_c") > F.col("_d_new"))
+    ).select(
+        *keys_out,
+        "item",
+        (F.col("_c") - F.col("_d_new")).alias("n_lo"),
+        "_d_new",
+    )
+    if keys_out:
+        d_new_per_key = ranked.groupBy(*keys_out).agg(
+            F.max("_d_new").alias("_d_new")
+        )
+        kept = kept.join(meta, list(keys_out))
+        sentinel_join = meta.join(d_new_per_key, list(keys_out), "left")
+    else:  # global rollup: meta and d_new are 1-row scalar folds
+        # agg (not groupBy().agg): an all-sentinel state has zero
+        # ranked rows, and the sentinel's budget must still roll up
+        d_new_per_key = ranked.agg(F.max("_d_new").alias("_d_new"))
+        kept = kept.crossJoin(F.broadcast(meta))
+        sentinel_join = meta.crossJoin(F.broadcast(d_new_per_key))
+    survivors = kept.select(
+        *keys_out,
+        "item",
+        "n_lo",
+        "mg_n",
+        (F.col("_d_in") + F.col("_d_new")).alias("mg_delta"),
+    )
+    item_type = state.schema["item"].dataType
+    sentinel = sentinel_join.select(
+        *keys_out,
+        F.lit(None).cast(item_type).alias("item"),
+        F.lit(0).cast("long").alias("n_lo"),
+        "mg_n",
+        (
+            F.col("_d_in")
+            + F.coalesce(F.col("_d_new"), F.lit(0).cast("long"))
+        ).alias("mg_delta"),
+    )
+    return survivors.unionByName(sentinel).withColumn(
+        "mg_k", F.lit(int(k))
     )

@@ -194,3 +194,50 @@ def salted_aggregate(
     salted = with_salt(df, n_salts, cols=salt_cols)
     partial = salted.groupBy(*keys, "_salt").agg(*partials)
     return partial.groupBy(*keys).agg(*finals)
+
+
+def detect_skew(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    min_frac: float = 0.01,
+    k: int = 256,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One-pass whale-key detector feeding the measured remedy
+    hierarchy above: BEFORE running a join/aggregate/window over
+    ``key_cols`` at scale, find every key holding at least ``min_frac``
+    of the rows, with guaranteed bounds. Output: the key columns +
+    ``n_lo``/``n_hi`` (guaranteed count interval), ``n_total``, and
+    ``frac_lo``/``frac_hi``. Detection is GUARANTEED (not
+    probabilistic) for any key above ``min_frac + 1/(k+1)`` of the
+    rows; reported fractions are exact within the interval.
+
+    Shape: Misra-Gries partials per hash bucket (parallel bounded rank
+    windows — never a global rank over all distinct keys), then one
+    :func:`~yelp_recommender_spark.operators.sketch.mg_rollup` over the
+    ≤ buckets·(k+1) surviving rows. Bounded state whatever the key
+    cardinality, one scan of ``df`` — cheap enough to run as a guard
+    in front of the expensive shuffle it is protecting."""
+    from yelp_recommender_spark.operators.sketch import (
+        mg_heavy_hitters,
+        mg_rollup,
+        mg_state,
+    )
+
+    keyed = df.select(
+        F.struct(*[F.col(c) for c in key_cols]).alias("_key")
+    ).withColumn(
+        "_b", F.pmod(F.xxhash64(*[f"_key.{c}" for c in key_cols]),
+                     F.lit(int(n_buckets)))
+    )
+    partial = mg_state(keyed, ["_b"], "_key", k=k)
+    hh = mg_heavy_hitters(mg_rollup(partial, []), min_frac=min_frac)
+    total = F.col("mg_n").cast("double")
+    return hh.select(
+        *[F.col("item").getField(c).alias(c) for c in key_cols],
+        "n_lo",
+        "n_hi",
+        F.col("mg_n").alias("n_total"),
+        (F.col("n_lo").cast("double") / total).alias("frac_lo"),
+        (F.col("n_hi").cast("double") / total).alias("frac_hi"),
+    )
