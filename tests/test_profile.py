@@ -248,3 +248,40 @@ def test_profile_handles_hostile_column_names(spark):  # noqa: F811
     assert hh_cols == {"it's", "a`b", "a.b"}
     q_cols = {r.column for r in prof["quantiles"].collect()}
     assert q_cols == {"it's", "a`b"}  # the string column has no quantiles
+
+
+def test_profile_cli_standing_state(spark, tmp_path):  # noqa: F811
+    import contextlib
+    import io
+
+    from yelp_recommender_spark.cli import main
+
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    spark.range(0, 800).select(
+        F.col("id").alias("user_id")
+    ).write.parquet(day1)
+    spark.range(500, 1_500).select(
+        F.col("id").alias("user_id")
+    ).write.parquet(day2)
+
+    reports = []
+    for i, src in enumerate((day1, day2)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(
+                [
+                    "profile",
+                    "--input", src,
+                    "--output", str(tmp_path / f"out{i}"),
+                    "--state", str(tmp_path / "standing"),
+                ]
+            )
+        reports.append(json.loads(buf.getvalue().strip().splitlines()[-1]))
+    assert [r["standing_version"] for r in reports] == [0, 1]
+    # day 1: 800 rows / 800 distinct; after day 2: 1800 rows, distinct
+    # of the UNION (1500, overlap 300) — not the 2600 a naive sum gives
+    assert reports[0]["n_rows"] == 800
+    assert reports[1]["n_rows"] == 1_800
+    dv = reports[1]["columns"]["user_id"]["approx_distinct"]
+    assert abs(dv - 1_500) / 1_500 < 0.05

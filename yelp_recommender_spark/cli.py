@@ -613,6 +613,15 @@ def main(argv: list[str] | None = None) -> None:
         "--columns", default=None, help="comma-separated column subset"
     )
     pf.add_argument("--topk", type=_pos_int, default=10)
+    pf.add_argument(
+        "--state",
+        default=None,
+        help="standing-profile state dir: ALSO fold this input's "
+        "column stats (with their HLL sketches) into the versioned "
+        "standing profile there — the daily-profile job that refreshes "
+        "in O(batch) instead of rescanning history; the summary line "
+        "then reports the STANDING totals",
+    )
     mt = sub.add_parser(
         "maintain",
         help="maintenance: table small-file compaction (+ optional "
@@ -771,11 +780,40 @@ def main(argv: list[str] | None = None) -> None:
             d.write.mode("overwrite").parquet(
                 os.path.join(args.output, name)
             )
-        # the stats table is O(width) rows — a bounded driver read for
-        # the operator-facing summary line
-        stats = spark.read.parquet(
-            os.path.join(args.output, "columns")
-        ).collect()
+        standing_version = None
+        if args.state:
+            # fold this batch into the standing profile under the same
+            # versioned exactly-once discipline the streaming summaries
+            # use (version = newest committed + 1; a re-run of a torn
+            # version overwrites it)
+            from yelp_recommender_spark.operators.profile import (
+                merge_column_stats,
+                profile_column_stats,
+            )
+            from yelp_recommender_spark.streaming.ops import (
+                _committed_summary_batches,
+                latest_summary,
+                summary_apply_batch,
+            )
+
+            ids = _committed_summary_batches(args.state)
+            standing_version = (ids[-1] + 1) if ids else 0
+            summary_apply_batch(
+                args.state,
+                df,
+                standing_version,
+                lambda b: profile_column_stats(
+                    b, cols, keep_sketches=True
+                ),
+                merge_column_stats,
+            )
+            stats = latest_summary(spark, args.state).collect()
+        else:
+            # the stats table is O(width) rows — a bounded driver read
+            # for the operator-facing summary line
+            stats = spark.read.parquet(
+                os.path.join(args.output, "columns")
+            ).collect()
         print(
             json.dumps(
                 {
@@ -788,6 +826,7 @@ def main(argv: list[str] | None = None) -> None:
                         for r in stats
                     },
                     "output": args.output,
+                    "standing_version": standing_version,
                 },
                 sort_keys=True,
             )
