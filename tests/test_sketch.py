@@ -715,3 +715,70 @@ def test_detect_skew_finds_planted_whale(spark):  # noqa: F811
         (F.pmod(F.xxhash64("id"), 5_000)).alias("user_id")
     )
     assert detect_skew(uniform, ["user_id"], min_frac=0.05, k=64).count() == 0
+
+
+def test_cms_join_size_estimate(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        cms_join_size,
+        cms_merge,
+        cms_state,
+    )
+
+    # zipf-ish keys on both sides: the true join size is dominated by
+    # hot-key cross products — exactly what the estimator must catch
+    a = _zipf_items(spark, 6_000, 50)
+    b = _zipf_items(spark, 4_000, 50)
+    true_n = a.join(b, "item").count()
+    est = cms_join_size(
+        cms_state(a, "item", depth=5, width=4096),
+        cms_state(b, "item", depth=5, width=4096),
+    ).collect()[0].est_join_rows
+    assert est >= true_n  # one-sided, like the point queries
+    # eps*Na*Nb = (e/4096)*24M ~ 1.6% of 24M; generous 3x slack
+    assert est <= true_n + 3 * (2.718281828 / 4096) * 6_000 * 4_000
+
+    # disjoint key spaces: estimate collapses toward zero (only hash
+    # collisions contribute)
+    disjoint = b.select(F.concat(F.lit("zzz"), "item").alias("item"))
+    est0 = cms_join_size(
+        cms_state(a, "item", depth=5, width=4096),
+        cms_state(disjoint, "item", depth=5, width=4096),
+    ).collect()[0].est_join_rows
+    assert est0 <= 3 * (2.718281828 / 4096) * 6_000 * 4_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different shapes"):
+        cms_join_size(
+            cms_state(a, "item", depth=3, width=64),
+            cms_state(b, "item", depth=3, width=128),
+        )
+    # and it composes with merge: the estimate over merged batch grids
+    # equals the estimate over the whole-feed grid (linearity);
+    # deterministic id split so both halves are stable across jobs
+    with_id = spark.range(6_000).select(
+        "id",
+        F.concat(
+            F.lit("w-"),
+            F.floor(
+                F.pow(
+                    F.lit(50.0),
+                    F.pmod(F.xxhash64("id"), 10_000).cast("double")
+                    / 10_000.0,
+                )
+            )
+            - 1,
+        ).alias("item"),
+    )
+    merged = cms_merge(
+        cms_state(
+            with_id.where("id < 3000"), "item", depth=5, width=4096
+        ),
+        cms_state(
+            with_id.where("id >= 3000"), "item", depth=5, width=4096
+        ),
+    )
+    est_m = cms_join_size(
+        merged, cms_state(b, "item", depth=5, width=4096)
+    ).collect()[0].est_join_rows
+    assert est_m == est

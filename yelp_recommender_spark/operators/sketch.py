@@ -76,6 +76,7 @@ __all__ = [
     "cms_state",
     "cms_merge",
     "cms_lookup",
+    "cms_join_size",
     "kmv_state",
     "kmv_merge",
     "kmv_estimate",
@@ -897,4 +898,42 @@ def mg_rollup(state: DataFrame, keys_out: list[str]) -> DataFrame:
     )
     return survivors.unionByName(sentinel).withColumn(
         "mg_k", F.lit(int(k))
+    )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join output-size estimate from two count-min states over
+    the join keys: |A ⋈ B| = Σ_v f_A(v)·f_B(v), estimated per depth
+    row as the cell-wise inner product and taken as the MIN over
+    depths (Cormode & Muthukrishnan's classic join-size estimator).
+    One-sided like the point queries — never an underestimate, within
+    ε·N_A·N_B (ε = e/width) with prob 1−δ of the truth.
+
+    Why it matters at 100 TB: the decision "broadcast vs shuffle vs
+    pre-aggregate" and the detection of a join about to EXPLODE
+    (many-to-many hot keys multiplying) both want the output
+    cardinality BEFORE paying for the join; two bounded grids built in
+    one scan each answer it in milliseconds. Cost: joining two ≤
+    depth×width tables — driver-free, broadcastable.
+
+    Returns a 1-row DataFrame ``(est_join_rows long)``. Raises on
+    mismatched (depth, width) — inner products across different grids
+    are meaningless."""
+    pa, pb = _cms_params(a), _cms_params(b)
+    if pa != (0, 0) and pb != (0, 0) and pa != pb:
+        raise ValueError(
+            f"count-min states have different shapes {pa} vs {pb} — "
+            "their inner product is meaningless"
+        )
+    prod = a.select("d", "pos", F.col("n").alias("_na")).join(
+        b.select("d", "pos", F.col("n").alias("_nb")),
+        ["d", "pos"],
+    )
+    per_depth = prod.groupBy("d").agg(
+        F.sum(F.col("_na") * F.col("_nb")).alias("_ip")
+    )
+    return per_depth.agg(
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias(
+            "est_join_rows"
+        )
     )
