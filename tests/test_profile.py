@@ -285,3 +285,36 @@ def test_profile_cli_standing_state(spark, tmp_path):  # noqa: F811
     assert reports[1]["n_rows"] == 1_800
     dv = reports[1]["columns"]["user_id"]["approx_distinct"]
     assert abs(dv - 1_500) / 1_500 < 0.05
+
+
+def test_profile_cli_pinned_state_version_is_retry_safe(spark, tmp_path):  # noqa: F811
+    import contextlib
+    import io
+
+    from yelp_recommender_spark.cli import main
+
+    day1 = str(tmp_path / "d1.parquet")
+    spark.range(0, 600).select(F.col("id").alias("u")).write.parquet(day1)
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            main(
+                [
+                    "profile",
+                    "--input", day1,
+                    "--output", str(tmp_path / "out"),
+                    "--state", str(tmp_path / "standing"),
+                    "--state-version", "100",
+                ]
+            )
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    first = run()
+    retry = run()  # same pinned version: overwrites, never double-counts
+    assert first["standing_version"] == retry["standing_version"] == 100
+    assert first["n_rows"] == retry["n_rows"] == 600
+    assert (
+        retry["columns"]["u"]["approx_distinct"]
+        == first["columns"]["u"]["approx_distinct"]
+    )

@@ -782,3 +782,52 @@ def test_cms_join_size_estimate(spark):  # noqa: F811
         merged, cms_state(b, "item", depth=5, width=4096)
     ).collect()[0].est_join_rows
     assert est_m == est
+
+
+def test_mg_rollup_of_empty_state_is_empty(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import mg_rollup, mg_state
+
+    empty = mg_state(
+        spark.createDataFrame([], "b int, k int, item string"),
+        ["b", "k"],
+        "item",
+        k=4,
+    )
+    # empty-in -> empty-out, even for the GLOBAL rollup whose meta agg
+    # would otherwise emit one all-NULL row
+    assert mg_rollup(empty, ["k"]).count() == 0
+    assert mg_rollup(empty, []).count() == 0
+
+
+def test_detect_skew_handles_hostile_key_names(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.skew import detect_skew
+
+    df = spark.range(2_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), 500) + 10)
+        .alias("user.id"),  # dotted flat name: F.col would mis-parse it
+        F.lit("x").alias("seg`ment"),
+    )
+    got = detect_skew(df, ["user.id", "seg`ment"], min_frac=0.1, k=32)
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["user.id"] == 1 and rows[0]["seg`ment"] == "x"
+    assert rows[0].frac_lo <= 0.5 <= rows[0].frac_hi
+
+
+def test_cms_join_size_survives_whale_products_past_long_range(spark):  # noqa: F811
+    from yelp_recommender_spark.operators.sketch import (
+        cms_join_size,
+        cms_state,
+    )
+
+    # one key weighted 4e9 on each side: the true join size 1.6e19
+    # exceeds Long.MAX — the estimate must come back as that magnitude,
+    # not an overflow error or a wrapped negative
+    w = 4_000_000_000
+    one = spark.createDataFrame([("hot", w)], "item string, w long")
+    est = cms_join_size(
+        cms_state(one, "item", depth=3, width=64, weight_col="w"),
+        cms_state(one, "item", depth=3, width=64, weight_col="w"),
+    ).collect()[0].est_join_rows
+    assert est == float(w) * float(w)

@@ -620,7 +620,18 @@ def main(argv: list[str] | None = None) -> None:
         "column stats (with their HLL sketches) into the versioned "
         "standing profile there — the daily-profile job that refreshes "
         "in O(batch) instead of rescanning history; the summary line "
-        "then reports the STANDING totals",
+        "then reports the STANDING totals (columns/ output carries the "
+        "HLL binaries in this mode)",
+    )
+    pf.add_argument(
+        "--state-version",
+        type=int,
+        default=None,
+        help="pin the standing-profile version for this batch (e.g. "
+        "days since epoch): a retry of the same batch then OVERWRITES "
+        "its own version — exactly-once; without it the version is "
+        "newest-committed+1, which double-counts a re-run of an "
+        "already-committed batch (at-least-once)",
     )
     mt = sub.add_parser(
         "maintain",
@@ -776,16 +787,8 @@ def main(argv: list[str] | None = None) -> None:
             else None
         )
         prof = profile_table(df, columns=cols, topk=args.topk)
-        for name, d in prof.items():
-            d.write.mode("overwrite").parquet(
-                os.path.join(args.output, name)
-            )
         standing_version = None
         if args.state:
-            # fold this batch into the standing profile under the same
-            # versioned exactly-once discipline the streaming summaries
-            # use (version = newest committed + 1; a re-run of a torn
-            # version overwrites it)
             from yelp_recommender_spark.operators.profile import (
                 merge_column_stats,
                 profile_column_stats,
@@ -796,19 +799,46 @@ def main(argv: list[str] | None = None) -> None:
                 summary_apply_batch,
             )
 
-            ids = _committed_summary_batches(args.state)
-            standing_version = (ids[-1] + 1) if ids else 0
+            # in state mode the columns output carries the HLL binaries
+            # (the mergeable form), and the standing fold READS that
+            # just-written O(width) parquet instead of rescanning the
+            # input — the three-scan contract holds with --state
+            prof["columns"] = profile_column_stats(
+                df, cols, keep_sketches=True
+            )
+            for name, d in prof.items():
+                d.write.mode("overwrite").parquet(
+                    os.path.join(args.output, name)
+                )
+            batch_stats = spark.read.parquet(
+                os.path.join(args.output, "columns")
+            )
+            if args.state_version is not None:
+                # caller-pinned version: re-running the same batch
+                # overwrites the same version — exactly-once under
+                # retries (date-derived versions are the natural choice
+                # for a daily job)
+                standing_version = int(args.state_version)
+            else:
+                # auto mode is AT-LEAST-ONCE: the version comes from a
+                # directory listing, so re-running an already-committed
+                # batch folds it in again — pass --state-version for
+                # retry-safe runs (single writer either way)
+                ids = _committed_summary_batches(args.state)
+                standing_version = (ids[-1] + 1) if ids else 0
             summary_apply_batch(
                 args.state,
-                df,
+                batch_stats,
                 standing_version,
-                lambda b: profile_column_stats(
-                    b, cols, keep_sketches=True
-                ),
+                lambda b: b,  # already the stats table — no rescan
                 merge_column_stats,
             )
             stats = latest_summary(spark, args.state).collect()
         else:
+            for name, d in prof.items():
+                d.write.mode("overwrite").parquet(
+                    os.path.join(args.output, name)
+                )
             # the stats table is O(width) rows — a bounded driver read
             # for the operator-facing summary line
             stats = spark.read.parquet(

@@ -679,70 +679,15 @@ def mg_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
             f"Misra-Gries states have different k ({ka} vs {kb}) — "
             "their error budgets are not comparable"
         )
-    k = ka or kb
-    tagged = a.select(
-        *keys, "item", "n_lo", "mg_n", "mg_delta", F.lit(0).alias("_side")
-    ).unionByName(
-        b.select(
-            *keys, "item", "n_lo", "mg_n", "mg_delta",
-            F.lit(1).alias("_side"),
-        )
+    # a two-way merge IS a rollup: tag each input as one value of an
+    # extra key column and roll that column away — ONE copy of the
+    # subtle budget/compress/sentinel machinery instead of two that
+    # must be kept in sync
+    cols = [*keys, "item", "n_lo", "mg_n", "mg_delta", "mg_k"]
+    tagged = a.select(*cols, F.lit(0).alias("_side")).unionByName(
+        b.select(*cols, F.lit(1).alias("_side"))
     )
-    # per-key error budget / total: one (mg_n, mg_delta) value per side
-    # per key (they ride every row including the sentinel), summed
-    # ACROSS sides — max within a side, sum between them
-    meta = (
-        tagged.groupBy(*keys, "_side")
-        .agg(F.max("mg_n").alias("_n"), F.max("mg_delta").alias("_d"))
-        .groupBy(*keys)
-        .agg(
-            F.sum("_n").alias("mg_n"), F.sum("_d").alias("_d_in")
-        )
-    )
-    summed = (
-        tagged.where(F.col("item").isNotNull())
-        .groupBy(*keys, "item")
-        .agg(F.sum("n_lo").alias("_c"))
-    )
-    ranked = _mg_compress(summed, keys, k, "item").withColumnRenamed(
-        "_d", "_d_new"
-    )
-    survivors = (
-        ranked.filter((F.col("_rn") <= k) & (F.col("_c") > F.col("_d_new")))
-        .select(
-            *keys,
-            "item",
-            (F.col("_c") - F.col("_d_new")).alias("n_lo"),
-            F.col("_d_new"),
-        )
-        .join(meta, list(keys))
-        .select(
-            *keys, "item", "n_lo", "mg_n",
-            (F.col("_d_in") + F.col("_d_new")).alias("mg_delta"),
-        )
-    )
-    # keys can lose every item in the re-compress (or have had none on
-    # either side): the sentinel keeps their budget alive
-    d_new_per_key = ranked.groupBy(*keys).agg(
-        F.max("_d_new").alias("_d_new")
-    )
-    item_type = a.schema["item"].dataType
-    sentinel = (
-        meta.join(d_new_per_key, list(keys), "left")
-        .select(
-            *keys,
-            F.lit(None).cast(item_type).alias("item"),
-            F.lit(0).cast("long").alias("n_lo"),
-            "mg_n",
-            (
-                F.col("_d_in")
-                + F.coalesce(F.col("_d_new"), F.lit(0).cast("long"))
-            ).alias("mg_delta"),
-        )
-    )
-    return survivors.unionByName(sentinel).withColumn(
-        "mg_k", F.lit(int(k))
-    )
+    return mg_rollup(tagged, list(keys))
 
 
 def mg_heavy_hitters(
@@ -849,6 +794,10 @@ def mg_rollup(state: DataFrame, keys_out: list[str]) -> DataFrame:
         .agg(F.max("mg_n").alias("_n"), F.max("mg_delta").alias("_d"))
         .groupBy(*keys_out)
         .agg(F.sum("_n").alias("mg_n"), F.sum("_d").alias("_d_in"))
+        # empty input + empty keys_out: the global agg yields one
+        # all-NULL row — dropping it keeps empty-in → empty-out (a
+        # NULL-total sentinel would violate the state invariant)
+        .filter(F.col("mg_n").isNotNull())
     )
     summed = (
         state.where(F.col("item").isNotNull())
@@ -916,24 +865,37 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
     one scan each answer it in milliseconds. Cost: joining two ≤
     depth×width tables — driver-free, broadcastable.
 
-    Returns a 1-row DataFrame ``(est_join_rows long)``. Raises on
-    mismatched (depth, width) — inner products across different grids
-    are meaningless."""
+    Returns a 1-row DataFrame ``(est_join_rows double)`` — double, not
+    long: at the scales this guards, one whale cell's product can pass
+    2^63 (1e10 × 1e10), where a long inner product would overflow the
+    very estimate that exists to catch the explosion; double keeps the
+    magnitude (the decision signal) at any scale. Raises on mismatched
+    (depth, width) — inner products across different grids are
+    meaningless."""
     pa, pb = _cms_params(a), _cms_params(b)
     if pa != (0, 0) and pb != (0, 0) and pa != pb:
         raise ValueError(
             f"count-min states have different shapes {pa} vs {pb} — "
             "their inner product is meaningless"
         )
+    depth = pa[0] or pb[0]
     prod = a.select("d", "pos", F.col("n").alias("_na")).join(
         b.select("d", "pos", F.col("n").alias("_nb")),
         ["d", "pos"],
     )
     per_depth = prod.groupBy("d").agg(
-        F.sum(F.col("_na") * F.col("_nb")).alias("_ip")
+        F.sum(
+            F.col("_na").cast("double") * F.col("_nb").cast("double")
+        ).alias("_ip")
     )
-    return per_depth.agg(
-        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias(
-            "est_join_rows"
-        )
+    # a depth whose occupied cells never collide contributes NO row to
+    # per_depth — but its true inner product is 0, exactly the minimum
+    # that proves the join is small; the depth spine restores it (and
+    # keeps the 1−e^−depth confidence at the full depth)
+    spine = a.sparkSession.range(max(depth, 1)).select(
+        F.col("id").cast("int").alias("d")
     )
+    filled = spine.join(per_depth, "d", "left").select(
+        F.coalesce("_ip", F.lit(0.0)).alias("_ip")
+    )
+    return filled.agg(F.min("_ip").alias("est_join_rows"))

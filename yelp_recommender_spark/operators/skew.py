@@ -218,17 +218,20 @@ def detect_skew(
     ≤ buckets·(k+1) surviving rows. Bounded state whatever the key
     cardinality, one scan of ``df`` — cheap enough to run as a guard
     in front of the expensive shuffle it is protecting."""
+    from yelp_recommender_spark.operators.profile import _c
     from yelp_recommender_spark.operators.sketch import (
         mg_heavy_hitters,
         mg_rollup,
         mg_state,
     )
 
+    # hostile-name-safe references (plain F.col PARSEs names: a dotted
+    # or backticked key column would misbind or break — profile.py's
+    # convention), and the bucket hash takes the struct itself
     keyed = df.select(
-        F.struct(*[F.col(c) for c in key_cols]).alias("_key")
+        F.struct(*[_c(df, c).alias(c) for c in key_cols]).alias("_key")
     ).withColumn(
-        "_b", F.pmod(F.xxhash64(*[f"_key.{c}" for c in key_cols]),
-                     F.lit(int(n_buckets)))
+        "_b", F.pmod(F.xxhash64(F.col("_key")), F.lit(int(n_buckets)))
     )
     partial = mg_state(keyed, ["_b"], "_key", k=k)
     hh = mg_heavy_hitters(mg_rollup(partial, []), min_frac=min_frac)
