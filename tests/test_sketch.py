@@ -831,3 +831,51 @@ def test_cms_join_size_survives_whale_products_past_long_range(spark):  # noqa: 
         cms_state(one, "item", depth=3, width=64, weight_col="w"),
     ).collect()[0].est_join_rows
     assert est == float(w) * float(w)
+
+
+def test_skew_check_cli(spark, tmp_path):  # noqa: F811
+    import contextlib
+    import io
+    import json as _json
+
+    import pytest as _pytest
+
+    from yelp_recommender_spark.cli import main
+
+    skewed = str(tmp_path / "skewed.parquet")
+    spark.range(10_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit(42))
+        .otherwise(F.pmod(F.xxhash64("id"), 3_000) + 100)
+        .alias("user_id")
+    ).write.parquet(skewed)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with _pytest.raises(SystemExit) as exc:
+            main(
+                [
+                    "skew-check", "--input", skewed,
+                    "--keys", "user_id", "--min-frac", "0.05",
+                ]
+            )
+    assert exc.value.code == 3  # whales found -> gateable nonzero exit
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_whales"] == 1
+    assert report["whales"][0]["user_id"] == "42"
+    assert report["whales"][0]["frac_lo"] <= 0.25 <= report["whales"][0]["frac_hi"]
+
+    uniform = str(tmp_path / "uniform.parquet")
+    spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), 3_000).alias("user_id")
+    ).write.parquet(uniform)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(
+            [
+                "skew-check", "--input", uniform,
+                "--keys", "user_id", "--min-frac", "0.05",
+            ]
+        )  # clean exit: no whales
+    assert _json.loads(buf.getvalue().strip().splitlines()[-1])[
+        "n_whales"
+    ] == 0

@@ -633,6 +633,20 @@ def main(argv: list[str] | None = None) -> None:
         "newest-committed+1, which double-counts a re-run of an "
         "already-committed batch (at-least-once)",
     )
+    sk = sub.add_parser(
+        "skew-check",
+        help="whale-key guard: one bounded-state scan reports every "
+        "key holding >= --min-frac of the rows (guaranteed detection "
+        "above min_frac + 1/(k+1), exact-interval bounds); exit 3 "
+        "when whales are found — cron it in front of the expensive "
+        "join/aggregate it protects",
+    )
+    sk.add_argument("--input", required=True, help="parquet table path")
+    sk.add_argument(
+        "--keys", required=True, help="comma-separated key columns"
+    )
+    sk.add_argument("--min-frac", type=float, default=0.01)
+    sk.add_argument("--k", type=_pos_int, default=256)
     mt = sub.add_parser(
         "maintain",
         help="maintenance: table small-file compaction (+ optional "
@@ -775,6 +789,39 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(report, sort_keys=True))
         if failed:
             raise SystemExit(2)
+        return
+    if args.cmd == "skew-check":
+        from yelp_recommender_spark.operators.skew import detect_skew
+
+        spark = get_spark(app_name="yelp_recommender_skew_check")
+        keys = [c.strip() for c in args.keys.split(",") if c.strip()]
+        whales = detect_skew(
+            spark.read.parquet(args.input),
+            keys,
+            min_frac=args.min_frac,
+            k=args.k,
+        ).collect()  # bounded: at most k rows survive the summary
+        print(
+            json.dumps(
+                {
+                    "n_whales": len(whales),
+                    "min_frac": args.min_frac,
+                    "whales": [
+                        {
+                            **{c: str(r[c]) for c in keys},
+                            "n_lo": int(r.n_lo),
+                            "n_hi": int(r.n_hi),
+                            "frac_lo": round(float(r.frac_lo), 6),
+                            "frac_hi": round(float(r.frac_hi), 6),
+                        }
+                        for r in whales
+                    ],
+                },
+                sort_keys=True,
+            )
+        )
+        if whales:
+            raise SystemExit(3)
         return
     if args.cmd == "profile":
         from yelp_recommender_spark.operators.profile import profile_table
