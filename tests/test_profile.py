@@ -318,3 +318,78 @@ def test_profile_cli_pinned_state_version_is_retry_safe(spark, tmp_path):  # noq
         retry["columns"]["u"]["approx_distinct"]
         == first["columns"]["u"]["approx_distinct"]
     )
+
+
+def test_merge_ignores_all_null_side_minmax(spark):  # noqa: F811
+    """r9 ADVICE regression: merging a side whose numeric column is
+    all-NULL must not NULL out the merged min/max — the fold key is
+    guarded on non-null so the aggregate skips the null side exactly
+    like F.min/F.max do natively on a whole rescan."""
+    from yelp_recommender_spark.operators.profile import (
+        merge_column_stats,
+        profile_column_stats,
+    )
+
+    a = spark.createDataFrame([(5.0,), (7.0,)], "v double")
+    b = spark.createDataFrame(
+        [(None,), (None,)], "v double"
+    )
+    sa = profile_column_stats(a, keep_sketches=True)
+    sb = profile_column_stats(b, keep_sketches=True)
+    for merged_df in (
+        merge_column_stats(sa, sb),
+        merge_column_stats(sb, sa),  # order-independent
+    ):
+        r = merged_df.collect()[0]
+        assert (r.min_value, r.max_value) == ("5.0", "7.0")
+        assert r.n_rows == 4 and r.n_nonnull == 2
+    # merge-equals-build: a whole rescan of the union agrees
+    whole = profile_column_stats(a.unionByName(b)).collect()[0]
+    assert (whole.min_value, whole.max_value) == ("5.0", "7.0")
+
+
+def test_profile_skips_minmax_on_non_orderable_types(spark):  # noqa: F811
+    """r9 ADVICE regression: a MapType column must not fail the whole
+    profile — min/max are NULL for it, every orderable column is still
+    profiled, and counts/distincts cover the map column too."""
+    from yelp_recommender_spark.operators.profile import (
+        profile_column_stats,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2}), (3, None)],
+        "id int, m map<string,int>",
+    )
+    stats = {r.column: r for r in profile_column_stats(df).collect()}
+    assert stats["id"].min_value == "1" and stats["id"].max_value == "3"
+    assert stats["m"].min_value is None and stats["m"].max_value is None
+    assert stats["m"].n_nonnull == 2
+    assert stats["m"].approx_distinct == 2
+    # profile_table with columns=None (the default-everything path the
+    # ADVICE flagged) completes end-to-end
+    prof = profile_table(df)
+    assert prof["columns"].count() == 2
+
+
+def test_summary_apply_batch_rejects_keep_last_below_two(spark, tmp_path):  # noqa: F811
+    """r9 ADVICE regression: keep_last=1 on the directly-callable step
+    would vacuum the replay anchor; the guard now lives on
+    summary_apply_batch itself, not only the summary_stream wrapper."""
+    import pytest
+
+    from yelp_recommender_spark.operators.sketch import hll_state, hll_merge
+    from yelp_recommender_spark.streaming.ops import summary_apply_batch
+
+    b0 = spark.range(0, 10).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+
+    def build_fn(df):
+        return hll_state(df, ["g"], "v")
+
+    with pytest.raises(ValueError, match="keep_last"):
+        summary_apply_batch(
+            str(tmp_path / "state"), b0, 0, build_fn, hll_merge,
+            keep_last=1,
+        )

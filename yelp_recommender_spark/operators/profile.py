@@ -89,6 +89,20 @@ def _kind(dt: T.DataType) -> str:
     return "numeric" if isinstance(dt, _NUMERIC) else "other"
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can apply min/max to the type. MapType (at any
+    nesting depth) and VariantType are not orderable — min/max over
+    them raises an AnalysisException, which with ``columns=None``
+    would fail the WHOLE profile for one awkward column."""
+    if isinstance(dt, T.MapType) or type(dt).__name__ == "VariantType":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def profile_column_stats(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -113,16 +127,25 @@ def profile_column_stats(
     :func:`merge_column_stats`."""
     cols = columns or df.columns
     kinds = {f.name: _kind(f.dataType) for f in df.schema.fields}
+    types = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         s = _c(df, c).cast("string")
+        if _orderable(types.get(c, T.StringType())):
+            mn = F.min(_c(df, c)).cast("string")
+            mx = F.max(_c(df, c)).cast("string")
+        else:
+            # min/max is undefined for non-orderable types (maps,
+            # variants) — record NULL rather than failing the profile
+            mn = F.lit(None).cast("string")
+            mx = F.lit(None).cast("string")
         aggs += [
             F.count(_c(df, c)).alias(f"nn_{c}"),
             F.hll_sketch_agg(s, F.lit(int(lg_k))).alias(f"hll_{c}"),
             # min/max on the NATIVE type, rendered to string after — a
             # string-cast min would be lexicographic ("100" < "99")
-            F.min(_c(df, c)).cast("string").alias(f"min_{c}"),
-            F.max(_c(df, c)).cast("string").alias(f"max_{c}"),
+            mn.alias(f"min_{c}"),
+            mx.alias(f"max_{c}"),
         ]
     one = df.agg(*aggs)
     stacked = ", ".join(
@@ -168,14 +191,22 @@ def merge_column_stats(a: DataFrame, b: DataFrame) -> DataFrame:
                 "materialized approx_distinct cannot be merged"
             )
     both = a.unionByName(b)
+    # Guard the fold key on non-null: an all-NULL side would otherwise
+    # contribute a NON-null struct of null fields, and struct ordering
+    # sorts null fields first, so F.min would pick the null struct and
+    # the merged min would become NULL — disagreeing with a rescan
+    # (F.min natively ignores nulls). A NULL key is skipped like F.min
+    # skips NULL values.
     num_min = F.when(
-        F.col("value_kind") == "numeric",
+        (F.col("value_kind") == "numeric")
+        & F.col("min_value").isNotNull(),
         F.struct(
             F.expr("try_cast(min_value as double)"), F.col("min_value")
         ),
     )
     num_max = F.when(
-        F.col("value_kind") == "numeric",
+        (F.col("value_kind") == "numeric")
+        & F.col("max_value").isNotNull(),
         F.struct(
             F.expr("try_cast(max_value as double)"), F.col("max_value")
         ),

@@ -764,6 +764,18 @@ def summary_apply_batch(
     checkpoint and the state dir must travel together
     (:func:`summary_stream` co-locates them for exactly this
     reason)."""
+    if keep_last < 2:
+        # enforced HERE, not just on the summary_stream wrapper: this
+        # step is directly callable (and reachable via the profile
+        # CLI's --state path), and keep_last=1 would vacuum the replay
+        # anchor M right after commit — a retried batch N then finds
+        # no prior < N and silently rebuilds the summary from that one
+        # batch, discarding everything accumulated before it
+        raise ValueError(
+            "keep_last must be >= 2: a replayed batch reads the "
+            "PREVIOUS committed version, and vacuuming it would "
+            "silently rebuild the summary from one batch"
+        )
     spark = batch_df.sparkSession
     ids = _committed_summary_batches(state_path)
     if ids and batch_id < ids[-1]:
