@@ -247,6 +247,12 @@ def test_curate_corpus_end_to_end(spark, tmp_path):  # noqa: F811
     assert docs.count() == report["n_curated"]
     # benchmark source fully excluded from the training corpus
     assert docs.filter(F.col("source") == "src0").count() == 0
+    # the decontam gram join consulted the sketch-backed planner and
+    # the decision is in the report (test-scale benchmark gram set is
+    # small → broadcast, decided without scanning the training side)
+    plan = report["decontam_join_plan"]
+    assert plan is not None and plan["strategy"] == "broadcast"
+    assert plan["n_right"] > 0
     # no exact duplicates survive
     assert (
         docs.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count()

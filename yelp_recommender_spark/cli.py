@@ -647,6 +647,25 @@ def main(argv: list[str] | None = None) -> None:
     )
     sk.add_argument("--min-frac", type=float, default=0.01)
     sk.add_argument("--k", type=_pos_int, default=256)
+    ej = sub.add_parser(
+        "explain-join",
+        help="sketch-backed join planner: estimate an equi-join's "
+        "output cardinality (count-min inner product) and per-side "
+        "whale bounds BEFORE running it; prints the plan JSON "
+        "(broadcast/salted/shuffle strategy + explosion warning) and "
+        "exits 3 on an explosion verdict — the pre-flight for any "
+        "many-to-many-risk join",
+    )
+    ej.add_argument("--left", required=True, help="left/big parquet path")
+    ej.add_argument(
+        "--right", required=True, help="right/replica-side parquet path"
+    )
+    ej.add_argument(
+        "--on", required=True, help="comma-separated join key columns"
+    )
+    ej.add_argument("--broadcast-rows", type=_pos_int, default=1_000_000)
+    ej.add_argument("--explosion-factor", type=float, default=4.0)
+    ej.add_argument("--whale-frac", type=float, default=0.10)
     mt = sub.add_parser(
         "maintain",
         help="maintenance: table small-file compaction (+ optional "
@@ -821,6 +840,23 @@ def main(argv: list[str] | None = None) -> None:
             )
         )
         if whales:
+            raise SystemExit(3)
+        return
+    if args.cmd == "explain-join":
+        from yelp_recommender_spark.operators.joinplan import join_plan
+
+        spark = get_spark(app_name="yelp_recommender_explain_join")
+        keys = [c.strip() for c in args.on.split(",") if c.strip()]
+        plan = join_plan(
+            spark.read.parquet(args.left),
+            spark.read.parquet(args.right),
+            keys,
+            broadcast_rows=args.broadcast_rows,
+            explosion_factor=args.explosion_factor,
+            whale_frac=args.whale_frac,
+        )
+        print(json.dumps(plan, sort_keys=True))
+        if plan["explosion"]:
             raise SystemExit(3)
         return
     if args.cmd == "profile":

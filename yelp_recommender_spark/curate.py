@@ -1029,18 +1029,37 @@ def curate_corpus(
         deduped = deduped.join(flagged, "doc_id", "left_anti")
 
     # ---- optional benchmark decontamination ----------------------------
+    decontam_join_plan: dict | None = None
     if benchmark_source is not None:
+        from yelp_recommender_spark.operators.joinplan import planned_join
+
         grams = deduped.filter(F.size("toks") >= decontam_gram_n).select(
             "doc_id",
             "source",
             F.explode(distinct_ngrams("toks", decontam_gram_n)).alias("gram"),
         )
-        bench_grams = grams.filter(
-            F.col("source") == benchmark_source
-        ).select("gram").distinct()
+        # persisted boundary: the planner counts the benchmark gram set
+        # before the join consumes it — one distinct computation, not two
+        bench_grams = register_persist(
+            grams.filter(F.col("source") == benchmark_source)
+            .select("gram")
+            .distinct()
+        )
+        # the one many-to-many-risk join in the pipeline: common grams
+        # repeat across training docs AND can be hot keys. The planner
+        # decides broadcast/salted/shuffle from the benchmark set's
+        # size and (when not broadcastable) the count-min evidence —
+        # results identical either way; the decision lands in the
+        # run report for budgeting the next run
+        decontam_join_plan = {}
         contaminated = (
-            grams.filter(F.col("source") != benchmark_source)
-            .join(bench_grams, "gram", "left_semi")
+            planned_join(
+                grams.filter(F.col("source") != benchmark_source),
+                bench_grams,
+                "gram",
+                how="left_semi",
+                decision_out=decontam_join_plan,
+            )
             .select("doc_id")
             .distinct()
         )
@@ -1228,6 +1247,7 @@ def curate_corpus(
         else 0,
         "seq_len": seq_len,
         "benchmark_source": benchmark_source,
+        "decontam_join_plan": decontam_join_plan,
     }
 
     # the pipeline run is its own cache boundary: every output is on disk

@@ -1,0 +1,198 @@
+"""Sketch-backed join planning: decide broadcast vs shuffle vs salted —
+and catch a join about to EXPLODE — *before* paying for the join.
+
+Catalyst already picks broadcast-hash vs sort-merge from size stats,
+and AQE re-plans from runtime shuffle sizes. What neither gives you at
+100 TB is the OUTPUT cardinality of a many-to-many equi-join before
+the shuffle runs: a gram/band/key join whose hot keys multiply can
+produce 1000× its inputs, and the first sign is an executor OOM an
+hour in. The count-min join-size estimator
+(:func:`~yelp_recommender_spark.operators.sketch.cms_join_size`,
+Cormode & Muthukrishnan) answers exactly that from two bounded grids
+built in one scan per side.
+
+:func:`join_plan` is deliberately LAZY about cost, in escalation
+order, because the planner must stay much cheaper than the join it
+protects:
+
+1. Count the RIGHT side only (the candidate broadcast/replica side).
+   At or under ``broadcast_rows`` the decision is already made —
+   broadcast — and the big left side is never scanned by the planner.
+2. Otherwise build a count-min grid over the join key on each side
+   (ONE scan per side, bounded depth×width state), and derive from
+   the grids alone: exact non-null row counts (the d=0 row of each
+   grid), the one-sided join-output estimate (min-over-depths inner
+   product), and a one-sided upper bound on each side's heaviest key
+   (min over depths of the max cell — every depth's max cell ≥ the
+   true max key count). No second scan, no per-key state.
+
+The decision record is a plain dict (everything the planner collected
+is sketch-sized — the documented bounded-``collect`` contract);
+:func:`planned_join` executes it: ``broadcast`` → broadcast-hint join,
+``salted`` → :func:`~yelp_recommender_spark.operators.skew.salted_join`
+(hot left keys spread over n_salts reducers), ``shuffle`` → plain
+join. The result is IDENTICAL to ``left.join(right, on, how)`` in all
+three cases — the plan changes the physical shape only.
+
+Production consumers: the curate pipeline's decontamination gram join
+(`curate.py` — the one many-to-many-risk join in the pipeline, its
+decision recorded in the run report) and the ``explain-join`` CLI
+(exit 3 on an explosion verdict, like ``skew-check``).
+
+No reference counterpart — the reference joins driver-side dicts
+(`models/item_cf_model.py:53`); this is the planning surface those
+workloads need the moment they distribute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yelp_recommender_spark.operators.sketch import cms_join_size, cms_state
+
+__all__ = ["join_plan", "planned_join"]
+
+_KEY = "_jp_key"
+
+
+def _keyed(df: DataFrame, keys: list[str]) -> DataFrame:
+    """The join key as ONE column: a bare column for a single key (so
+    the grid hashes the value itself), a struct for composite keys.
+    Rows with any NULL key component are dropped to match equi-join
+    semantics (NULL never matches)."""
+    from yelp_recommender_spark.operators.profile import _c
+
+    cond = None
+    for k in keys:
+        c = _c(df, k).isNotNull()
+        cond = c if cond is None else (cond & c)
+    if len(keys) == 1:
+        col = _c(df, keys[0])
+    else:
+        col = F.struct(*[_c(df, k).alias(k) for k in keys])
+    return df.where(cond).select(col.alias(_KEY))
+
+
+def _grid_scalars(state: DataFrame) -> tuple[int, float]:
+    """(n_rows, max_key_upper) off a CMS grid, no input rescan: the
+    d=0 row sums to the exact non-null row count (every row increments
+    exactly one cell per depth), and min-over-depths of the max cell
+    is a one-sided upper bound on the heaviest key's count (each
+    depth's max cell ≥ the true max; collisions only raise it)."""
+    rows = state.groupBy("d").agg(
+        F.sum("n").alias("_n"), F.max("n").alias("_mx")
+    ).collect()  # bounded: one row per depth
+    if not rows:
+        return 0, 0.0
+    n = int(rows[0]["_n"])  # identical at every depth
+    return n, float(min(int(r["_mx"]) for r in rows))
+
+
+def join_plan(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    broadcast_rows: int = 1_000_000,
+    explosion_factor: float = 4.0,
+    whale_frac: float = 0.10,
+    depth: int = 5,
+    width: int = 8192,
+) -> dict:
+    """Plan an equi-join of ``left`` (the big/preserved side) against
+    ``right`` (the candidate broadcast/replica side) on ``on``.
+
+    Returns a dict with ``strategy`` ∈ ``broadcast | salted |
+    shuffle``, ``explosion`` (True when the estimated output exceeds
+    ``explosion_factor ×`` the combined input rows — the join is a
+    multiplier, not a filter), and the evidence: ``n_left``/``n_right``
+    (non-null-key rows; ``n_left`` is None when step 1 decided without
+    scanning the left side), ``est_join_rows`` (one-sided — never an
+    underestimate beyond CMS collisions), ``amplification``, and
+    ``max_key_frac_left/right`` (one-sided upper bounds).
+
+    ``explosion`` is a WARNING flag orthogonal to the strategy: an
+    exploding join may still have to run (decontamination does), but
+    the caller gets to budget — or refuse — with the estimate in hand.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    n_right = _keyed(right, keys).count()
+    plan: dict = {
+        "on": keys,
+        "n_right": int(n_right),
+        "n_left": None,
+        "est_join_rows": None,
+        "amplification": None,
+        "max_key_frac_left": None,
+        "max_key_frac_right": None,
+        "explosion": False,
+        "thresholds": {
+            "broadcast_rows": int(broadcast_rows),
+            "explosion_factor": float(explosion_factor),
+            "whale_frac": float(whale_frac),
+        },
+    }
+    if n_right <= broadcast_rows:
+        # decided without ever scanning the left side — the planner's
+        # cost must stay far below the join's
+        plan["strategy"] = "broadcast"
+        return plan
+
+    ga = cms_state(_keyed(left, keys), _KEY, depth=depth, width=width)
+    gb = cms_state(_keyed(right, keys), _KEY, depth=depth, width=width)
+    n_left, max_l = _grid_scalars(ga)
+    _, max_r = _grid_scalars(gb)
+    est = float(
+        cms_join_size(ga, gb).collect()[0]["est_join_rows"]
+    )
+    plan["n_left"] = n_left
+    plan["est_join_rows"] = est
+    denom = max(n_left + n_right, 1)
+    plan["amplification"] = est / denom
+    plan["max_key_frac_left"] = max_l / max(n_left, 1)
+    plan["max_key_frac_right"] = max_r / max(n_right, 1)
+    plan["explosion"] = est > explosion_factor * denom
+    plan["strategy"] = (
+        "salted"
+        if plan["max_key_frac_left"] >= whale_frac
+        else "shuffle"
+    )
+    return plan
+
+
+def planned_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    *,
+    plan: dict | None = None,
+    n_salts: int = 8,
+    decision_out: dict | None = None,
+    **plan_kw,
+) -> DataFrame:
+    """``left.join(right, on, how)`` with the physical shape chosen by
+    :func:`join_plan`: identical rows whichever path runs (the q71
+    salting-invisible contract). ``plan`` short-circuits re-planning
+    when the caller already has one; ``decision_out`` (a caller dict,
+    updated in place) exposes the decision for reports and tests.
+
+    Left-preserving joins only (inner/left/left_semi/left_anti) — the
+    same contract as ``salted_join``, and the broadcast hint also
+    builds on the right side."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if plan is None:
+        plan = join_plan(left, right, keys, **plan_kw)
+    if decision_out is not None:
+        decision_out.update(plan)
+    strategy = plan["strategy"]
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), keys, how)
+    if strategy == "salted":
+        from yelp_recommender_spark.operators.skew import salted_join
+
+        return salted_join(left, right, keys, n_salts=n_salts, how=how)
+    return left.join(right, keys, how)
