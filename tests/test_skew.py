@@ -102,3 +102,97 @@ def test_salted_aggregate_rejects_non_decomposable(skewed):
 
     with pytest.raises(ValueError, match="unsupported"):
         salted_aggregate(skewed, ["k"], {"d": ("v", "count_distinct")})
+
+
+# ------------------------------------------------------- auto (detect) mode
+def test_auto_aggregate_plants_whale_flips_plan(spark, skewed):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.skew import (
+        _plain_aggregate,
+        salted_aggregate,
+    )
+
+    aggs = {
+        "n": ("*", "count"),
+        "total": ("v", "dsum"),
+        "mean": ("v", "avg"),
+        "lo": ("v", "min"),
+    }
+    expected = sorted(
+        tuple(r) for r in _plain_aggregate(skewed, ["k"], aggs).collect()
+    )
+
+    # planted whale (key 1 holds ~99.6% of rows) above a lowered floor:
+    # the guard ENGAGES and the two-stage plan runs
+    whale_out = {}
+    got = salted_aggregate(
+        skewed, ["k"], aggs,
+        n_salts="auto", whale_min_rows=100, decision_out=whale_out,
+    )
+    assert whale_out["plan"] == "salted" and whale_out["engaged"]
+    assert whale_out["max_frac_hi"] >= 0.9
+    assert sorted(tuple(r) for r in got.collect()) == expected
+
+    # uniform keys: untouched — the one-stage plan runs, same results
+    uni = spark.range(2_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    uni_expected = sorted(
+        tuple(r) for r in _plain_aggregate(uni, ["k"], aggs).collect()
+    )
+    uni_out = {}
+    got = salted_aggregate(
+        uni, ["k"], aggs,
+        n_salts="auto", whale_min_rows=100, decision_out=uni_out,
+    )
+    assert uni_out["plan"] == "plain" and not uni_out["engaged"]
+    assert sorted(tuple(r) for r in got.collect()) == uni_expected
+
+    # default floor sits ABOVE the measured range: the planted whale
+    # alone does not engage it (the r6 negative is the default)
+    dflt = {}
+    salted_aggregate(skewed, ["k"], aggs, n_salts="auto", decision_out=dflt)
+    assert dflt["plan"] == "plain"
+
+
+def test_auto_join_plants_whale_flips_plan(spark, skewed, dim):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.skew import salted_join
+
+    expected = sorted(tuple(r) for r in skewed.join(dim, "k").collect())
+
+    whale_out = {}
+    got = salted_join(
+        skewed, dim, "k",
+        n_salts="auto", whale_min_rows=100, decision_out=whale_out,
+    )
+    assert whale_out["plan"] == "salted"
+    assert sorted(tuple(r) for r in got.select("k", "v", "label").collect()) \
+        == expected
+
+    uni = spark.range(2_000).select(
+        (F.col("id") % 4 + 1).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    # 4 keys at 25% each: above whale_frac=0.10 but below the row floor
+    uni_out = {}
+    got = salted_join(
+        uni, dim, "k",
+        n_salts="auto", whale_min_rows=10_000, decision_out=uni_out,
+    )
+    assert uni_out["plan"] == "plain"
+    assert got.count() == uni.join(dim, "k").count()
+
+
+def test_auto_rejects_garbage_n_salts(skewed, dim):
+    from yelp_recommender_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_aggregate(skewed, ["k"], {"n": ("*", "count")}, n_salts="yes")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(skewed, dim, "k", n_salts="detect")

@@ -1183,13 +1183,24 @@ def curate_corpus(
             _write_embedding_meta(embedding_index_dir, emb_family)
         _commit_all(pending_commits)
 
-    mixture = mixture_weights(
-        curated.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        ),
-        mixture_alpha,
-    ).select("source", "n_docs", "n_tokens", "mix_weight")
+    # per-source totals through the skew auto guard: a 100-TB corpus
+    # always has a whale source, and the guard (one bounded-state scan
+    # of the persisted survivors) records the evidence in the report;
+    # for these decomposable aggregates the measured remedy is almost
+    # always the plain plan — results identical either way
+    from yelp_recommender_spark.operators.skew import salted_aggregate
+
+    mixture_agg_plan: dict = {}
+    per_source = salted_aggregate(
+        curated,
+        ["source"],
+        {"n_docs": ("*", "count"), "n_tokens": ("n_tokens", "sum")},
+        n_salts="auto",
+        decision_out=mixture_agg_plan,
+    ).withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+    mixture = mixture_weights(per_source, mixture_alpha).select(
+        "source", "n_docs", "n_tokens", "mix_weight"
+    )
     mixture.write.mode("overwrite").parquet(
         os.path.join(output_dir, "mixture")
     )
@@ -1248,6 +1259,7 @@ def curate_corpus(
         "seq_len": seq_len,
         "benchmark_source": benchmark_source,
         "decontam_join_plan": decontam_join_plan,
+        "mixture_agg_plan": mixture_agg_plan,
     }
 
     # the pipeline run is its own cache boundary: every output is on disk

@@ -102,19 +102,61 @@ def with_salt(
     )
 
 
+def _whale_guard(
+    df: DataFrame,
+    keys: Sequence[str],
+    whale_frac: float,
+    whale_min_rows: int,
+) -> dict:
+    """The detector half of the auto loop: one bounded-state scan
+    (:func:`detect_skew`), engage when some key holds both ≥
+    ``whale_frac`` of the rows AND ≥ ``whale_min_rows`` rows — the
+    fraction alone flags small tables whose 'whale' fits one task
+    trivially; the absolute floor is the measured crossover / memory
+    cliff. Returns the decision record (bounded: ≤ k whale rows)."""
+    whales = detect_skew(df, list(keys), min_frac=whale_frac).collect()
+    over = [r for r in whales if int(r.n_hi) >= whale_min_rows]
+    return {
+        "engaged": bool(over),
+        "n_whales": len(whales),
+        "max_frac_hi": max(
+            (float(r.frac_hi) for r in whales), default=0.0
+        ),
+        "max_n_hi": max((int(r.n_hi) for r in whales), default=0),
+        "thresholds": {
+            "whale_frac": float(whale_frac),
+            "whale_min_rows": int(whale_min_rows),
+        },
+    }
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: str | Sequence[str],
-    n_salts: int = 8,
+    n_salts: int | str = 8,
     how: str = "inner",
     salt_cols: Sequence[str] | None = None,
+    whale_frac: float = 0.10,
+    whale_min_rows: int = 10_000_000,
+    auto_salts: int = 8,
+    decision_out: dict | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: identical results to
     ``big.join(small, on, how)`` with the big side's hot keys spread over
     ``n_salts`` reducers. The small side is replicated ``n_salts``× (an
     explode over literal salts — map-only), so size it like a broadcast
     candidate that just misses the threshold.
+
+    ``n_salts="auto"`` closes the detect→remedy loop: the Misra-Gries
+    whale guard (one bounded-state scan of ``big``) decides, and the
+    plan salts ONLY when a key holds ≥ ``whale_frac`` of the rows and ≥
+    ``whale_min_rows`` rows (the replication tax is real — don't pay it
+    for uniform keys); otherwise the join runs plain. Results are
+    identical either way (the q71 salting-invisible contract);
+    ``decision_out`` (caller dict, updated in place) records which path
+    ran and the whale evidence. The guard costs one extra scan of
+    ``big`` — pass an int when the skew profile is already known.
 
     Only left-preserving joins are supported (inner/left/left_semi/
     left_anti): each big row carries exactly ONE salt, so it matches or
@@ -127,6 +169,18 @@ def salted_join(
             " once per salt replica"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    if n_salts == "auto":
+        decision = _whale_guard(
+            big, salt_cols or keys, whale_frac, whale_min_rows
+        )
+        decision["plan"] = "salted" if decision["engaged"] else "plain"
+        if decision_out is not None:
+            decision_out.update(decision)
+        if not decision["engaged"]:
+            return big.join(small, keys, how)
+        n_salts = auto_salts
+    elif not isinstance(n_salts, int):
+        raise ValueError(f"n_salts must be an int or 'auto', got {n_salts!r}")
     salted_big = with_salt(big, n_salts, cols=salt_cols or keys)
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -138,12 +192,54 @@ def salted_join(
 _DECOMP = {"sum", "count", "min", "max", "dsum", "avg"}
 
 
+def _plain_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """One-stage ``groupBy(keys).agg(...)`` from the same spec language
+    as :func:`salted_aggregate` — the plan the auto guard picks when no
+    whale justifies the two-stage shuffle. Value-identical to the
+    salted plan: ``dsum``/``avg`` go through the same exact-decimal
+    sums, so plan choice cannot perturb the result."""
+    cols: list[Column] = []
+    for out, (col, fn) in aggs.items():
+        if fn not in _DECOMP:
+            raise ValueError(f"unsupported salted aggregate fn {fn!r}")
+        if fn == "sum":
+            cols.append(F.sum(col).alias(out))
+        elif fn == "count":
+            cols.append(
+                (F.count(F.lit(1)) if col == "*" else F.count(col)).alias(out)
+            )
+        elif fn in ("min", "max"):
+            cols.append(getattr(F, fn)(col).alias(out))
+        elif fn == "dsum":
+            cols.append(
+                F.sum(F.col(col).cast("decimal(27,6)"))
+                .cast("double")
+                .alias(out)
+            )
+        elif fn == "avg":
+            cols.append(
+                (
+                    F.sum(F.col(col).cast("decimal(27,6)")).cast("double")
+                    / F.count(col)
+                ).alias(out)
+            )
+    return df.groupBy(*keys).agg(*cols)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
-    n_salts: int = 16,
+    n_salts: int | str = 16,
     salt_cols: Sequence[str] | None = None,
+    whale_frac: float = 0.20,
+    whale_min_rows: int = 100_000_000,
+    auto_salts: int = 16,
+    decision_out: dict | None = None,
 ) -> DataFrame:
     """Two-stage skew-spread aggregation, identical results to a direct
     ``df.groupBy(keys).agg(...)`` for DECOMPOSABLE aggregates.
@@ -155,8 +251,34 @@ def salted_aggregate(
     keeps the DECIMAL type and only the final stage casts back to DOUBLE,
     so salting cannot perturb the reproducible-sum guarantee.
 
+    ``n_salts="auto"`` runs the Misra-Gries whale guard (one
+    bounded-state scan) and engages the two-stage plan ONLY when a key
+    holds ≥ ``whale_frac`` of the rows and ≥ ``whale_min_rows`` rows;
+    otherwise the one-stage plan runs. For decomposable aggregates a
+    whale key compresses to ONE partial row per map task whatever its
+    size, so the measured verdict (the r6 negative: plain beat salted
+    at every whale size up to 40M rows) is that auto should almost
+    never engage — ``whale_min_rows`` defaults ABOVE the measured
+    range, and the guard's everyday product is the decision RECORD
+    (``decision_out``: whale evidence attached to the run report), not
+    a plan flip. Results identical either way.
+
     Non-decomposable aggregates (distinct counts, percentiles, collect_*)
-    cannot be salted this way — use their dedicated operators."""
+    cannot be salted this way — use their dedicated operators
+    (re-expression IS the measured remedy for those shapes: see the
+    module docstring)."""
+    if n_salts == "auto":
+        decision = _whale_guard(
+            df, salt_cols or keys, whale_frac, whale_min_rows
+        )
+        decision["plan"] = "salted" if decision["engaged"] else "plain"
+        if decision_out is not None:
+            decision_out.update(decision)
+        if not decision["engaged"]:
+            return _plain_aggregate(df, keys, aggs)
+        n_salts = auto_salts
+    elif not isinstance(n_salts, int):
+        raise ValueError(f"n_salts must be an int or 'auto', got {n_salts!r}")
     partials: list[Column] = []
     finals: list[Column] = []
     for out, (col, fn) in aggs.items():
