@@ -44,8 +44,8 @@ def build_ann_index(
     """Train + persist an ANN index over a parquet table of embeddings;
     returns the build report (row counts + artifact paths).
 
-    ``encoding`` ('raw' default | 'residual' | 'opq') selects the
-    IVF-PQ code semantics
+    ``encoding`` ('raw' default | 'residual' | 'opq' | 'opq_residual')
+    selects the IVF-PQ code semantics
     (:func:`~yelp_recommender_spark.operators.pq.ivfpq_topk`: residual
     quantizes centroid offsets — tighter ADC estimates on clustered
     corpora for the same (m, ksub) budget; opq learns an orthogonal
@@ -76,10 +76,10 @@ def build_ann_index(
         raise ValueError(
             f"tier must be one of {TIERS + ('auto',)}, got {tier!r}"
         )
-    if encoding not in ("raw", "residual", "opq"):
+    if encoding not in ("raw", "residual", "opq", "opq_residual"):
         raise ValueError(
-            f"encoding must be 'raw', 'residual', or 'opq', "
-            f"got {encoding!r}"
+            f"encoding must be 'raw', 'residual', 'opq', or "
+            f"'opq_residual', got {encoding!r}"
         )
     df = spark.read.parquet(input_path)
     if tier == "auto":
@@ -113,14 +113,21 @@ def build_ann_index(
             rotation_to_df,
             train_and_encode,
             train_and_encode_opq,
+            train_and_encode_opq_residual,
         )
 
         mark = registry_mark()
         assigned = register_persist(assigned)  # codebook sample + encode
-        if encoding == "opq":
-            books, coded, rotation = train_and_encode_opq(
-                assigned, id_col=id_col, m=m, ksub=ksub, seed=seed,
-            )
+        if encoding in ("opq", "opq_residual"):
+            if encoding == "opq":
+                books, coded, rotation = train_and_encode_opq(
+                    assigned, id_col=id_col, m=m, ksub=ksub, seed=seed,
+                )
+            else:
+                books, coded, rotation = train_and_encode_opq_residual(
+                    assigned, centers, id_col=id_col, m=m, ksub=ksub,
+                    seed=seed,
+                )
             rotation_to_df(spark, rotation).write.mode(
                 "overwrite"
             ).parquet(os.path.join(index_dir, "rotation"))
@@ -194,7 +201,7 @@ def query_ann_index(
     # pre-r8 indexes carry no encoding field — they are raw codes
     encoding = meta.get("encoding", "raw")
     rotation = None
-    if encoding == "opq":
+    if encoding in ("opq", "opq_residual"):
         rotation = rotation_from_df(
             spark.read.parquet(os.path.join(index_dir, "rotation"))
         )

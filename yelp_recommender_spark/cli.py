@@ -564,7 +564,9 @@ def main(argv: list[str] | None = None) -> None:
     ab.add_argument("--m", type=int, default=8)
     ab.add_argument("--ksub", type=int, default=64)
     ab.add_argument(
-        "--encoding", choices=["raw", "residual", "opq"], default="raw",
+        "--encoding",
+        choices=["raw", "residual", "opq", "opq_residual"],
+        default="raw",
         help="IVF-PQ code semantics: residual quantizes centroid "
         "offsets — tighter ADC estimates on clustered corpora at the "
         "same (m, ksub) budget; opq learns an orthogonal rotation "

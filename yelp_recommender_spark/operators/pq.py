@@ -55,6 +55,7 @@ __all__ = [
     "train_codebooks",
     "train_and_encode",
     "train_and_encode_opq",
+    "train_and_encode_opq_residual",
     "train_opq_rotation",
     "rotation_to_df",
     "rotation_from_df",
@@ -573,7 +574,7 @@ def ivfpq_topk(
 
     from yelp_recommender_spark.operators.ann import _id_type
 
-    if encoding not in ("raw", "residual", "opq"):
+    if encoding not in ("raw", "residual", "opq", "opq_residual"):
         raise ValueError(f"ivfpq_topk: unknown encoding {encoding!r}")
     spark = queries.sparkSession
     if not index.select(id_col).head(1):
@@ -603,6 +604,15 @@ def ivfpq_topk(
             queries, coded, centers, books, k, n_probe, id_col, vec_col,
             encoding="opq", rotation=rotation,
         )
+    if encoding == "opq_residual":
+        books, coded, rotation = train_and_encode_opq_residual(
+            assigned, centers, id_col=id_col, m=m, ksub=ksub,
+            sample_n=sample_n, seed=seed,
+        )
+        return ivfpq_topk_indexed(
+            queries, coded, centers, books, k, n_probe, id_col, vec_col,
+            encoding="opq_residual", rotation=rotation,
+        )
     books, coded = train_and_encode(
         assigned, centers, id_col=id_col, m=m, ksub=ksub,
         sample_n=sample_n, seed=seed, encoding=encoding,
@@ -610,6 +620,24 @@ def ivfpq_topk(
     return ivfpq_topk_indexed(
         queries, coded, centers, books, k, n_probe, id_col, vec_col,
         encoding=encoding,
+    )
+
+
+def _residual_frame(assigned: DataFrame, centers: np.ndarray) -> DataFrame:
+    """The assignment table with each vector's residual against its
+    centroid (``_resid``) — subtracted JVM-side: a broadcast join on
+    the n_centroids-row table + one zip_with, no extra Python pass.
+    Shared by the residual and opq_residual encoders."""
+    spark = assigned.sparkSession
+    centers_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in centers[i]])
+            for i in range(centers.shape[0])
+        ],
+        "centroid_id int, _center array<double>",
+    )
+    return assigned.join(F.broadcast(centers_df), "centroid_id").withColumn(
+        "_resid", F.zip_with("vec", "_center", lambda a, b: a - b)
     )
 
 
@@ -633,19 +661,7 @@ def train_and_encode(
     JVM-side: a broadcast join on the n_centroids-row table + one
     zip_with — no extra Python pass)."""
     if encoding == "residual":
-        spark = assigned.sparkSession
-        centers_df = spark.createDataFrame(
-            [
-                (i, [float(x) for x in centers[i]])
-                for i in range(centers.shape[0])
-            ],
-            "centroid_id int, _center array<double>",
-        )
-        resid = assigned.join(
-            F.broadcast(centers_df), "centroid_id"
-        ).withColumn(
-            "_resid", F.zip_with("vec", "_center", lambda a, b: a - b)
-        )
+        resid = _residual_frame(assigned, centers)
         books = train_codebooks(
             resid, id_col=id_col, vec_col="_resid",
             m=m, ksub=ksub, sample_n=sample_n, seed=seed,
@@ -711,6 +727,55 @@ def train_and_encode_opq(
     return books, coded, rotation
 
 
+def train_and_encode_opq_residual(
+    assigned: DataFrame,
+    centers: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 64,
+    sample_n: int = 65_536,
+    seed: int = 42,
+    n_outer: int = 6,
+) -> tuple[np.ndarray, DataFrame, np.ndarray]:
+    """The COMPOSED encoder (r9): rotate, route in the original space,
+    quantize the ROTATED RESIDUAL. OPQ's rotation and IVF-ADC residuals
+    are complementary refinements — residual encoding shrinks the
+    energy PQ must quantize (clustered corpora), the rotation balances
+    what remains across the fixed subspaces (correlated corpora) — so
+    the rotation is learned ON the residual sample and the codebooks
+    live in rotated-residual space. ADC restores the q·centroid base
+    term with the UNROTATED query (routing geometry is untouched) and
+    scores the quantized part with the rotated query: q·x̂ = q·c +
+    (qR)·r̂_rot, since R is orthogonal.
+
+    Same artifact contract as :func:`train_and_encode_opq`: persist
+    (books, coded, rotation) and serve with
+    ``encoding='opq_residual'``."""
+    resid = _residual_frame(assigned, centers)
+    rows = (
+        resid.select(id_col, "_resid")
+        .orderBy(F.xxhash64(F.col(id_col)), id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_and_encode_opq_residual: empty input")
+    # residuals are NOT re-normalized (they are offsets, not directions
+    # — same rule as the residual encoder); only padded for m
+    X = _pad_to_multiple(
+        np.array([r[1] for r in rows], dtype=np.float64), m
+    )
+    rotation, books = train_opq_rotation(
+        X, m, ksub, seed=seed, n_outer=n_outer
+    )
+    coded = pq_encode(
+        resid, books, id_col, "_resid",
+        passthrough=["centroid_id"], normalize=False, rotation=rotation,
+    )
+    return books, coded, rotation
+
+
 def ivfpq_topk_indexed(
     queries: DataFrame,
     coded: DataFrame,
@@ -741,15 +806,15 @@ def ivfpq_topk_indexed(
     routing stays in the original space since R is orthogonal). A
     mismatch would silently score garbage, so serving artifacts must
     persist the encoding alongside the codebooks."""
-    if encoding not in ("raw", "residual", "opq"):
+    if encoding not in ("raw", "residual", "opq", "opq_residual"):
         raise ValueError(
             f"ivfpq_topk_indexed: unknown encoding {encoding!r}"
         )
-    if (encoding == "opq") != (rotation is not None):
+    if (encoding in ("opq", "opq_residual")) != (rotation is not None):
         raise ValueError(
             "ivfpq_topk_indexed: rotation must be passed with "
-            "encoding='opq' and only then (a rotation/encoding mismatch "
-            "scores garbage)"
+            "encoding='opq'/'opq_residual' and only then (a "
+            "rotation/encoding mismatch scores garbage)"
         )
     from yelp_recommender_spark.operators.ann import probe_routing
     from yelp_recommender_spark.operators.topk import top_n_per_key
@@ -770,9 +835,15 @@ def ivfpq_topk_indexed(
     else:
         qp = np.zeros((0, m_, dsub))
     luts = np.einsum("qjd,jkd->qjk", qp, books)
-    # residual mode needs the probed queries and the routing matrix in
-    # the kernel for the q·centroid base term; raw mode ships neither
-    resid_state = (q_mat, centers) if encoding == "residual" else None
+    # residual modes need the probed queries and the routing matrix in
+    # the kernel for the q·centroid base term — with the UNROTATED
+    # query even under opq_residual (routing geometry is untouched; the
+    # rotation lives only in the LUTs); raw/opq ship neither
+    resid_state = (
+        (q_mat, centers)
+        if encoding in ("residual", "opq_residual")
+        else None
+    )
     b = spark.sparkContext.broadcast((q_ids, luts, route, resid_state))
 
     from yelp_recommender_spark.operators.ann import _id_type
