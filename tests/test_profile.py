@@ -393,3 +393,97 @@ def test_summary_apply_batch_rejects_keep_last_below_two(spark, tmp_path):  # no
             str(tmp_path / "state"), b0, 0, build_fn, hll_merge,
             keep_last=1,
         )
+
+
+# ------------------------------------------------------------ drift report
+def test_drift_report_pure_checks():
+    """Pure-function drift semantics on hand-built profiles: each check
+    fires on its planted condition and stays quiet otherwise."""
+    from yelp_recommender_spark.operators.profile import drift_report
+
+    base_col = {
+        "n_rows": 1_000, "n_nonnull": 1_000, "approx_distinct": 100,
+        "min_value": "0.0", "max_value": "10.0", "value_kind": "numeric",
+    }
+    old = {
+        "columns": {"a": dict(base_col), "gone": dict(base_col)},
+        "heavy_hitters": {"a": ["x", "y", "z"]},
+        "quantiles": {"a": {"q_0_5": 5.0}},
+    }
+    new = {
+        "columns": {
+            # null spike + distinct collapse + range break, same column
+            "a": {
+                "n_rows": 1_000, "n_nonnull": 600, "approx_distinct": 10,
+                "min_value": "-50.0", "max_value": "10.0",
+                "value_kind": "numeric",
+            },
+            "added": dict(base_col),
+        },
+        "heavy_hitters": {"a": ["p", "q", "r"]},  # full turnover
+        "quantiles": {"a": {"q_0_5": 50.0}},  # 10x median shift
+    }
+    by_check = {}
+    for f in drift_report(old, new):
+        by_check[(f["column"], f["check"])] = f["flagged"]
+    assert by_check[("gone", "column_removed")] is True
+    assert by_check[("added", "column_added")] is True
+    assert by_check[("a", "null_rate")] is True
+    assert by_check[("a", "distinct")] is True
+    assert by_check[("a", "range")] is True
+    assert by_check[("a", "hh_turnover")] is True
+    assert by_check[("a", "quantile_q_0_5")] is True
+    # identical profiles: nothing flags
+    assert not any(f["flagged"] for f in drift_report(old, old))
+
+
+def test_profile_diff_cli_planted_drift_and_clean_run(spark, tmp_path):  # noqa: F811
+    """CLI end-to-end (VERDICT r8 #5): day-1 vs drifted day-2 exits 4
+    with the planted findings; day-1 vs statistically-identical day-1b
+    exits 0."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from yelp_recommender_spark.cli import main
+
+    def write_docs(path, n, null_every=0, shift=0.0, extra_col=False):
+        v = (F.col("id") % 50).cast("double") + F.lit(shift)
+        if null_every:
+            v = F.when(F.col("id") % null_every != 0, v)
+        cols = [F.col("id").alias("k"), v.alias("v")]
+        if extra_col:
+            cols.append(F.lit("x").alias("brand_new"))
+        spark.range(n).select(*cols).write.parquet(path)
+
+    d1 = str(tmp_path / "day1.parquet")
+    d1b = str(tmp_path / "day1b.parquet")
+    d2 = str(tmp_path / "day2.parquet")
+    write_docs(d1, 2_000)
+    write_docs(d1b, 2_000)  # same distribution
+    write_docs(d2, 2_000, null_every=3, shift=500.0, extra_col=True)
+
+    outs = {}
+    for name, src in (("p1", d1), ("p1b", d1b), ("p2", d2)):
+        outs[name] = str(tmp_path / name)
+        with contextlib.redirect_stdout(io.StringIO()):
+            main(["profile", "--input", src, "--output", outs[name]])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit) as e:
+            main(["profile-diff", "--old", outs["p1"], "--new", outs["p2"]])
+    assert e.value.code == 4
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    checks = {(f["column"], f["check"]) for f in report["flagged"]}
+    assert ("brand_new", "column_added") in checks
+    assert ("v", "null_rate") in checks
+    assert ("v", "range") in checks
+
+    # no drift: clean exit, nothing flagged
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["profile-diff", "--old", outs["p1"], "--new", outs["p1b"]])
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_flagged"] == 0

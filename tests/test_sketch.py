@@ -879,3 +879,89 @@ def test_skew_check_cli(spark, tmp_path):  # noqa: F811
     assert _json.loads(buf.getvalue().strip().splitlines()[-1])[
         "n_whales"
     ] == 0
+
+
+def test_skew_check_from_profile_matches_scan(spark, tmp_path):  # noqa: F811
+    """r9 (VERDICT r8 #6): skew-check --from-profile answers from the
+    standing profile's written heavy-hitters view — no table scan — and
+    must reach the IDENTICAL whale verdict (same keys, same exit code)
+    as the scan path on the same table; refusals (exit 2) cover every
+    case the view cannot guarantee."""
+    import contextlib
+    import io
+    import json as _json
+
+    import pytest as _pytest
+
+    from yelp_recommender_spark.cli import main
+
+    skewed = str(tmp_path / "skewed.parquet")
+    spark.range(10_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit(42))
+        .otherwise(F.pmod(F.xxhash64("id"), 3_000) + 100)
+        .alias("user_id")
+    ).write.parquet(skewed)
+    prof = str(tmp_path / "prof")
+    with contextlib.redirect_stdout(io.StringIO()):
+        main(["profile", "--input", skewed, "--output", prof])
+
+    def run(argv):
+        buf = io.StringIO()
+        code = 0
+        with contextlib.redirect_stdout(buf):
+            try:
+                main(argv)
+            except SystemExit as e:
+                code = e.code
+        return code, _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    scan_code, scan = run(
+        ["skew-check", "--input", skewed, "--keys", "user_id",
+         "--min-frac", "0.05"]
+    )
+    prof_code, from_prof = run(
+        ["skew-check", "--from-profile", prof, "--keys", "user_id",
+         "--min-frac", "0.05"]
+    )
+    assert scan_code == prof_code == 3
+    assert from_prof["source"] == "profile"
+    assert {w["user_id"] for w in scan["whales"]} == {
+        w["user_id"] for w in from_prof["whales"]
+    } == {"42"}
+    w = from_prof["whales"][0]
+    assert w["frac_lo"] <= 0.25 <= w["frac_hi"]
+
+    # refusals: threshold below the summary's resolution (profile
+    # default mg_k=64 -> 1/65 ~ 0.0154), composite keys, missing column
+    code, rep = run(
+        ["skew-check", "--from-profile", prof, "--keys", "user_id",
+         "--min-frac", "0.01"]
+    )
+    assert code == 2 and "resolution" in rep["err"]
+    with _pytest.raises(SystemExit) as e:
+        main(["skew-check", "--from-profile", prof,
+              "--keys", "a,b", "--min-frac", "0.05"])
+    assert "single key" in str(e.value)
+    code, rep = run(
+        ["skew-check", "--from-profile", prof, "--keys", "nope",
+         "--min-frac", "0.05"]
+    )
+    assert code == 2 and "not in profile" in rep["err"]
+    # exactly one of --input / --from-profile
+    with _pytest.raises(SystemExit) as e:
+        main(["skew-check", "--keys", "user_id"])
+    assert "exactly one" in str(e.value)
+
+    # uniform table: clean exit from the profile too
+    uniform = str(tmp_path / "uniform.parquet")
+    spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), 20).alias("user_id")
+    ).write.parquet(uniform)
+    prof_u = str(tmp_path / "prof_u")
+    with contextlib.redirect_stdout(io.StringIO()):
+        main(["profile", "--input", uniform, "--output", prof_u])
+    code, rep = run(
+        ["skew-check", "--from-profile", prof_u, "--keys", "user_id",
+         "--min-frac", "0.2"]
+    )
+    assert code == 0 and rep["n_whales"] == 0

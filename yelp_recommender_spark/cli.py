@@ -635,6 +635,23 @@ def main(argv: list[str] | None = None) -> None:
         "newest-committed+1, which double-counts a re-run of an "
         "already-committed batch (at-least-once)",
     )
+    pd_ = sub.add_parser(
+        "profile-diff",
+        help="standing-profile drift report: compare two written "
+        "profiles (profile --output dirs) per column — null-rate "
+        "spikes, distinct collapse/explosion, numeric range breaks, "
+        "heavy-hitter turnover, quantile shift, schema adds/removes; "
+        "prints the findings JSON and exits 4 when anything is "
+        "flagged — the monitoring consumer the standing profile "
+        "exists for",
+    )
+    pd_.add_argument("--old", required=True, help="older profile output dir")
+    pd_.add_argument("--new", required=True, help="newer profile output dir")
+    pd_.add_argument("--null-rate-delta", type=float, default=0.05)
+    pd_.add_argument("--distinct-ratio", type=float, default=2.0)
+    pd_.add_argument("--range-frac", type=float, default=0.10)
+    pd_.add_argument("--hh-jaccard-min", type=float, default=0.5)
+    pd_.add_argument("--quantile-rel", type=float, default=0.5)
     sk = sub.add_parser(
         "skew-check",
         help="whale-key guard: one bounded-state scan reports every "
@@ -643,12 +660,22 @@ def main(argv: list[str] | None = None) -> None:
         "when whales are found — cron it in front of the expensive "
         "join/aggregate it protects",
     )
-    sk.add_argument("--input", required=True, help="parquet table path")
+    sk.add_argument("--input", default=None, help="parquet table path")
     sk.add_argument(
         "--keys", required=True, help="comma-separated key columns"
     )
     sk.add_argument("--min-frac", type=float, default=0.01)
     sk.add_argument("--k", type=_pos_int, default=256)
+    sk.add_argument(
+        "--from-profile",
+        default=None,
+        help="instead of scanning a table, answer from a WRITTEN "
+        "profile (profile --output dir): reads its heavy_hitters view "
+        "(O(width*topk), no table scan) for a SINGLE key column; exits "
+        "2 when that view cannot guarantee the verdict at --min-frac "
+        "(threshold below the summary's 1/(k+1) resolution, or "
+        "possible top-k truncation) — rescan with --input then",
+    )
     ej = sub.add_parser(
         "explain-join",
         help="sketch-backed join planner: estimate an equi-join's "
@@ -812,10 +839,94 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit(2)
         return
     if args.cmd == "skew-check":
+        keys = [c.strip() for c in args.keys.split(",") if c.strip()]
+        if (args.input is None) == (args.from_profile is None):
+            raise SystemExit(
+                "skew-check: pass exactly one of --input / --from-profile"
+            )
+        spark = get_spark(app_name="yelp_recommender_skew_check")
+        if args.from_profile is not None:
+            # answer from the standing profile's already-written MG
+            # view — O(width*topk) read, no table scan; refuse (exit 2)
+            # whenever the stored summary cannot GUARANTEE the verdict
+            if len(keys) != 1:
+                raise SystemExit(
+                    "skew-check --from-profile supports a single key "
+                    "column (profiles are per-column) — composite keys "
+                    "need a table scan (--input)"
+                )
+            hh = spark.read.parquet(
+                os.path.join(args.from_profile, "heavy_hitters")
+            )
+            if "mg_k" not in hh.columns:
+                print(
+                    json.dumps({"err": "profile predates mg_k — rescan"})
+                )
+                raise SystemExit(2)
+            rows = [r for r in hh.collect() if r.column == keys[0]]
+            if not rows:
+                print(
+                    json.dumps(
+                        {"err": f"column {keys[0]!r} not in profile"}
+                    )
+                )
+                raise SystemExit(2)
+            mg_k = int(rows[0].mg_k)
+            mg_n = int(rows[0].mg_n)
+            if args.min_frac < 1.0 / (mg_k + 1):
+                print(
+                    json.dumps(
+                        {
+                            "err": "profile summary resolution "
+                            f"1/(k+1)={1.0 / (mg_k + 1):.4f} is coarser "
+                            f"than min_frac={args.min_frac} — rescan "
+                            "with --input"
+                        }
+                    )
+                )
+                raise SystemExit(2)
+            cut = args.min_frac * mg_n
+            whale_rows = [r for r in rows if int(r.n_lo) >= cut]
+            if len(whale_rows) == len(rows):
+                # every STORED item clears the threshold, so the view's
+                # top-k cutoff may sit above it — whales could be
+                # truncated away; only a rescan can prove completeness
+                print(
+                    json.dumps(
+                        {
+                            "err": "all stored heavy hitters clear "
+                            "min_frac — the top-k view may truncate "
+                            "whales; rescan with --input"
+                        }
+                    )
+                )
+                raise SystemExit(2)
+            payload = [
+                {
+                    keys[0]: str(r.value),
+                    "n_lo": int(r.n_lo),
+                    "n_hi": int(r.n_hi),
+                    "frac_lo": round(int(r.n_lo) / mg_n, 6),
+                    "frac_hi": round(int(r.n_hi) / mg_n, 6),
+                }
+                for r in whale_rows
+            ]
+            print(
+                json.dumps(
+                    {
+                        "n_whales": len(payload),
+                        "min_frac": args.min_frac,
+                        "source": "profile",
+                        "whales": payload,
+                    },
+                    sort_keys=True,
+                )
+            )
+            if payload:
+                raise SystemExit(3)
+            return
         from yelp_recommender_spark.operators.skew import detect_skew
 
-        spark = get_spark(app_name="yelp_recommender_skew_check")
-        keys = [c.strip() for c in args.keys.split(",") if c.strip()]
         whales = detect_skew(
             spark.read.parquet(args.input),
             keys,
@@ -827,6 +938,7 @@ def main(argv: list[str] | None = None) -> None:
                 {
                     "n_whales": len(whales),
                     "min_frac": args.min_frac,
+                    "source": "scan",
                     "whales": [
                         {
                             **{c: str(r[c]) for c in keys},
@@ -843,6 +955,36 @@ def main(argv: list[str] | None = None) -> None:
         )
         if whales:
             raise SystemExit(3)
+        return
+    if args.cmd == "profile-diff":
+        from yelp_recommender_spark.operators.profile import (
+            collect_profile,
+            drift_report,
+        )
+
+        spark = get_spark(app_name="yelp_recommender_profile_diff")
+        findings = drift_report(
+            collect_profile(spark, args.old),
+            collect_profile(spark, args.new),
+            null_rate_delta=args.null_rate_delta,
+            distinct_ratio=args.distinct_ratio,
+            range_frac=args.range_frac,
+            hh_jaccard_min=args.hh_jaccard_min,
+            quantile_rel=args.quantile_rel,
+        )
+        flagged = [f for f in findings if f["flagged"]]
+        print(
+            json.dumps(
+                {
+                    "n_checks": len(findings),
+                    "n_flagged": len(flagged),
+                    "flagged": flagged,
+                },
+                sort_keys=True,
+            )
+        )
+        if flagged:
+            raise SystemExit(4)
         return
     if args.cmd == "explain-join":
         from yelp_recommender_spark.operators.joinplan import join_plan

@@ -48,6 +48,8 @@ __all__ = [
     "profile_table",
     "profile_column_stats",
     "merge_column_stats",
+    "collect_profile",
+    "drift_report",
 ]
 
 _NUMERIC = (
@@ -304,7 +306,15 @@ def profile_table(
         hh.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= topk)
         .select(
-            "column", F.col("item").alias("value"), "n_lo", "n_hi", "mg_n"
+            "column",
+            F.col("item").alias("value"),
+            "n_lo",
+            "n_hi",
+            "mg_n",
+            # the summary's k rides along so a later reader
+            # (skew-check --from-profile) can verify the detection
+            # guarantee its threshold needs without rescanning
+            F.lit(int(mg_k)).alias("mg_k"),
         )
     )
 
@@ -328,3 +338,152 @@ def profile_table(
         )
         qdf = spark.createDataFrame([], f"column string, {qcols}")
     return {"columns": stats, "heavy_hitters": hh, "quantiles": qdf}
+
+
+def collect_profile(spark, out_dir: str) -> dict:
+    """A written profile (``profile --output`` layout: ``columns/``,
+    ``heavy_hitters/``, ``quantiles/`` parquet) as plain dicts — the
+    comparison form :func:`drift_report` consumes. Bounded by the
+    profile's own contracts (O(width), O(width·topk), O(width·#qs)),
+    so the collect is the documented bounded kind."""
+    import os
+
+    cols = {}
+    for r in spark.read.parquet(os.path.join(out_dir, "columns")).collect():
+        cols[r.column] = {
+            "n_rows": int(r.n_rows),
+            "n_nonnull": int(r.n_nonnull),
+            "approx_distinct": int(r.approx_distinct),
+            "min_value": r.min_value,
+            "max_value": r.max_value,
+            "value_kind": r.value_kind,
+        }
+    hh: dict[str, list] = {}
+    hh_path = os.path.join(out_dir, "heavy_hitters")
+    if os.path.isdir(hh_path):
+        for r in spark.read.parquet(hh_path).collect():
+            hh.setdefault(r.column, []).append(r.value)
+    qs: dict[str, dict] = {}
+    q_path = os.path.join(out_dir, "quantiles")
+    if os.path.isdir(q_path):
+        qdf = spark.read.parquet(q_path)
+        qcols = [c for c in qdf.columns if c.startswith("q_")]
+        for r in qdf.collect():
+            qs[r.column] = {q: r[q] for q in qcols}
+    return {"columns": cols, "heavy_hitters": hh, "quantiles": qs}
+
+
+def drift_report(
+    old: dict,
+    new: dict,
+    *,
+    null_rate_delta: float = 0.05,
+    distinct_ratio: float = 2.0,
+    range_frac: float = 0.10,
+    hh_jaccard_min: float = 0.5,
+    quantile_rel: float = 0.5,
+) -> list[dict]:
+    """Per-column drift findings between two profiles (the
+    :func:`collect_profile` dict shape) — the monitoring consumer the
+    standing profile exists for: a daily job profiles each batch, and
+    this compares versions instead of a human eyeballing two JSON
+    dumps. Pure driver-side arithmetic over the bounded profile —
+    never a table scan.
+
+    Checks, each a finding ``{column, check, old, new, flagged}``
+    (``flagged`` drives the CLI's nonzero exit):
+
+    - ``column_added`` / ``column_removed`` — schema drift, always
+      flagged.
+    - ``value_kind_changed`` — a column's ordering class flipped
+      (type change at the source), always flagged.
+    - ``null_rate`` — |new − old| non-null-rate above
+      ``null_rate_delta`` (a null spike is the classic silent
+      upstream break).
+    - ``distinct`` — distinct-count ratio outside
+      [1/``distinct_ratio``, ``distinct_ratio``] (cardinality
+      collapse or explosion).
+    - ``range`` — a NUMERIC column's min/max moved outside the old
+      span by more than ``range_frac`` × span (sensor drift, unit
+      changes).
+    - ``hh_turnover`` — Jaccard overlap of the top-k heavy-hitter
+      value sets below ``hh_jaccard_min`` (the distribution's head
+      changed identity).
+    - ``quantile`` — a numeric quantile moved by more than
+      ``quantile_rel`` × max(|old|, 1) (distribution shift beyond
+      the head)."""
+    out: list[dict] = []
+    oc, nc = old["columns"], new["columns"]
+    for col in sorted(set(oc) | set(nc)):
+        if col not in nc:
+            out.append(
+                {"column": col, "check": "column_removed",
+                 "old": "present", "new": None, "flagged": True}
+            )
+            continue
+        if col not in oc:
+            out.append(
+                {"column": col, "check": "column_added",
+                 "old": None, "new": "present", "flagged": True}
+            )
+            continue
+        o, n = oc[col], nc[col]
+        if o["value_kind"] != n["value_kind"]:
+            out.append(
+                {"column": col, "check": "value_kind_changed",
+                 "old": o["value_kind"], "new": n["value_kind"],
+                 "flagged": True}
+            )
+        o_nr = 1.0 - o["n_nonnull"] / max(o["n_rows"], 1)
+        n_nr = 1.0 - n["n_nonnull"] / max(n["n_rows"], 1)
+        out.append(
+            {"column": col, "check": "null_rate",
+             "old": round(o_nr, 6), "new": round(n_nr, 6),
+             "flagged": abs(n_nr - o_nr) > null_rate_delta}
+        )
+        o_d, n_d = max(o["approx_distinct"], 1), max(n["approx_distinct"], 1)
+        ratio = n_d / o_d
+        out.append(
+            {"column": col, "check": "distinct", "old": o_d, "new": n_d,
+             "flagged": ratio > distinct_ratio or ratio < 1.0 / distinct_ratio}
+        )
+        if o["value_kind"] == "numeric" == n["value_kind"]:
+            try:
+                o_lo, o_hi = float(o["min_value"]), float(o["max_value"])
+                n_lo, n_hi = float(n["min_value"]), float(n["max_value"])
+            except (TypeError, ValueError):
+                pass  # all-null side: no range to compare
+            else:
+                span = max(o_hi - o_lo, 1e-12)
+                out.append(
+                    {"column": col, "check": "range",
+                     "old": [o_lo, o_hi], "new": [n_lo, n_hi],
+                     "flagged": (
+                         n_lo < o_lo - range_frac * span
+                         or n_hi > o_hi + range_frac * span
+                     )}
+                )
+    o_hh, n_hh = old.get("heavy_hitters", {}), new.get("heavy_hitters", {})
+    for col in sorted(set(o_hh) & set(n_hh)):
+        a, b = set(o_hh[col]), set(n_hh[col])
+        if not (a or b):
+            continue
+        j = len(a & b) / len(a | b)
+        out.append(
+            {"column": col, "check": "hh_turnover",
+             "old": sorted(a)[:5], "new": sorted(b)[:5],
+             "flagged": j < hh_jaccard_min}
+        )
+    o_q, n_q = old.get("quantiles", {}), new.get("quantiles", {})
+    for col in sorted(set(o_q) & set(n_q)):
+        for q in sorted(set(o_q[col]) & set(n_q[col])):
+            ov, nv = o_q[col][q], n_q[col][q]
+            if ov is None or nv is None:
+                continue
+            out.append(
+                {"column": col, "check": f"quantile_{q}",
+                 "old": round(float(ov), 6), "new": round(float(nv), 6),
+                 "flagged": abs(float(nv) - float(ov))
+                 > quantile_rel * max(abs(float(ov)), 1.0)}
+            )
+    return out
