@@ -1,6 +1,7 @@
 """Measured-growth gates for the round-8 LLM-pipeline operators
-(semantic dedup, repeated-span stripping, learned quality scoring) —
-the same measured-not-asserted treatment as `test_scale_sweep.py`.
+(semantic dedup, repeated-span stripping, learned quality scoring,
+DSIR importance resampling, the mergeable-sketch builds) — the same
+measured-not-asserted treatment as `test_scale_sweep.py`.
 
 First decade (sf0.01 → sf0.1) runs in the default suite; the second
 decade (sf0.1 → amplified sf1) joins the opt-in
@@ -41,9 +42,21 @@ def _embeddings(spark, sf_dir):  # noqa: F811
 
 
 def _run_all(spark, sf_dir):  # noqa: F811
-    """(spans_s, quality_s, semdedup_s) one timed pass at sf_dir."""
+    """(spans_s, quality_s, semdedup_s, dsir_s, sketch_s) one timed
+    pass at sf_dir."""
+    from yelp_recommender_spark.operators.dsir import (
+        dsir_fit,
+        dsir_resample,
+        dsir_score,
+    )
     from yelp_recommender_spark.operators.qualityclf import score_quality
     from yelp_recommender_spark.operators.semdedup import semantic_dedup
+    from yelp_recommender_spark.operators.sketch import (
+        cms_state,
+        hist_state,
+        hll_state,
+        mg_state,
+    )
     from yelp_recommender_spark.operators.spans import (
         repeated_window_spans,
     )
@@ -72,7 +85,31 @@ def _run_all(spark, sf_dir):  # noqa: F811
         n_clusters=k, eps=0.07, sample_n=4096,
     ).count()
     t_sem = time.perf_counter() - start
-    return t_spans, t_quality, t_sem
+
+    # DSIR fit + score + Gumbel-top-k resample against a FIXED target
+    # (sf0.001 docs): the raw/scored side is what grows per decade —
+    # fit is one hash-agg per side, scoring a broadcast join
+    target = _docs_tokens(spark, "/root/testdata/sf0.001")
+    n_docs = docs.count()
+    start = time.perf_counter()
+    w = dsir_fit(target, docs, dim=4096)
+    dsir_resample(
+        dsir_score(docs, w), max(1, n_docs // 10), seed=0
+    ).count()
+    t_dsir = time.perf_counter() - start
+
+    # the r8 mergeable-sketch family built over the exploded token
+    # stream (the heaviest realistic feed): each is one scan with
+    # map-side partials to bounded state
+    start = time.perf_counter()
+    hll_state(tokens, [], ["token"]).count()
+    cms_state(tokens, "token", depth=5, width=2048).count()
+    mg_state(tokens, [], "token", k=64).count()
+    hist_state(
+        docs.select(F.size("toks").cast("double").alias("v")), [], "v"
+    ).count()
+    t_sketch = time.perf_counter() - start
+    return t_spans, t_quality, t_sem, t_dsir, t_sketch
 
 
 def _gate(small, big, bounds):
@@ -82,6 +119,8 @@ def _gate(small, big, bounds):
         ("spans", small[0], big[0], bounds[0]),
         ("qualityclf", small[1], big[1], bounds[1]),
         ("semdedup", small[2], big[2], bounds[2]),
+        ("dsir", small[3], big[3], bounds[3]),
+        ("sketches", small[4], big[4], bounds[4]),
     ):
         r = t_b / max(t_s, FLOOR_S)
         ratios[name] = (round(t_s, 2), round(t_b, 2), round(r, 1))
@@ -102,13 +141,13 @@ def test_r8_operators_grow_linearish_first_decade(spark):  # noqa: F811
     big = _run_all(spark, "/root/testdata/sf0.1")
     # docs 10x (linear ~10, quadratic ~100); embeddings 4x with K ~ n
     # (linear ~4, fixed-K quadratic ~16)
-    failures = _gate(small, big, (25.0, 25.0, 12.0))
+    failures = _gate(small, big, (25.0, 25.0, 12.0, 25.0, 25.0))
     if failures:  # stall re-measure: min-of-2, same rationale as bench
         small = tuple(
             map(min, small, _run_all(spark, "/root/testdata/sf0.01"))
         )
         big = tuple(map(min, big, _run_all(spark, "/root/testdata/sf0.1")))
-        failures = _gate(small, big, (25.0, 25.0, 12.0))
+        failures = _gate(small, big, (25.0, 25.0, 12.0, 25.0, 25.0))
     assert not failures, "superlinear growth:\n" + "\n".join(failures)
 
 
@@ -128,11 +167,11 @@ def test_r8_operators_second_decade(spark):  # noqa: F811
     _docs_tokens(spark, "/root/testdata/sf0.01").count()  # warm-up
     small = _run_all(spark, "/root/testdata/sf0.1")
     big = _run_all(spark, sf1_dir)
-    failures = _gate(small, big, (25.0, 25.0, 25.0))  # 10x on all inputs
+    failures = _gate(small, big, (25.0, 25.0, 25.0, 25.0, 25.0))  # 10x on all inputs
     if failures:
         small = tuple(
             map(min, small, _run_all(spark, "/root/testdata/sf0.1"))
         )
         big = tuple(map(min, big, _run_all(spark, sf1_dir)))
-        failures = _gate(small, big, (25.0, 25.0, 25.0))
+        failures = _gate(small, big, (25.0, 25.0, 25.0, 25.0, 25.0))
     assert not failures, "superlinear growth:\n" + "\n".join(failures)

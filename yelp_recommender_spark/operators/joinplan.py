@@ -141,13 +141,24 @@ def join_plan(
         plan["strategy"] = "broadcast"
         return plan
 
-    ga = cms_state(_keyed(left, keys), _KEY, depth=depth, width=width)
-    gb = cms_state(_keyed(right, keys), _KEY, depth=depth, width=width)
-    n_left, max_l = _grid_scalars(ga)
-    _, max_r = _grid_scalars(gb)
-    est = float(
-        cms_join_size(ga, gb).collect()[0]["est_join_rows"]
-    )
+    # the grids are read three times (per-side scalars + the inner
+    # product) — persist them so each input is scanned exactly ONCE;
+    # grid size is bounded at depth×width rows, so the cache is tiny
+    ga = cms_state(
+        _keyed(left, keys), _KEY, depth=depth, width=width
+    ).persist()
+    gb = cms_state(
+        _keyed(right, keys), _KEY, depth=depth, width=width
+    ).persist()
+    try:
+        n_left, max_l = _grid_scalars(ga)
+        _, max_r = _grid_scalars(gb)
+        est = float(
+            cms_join_size(ga, gb).collect()[0]["est_join_rows"]
+        )
+    finally:
+        ga.unpersist()
+        gb.unpersist()
     plan["n_left"] = n_left
     plan["est_join_rows"] = est
     denom = max(n_left + n_right, 1)
