@@ -186,3 +186,35 @@ def test_explain_join_cli(spark, tmp_path):  # noqa: F811
         )
     plan = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert plan["strategy"] == "broadcast" and plan["explosion"] is False
+
+
+def test_estimate_is_one_sided_property(spark):  # noqa: F811
+    """Hypothesis sweep of random key multisets: the CMS estimate is
+    NEVER below the true join size (one-sided — collisions only add),
+    and planned_join equals the plain join row-for-row whatever
+    strategy the random thresholds pick."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys_st = st.lists(st.integers(0, 12), min_size=1, max_size=24)
+
+    @given(keys_st, keys_st, st.sampled_from([0, 5, 1_000]))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(lk, rk, broadcast_rows):
+        a = spark.createDataFrame([(k,) for k in lk], "k long")
+        b = spark.createDataFrame([(k,) for k in rk], "k long")
+        ca, cb = Counter(lk), Counter(rk)
+        true_size = sum(ca[k] * cb[k] for k in ca)
+        plan = join_plan(a, b, "k", broadcast_rows=broadcast_rows)
+        if plan["est_join_rows"] is not None:
+            assert plan["est_join_rows"] >= float(true_size)
+        got = planned_join(a, b, "k", plan=plan).count()
+        assert got == true_size
+
+    prop()
