@@ -218,3 +218,28 @@ def test_estimate_is_one_sided_property(spark):  # noqa: F811
         assert got == true_size
 
     prop()
+
+
+def test_planned_join_broadcast_plans_broadcast_hash_join(spark):  # noqa: F811
+    """Plan pin: the 'broadcast' strategy must MATERIALIZE as a
+    BroadcastHashJoin (the hint survives to the physical plan), and the
+    'shuffle' strategy on the same frames must not broadcast-hint —
+    leaving Catalyst/AQE free to pick from stats."""
+    a = _uniform(spark, 5_000, 500)
+    b = _uniform(spark, 200, 200).withColumnRenamed("payload", "rp")
+    plan = lambda df: df._jdf.queryExecution().executedPlan().toString()  # noqa: E731
+
+    out = {}
+    bcast = planned_join(a, b, "k", decision_out=out, broadcast_rows=1_000)
+    assert out["strategy"] == "broadcast"
+    assert "BroadcastHashJoin" in plan(bcast)
+
+    out = {}
+    shuffled = planned_join(
+        a, b, "k", decision_out=out, broadcast_rows=10, whale_frac=0.99
+    )
+    assert out["strategy"] == "shuffle"
+    # identical rows either way (the planner only changes the shape)
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
