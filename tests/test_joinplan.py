@@ -58,11 +58,15 @@ def test_whale_key_flips_plan_to_salted(spark):  # noqa: F811
     )
     uniform = _uniform(spark, 10_000, 5_000)
     right = _uniform(spark, 3_000, 3_000, key="k")
-    p_whale = join_plan(whale, right, "k", broadcast_rows=100)
-    p_uni = join_plan(uniform, right, "k", broadcast_rows=100)
+    p_whale = join_plan(whale, right, "k", broadcast_rows=1_000)
+    p_uni = join_plan(uniform, right, "k", broadcast_rows=1_000)
     assert p_whale["strategy"] == "salted"
     assert p_whale["max_key_frac_left"] >= 0.5
     assert p_uni["strategy"] == "shuffle"
+    # same whale but a right side too big to replicate (> 8x the
+    # broadcast threshold): shuffle + AQE skew split, never salted
+    p_big_right = join_plan(whale, right, "k", broadcast_rows=100)
+    assert p_big_right["strategy"] == "shuffle"
     # the bound is one-sided: collisions only raise it, so the uniform
     # side's reported max-frac is small but nonzero
     assert p_uni["max_key_frac_left"] < 0.05
@@ -99,24 +103,24 @@ def test_planned_join_identical_results_every_strategy(spark):  # noqa: F811
     expected = sorted(
         tuple(r) for r in whale.join(right, "k").collect()
     )
-    for kw in (
+    # right side is 250 distinct rows: broadcast under a 1000-row
+    # threshold, salted-eligible under 100 (250 <= 8x100), shuffle
+    # when the whale dial is out of reach
+    cases = (
         {"broadcast_rows": 1_000},  # broadcast
-        {"broadcast_rows": 10, "whale_frac": 0.2},  # salted
-        {"broadcast_rows": 10, "whale_frac": 0.99},  # shuffle
-    ):
+        {"broadcast_rows": 100, "whale_frac": 0.2},  # salted
+        {"broadcast_rows": 100, "whale_frac": 0.99},  # shuffle
+    )
+    for kw in cases:
         out = {}
         got = planned_join(
             whale, right, "k", decision_out=out, **kw
         )
         assert sorted(tuple(r) for r in got.collect()) == expected, out
     # the three thresholds above really exercised three strategies
-    strategies = []
-    for kw in (
-        {"broadcast_rows": 1_000},
-        {"broadcast_rows": 10, "whale_frac": 0.2},
-        {"broadcast_rows": 10, "whale_frac": 0.99},
-    ):
-        strategies.append(join_plan(whale, right, "k", **kw)["strategy"])
+    strategies = [
+        join_plan(whale, right, "k", **kw)["strategy"] for kw in cases
+    ]
     assert strategies == ["broadcast", "salted", "shuffle"]
 
 

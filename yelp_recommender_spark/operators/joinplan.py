@@ -166,9 +166,15 @@ def join_plan(
     plan["max_key_frac_left"] = max_l / max(n_left, 1)
     plan["max_key_frac_right"] = max_r / max(n_right, 1)
     plan["explosion"] = est > explosion_factor * denom
+    # salting replicates the RIGHT side n_salts×, so it only pays when
+    # that side is a broadcast candidate that just missed the threshold
+    # (salted_join's own sizing rule); a left whale against a huge
+    # right side goes to the plain shuffle, where AQE's skew-join
+    # splitting is the runtime remedy
     plan["strategy"] = (
         "salted"
         if plan["max_key_frac_left"] >= whale_frac
+        and n_right <= 8 * broadcast_rows
         else "shuffle"
     )
     return plan
