@@ -487,3 +487,57 @@ def test_profile_diff_cli_planted_drift_and_clean_run(spark, tmp_path):  # noqa:
         main(["profile-diff", "--old", outs["p1"], "--new", outs["p1b"]])
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["n_flagged"] == 0
+
+
+def test_profile_diff_state_versions(spark, tmp_path):  # noqa: F811
+    """State-version mode: diff two committed versions of a standing
+    profile (defaults to the two newest) — here the second batch adds
+    a column and spikes nulls on a shared one, so the cumulative-totals
+    diff flags both; version validation exits with a message."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from yelp_recommender_spark.cli import main
+
+    d1 = str(tmp_path / "b1.parquet")
+    d2 = str(tmp_path / "b2.parquet")
+    spark.range(1_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).cast("double").alias("v"),
+    ).write.parquet(d1)
+    spark.range(1_000).select(
+        (F.col("id") + 10_000).alias("k"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 9).cast("double"))
+        .alias("v"),
+        F.lit("x").alias("brand_new"),
+    ).write.parquet(d2)
+
+    state = str(tmp_path / "standing")
+    for i, src in enumerate((d1, d2)):
+        with contextlib.redirect_stdout(io.StringIO()):
+            main(
+                ["profile", "--input", src,
+                 "--output", str(tmp_path / f"out{i}"),
+                 "--state", state, "--state-version", str(i)]
+            )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit) as e:
+            main(["profile-diff", "--state", state])
+    assert e.value.code == 4
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    checks = {(f["column"], f["check"]) for f in report["flagged"]}
+    assert ("brand_new", "column_added") in checks
+    assert ("v", "null_rate") in checks  # 0 -> 25% cumulative
+
+    # bad version / missing second version are refusals with messages
+    with pytest.raises(SystemExit) as e:
+        main(["profile-diff", "--state", state,
+              "--old-version", "7", "--new-version", "1"])
+    assert "not a committed version" in str(e.value)
+    with pytest.raises(SystemExit) as e:
+        main(["profile-diff", "--state", state, "--old", str(tmp_path)])
+    assert "either" in str(e.value)

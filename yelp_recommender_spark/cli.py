@@ -645,8 +645,21 @@ def main(argv: list[str] | None = None) -> None:
         "flagged — the monitoring consumer the standing profile "
         "exists for",
     )
-    pd_.add_argument("--old", required=True, help="older profile output dir")
-    pd_.add_argument("--new", required=True, help="newer profile output dir")
+    pd_.add_argument("--old", default=None, help="older profile output dir")
+    pd_.add_argument("--new", default=None, help="newer profile output dir")
+    pd_.add_argument(
+        "--state",
+        default=None,
+        help="instead of two output dirs, diff two COMMITTED versions "
+        "of a standing-profile state dir (profile --state): column "
+        "stats checks only (the state holds no heavy-hitter/quantile "
+        "views). Versions default to the two newest commits — 'what "
+        "did the last batch change in the standing totals'; note the "
+        "standing profile is CUMULATIVE, so per-batch drift detection "
+        "wants per-batch output dirs instead",
+    )
+    pd_.add_argument("--old-version", type=int, default=None)
+    pd_.add_argument("--new-version", type=int, default=None)
     pd_.add_argument("--null-rate-delta", type=float, default=0.05)
     pd_.add_argument("--distinct-ratio", type=float, default=2.0)
     pd_.add_argument("--range-frac", type=float, default=0.10)
@@ -958,14 +971,65 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.cmd == "profile-diff":
         from yelp_recommender_spark.operators.profile import (
+            collect_column_stats,
             collect_profile,
             drift_report,
         )
 
+        state_mode = args.state is not None
+        if state_mode == (args.old is not None or args.new is not None):
+            raise SystemExit(
+                "profile-diff: pass either --old/--new output dirs or "
+                "--state (with optional --old-version/--new-version)"
+            )
         spark = get_spark(app_name="yelp_recommender_profile_diff")
+        if state_mode:
+            from yelp_recommender_spark.streaming.ops import (
+                _committed_summary_batches,
+            )
+
+            ids = _committed_summary_batches(args.state)
+            old_v = args.old_version
+            new_v = args.new_version
+            if old_v is None or new_v is None:
+                if len(ids) < 2:
+                    raise SystemExit(
+                        f"profile-diff --state: {args.state} has "
+                        f"{len(ids)} committed version(s); need two "
+                        "(or pass --old-version/--new-version)"
+                    )
+                old_v = ids[-2] if old_v is None else old_v
+                new_v = ids[-1] if new_v is None else new_v
+            for v in (old_v, new_v):
+                if v not in ids:
+                    raise SystemExit(
+                        f"profile-diff --state: version {v} is not a "
+                        f"committed version of {args.state} "
+                        f"(committed: {ids})"
+                    )
+
+            def _ver(v):
+                stats = spark.read.parquet(
+                    os.path.join(args.state, f"batch_id={v}")
+                )
+                return {
+                    "columns": collect_column_stats(stats),
+                    "heavy_hitters": {},
+                    "quantiles": {},
+                }
+
+            old_prof, new_prof = _ver(old_v), _ver(new_v)
+        else:
+            if args.old is None or args.new is None:
+                raise SystemExit(
+                    "profile-diff: --old and --new are both required "
+                    "in output-dir mode"
+                )
+            old_prof = collect_profile(spark, args.old)
+            new_prof = collect_profile(spark, args.new)
         findings = drift_report(
-            collect_profile(spark, args.old),
-            collect_profile(spark, args.new),
+            old_prof,
+            new_prof,
             null_rate_delta=args.null_rate_delta,
             distinct_ratio=args.distinct_ratio,
             range_frac=args.range_frac,

@@ -49,6 +49,7 @@ __all__ = [
     "profile_column_stats",
     "merge_column_stats",
     "collect_profile",
+    "collect_column_stats",
     "drift_report",
 ]
 
@@ -340,16 +341,13 @@ def profile_table(
     return {"columns": stats, "heavy_hitters": hh, "quantiles": qdf}
 
 
-def collect_profile(spark, out_dir: str) -> dict:
-    """A written profile (``profile --output`` layout: ``columns/``,
-    ``heavy_hitters/``, ``quantiles/`` parquet) as plain dicts — the
-    comparison form :func:`drift_report` consumes. Bounded by the
-    profile's own contracts (O(width), O(width·topk), O(width·#qs)),
-    so the collect is the documented bounded kind."""
-    import os
-
+def collect_column_stats(stats: DataFrame) -> dict:
+    """A column-stats table (:func:`profile_column_stats` shape, with
+    or without the HLL binaries) as the plain per-column dict
+    :func:`drift_report` consumes — O(width) rows, the documented
+    bounded collect."""
     cols = {}
-    for r in spark.read.parquet(os.path.join(out_dir, "columns")).collect():
+    for r in stats.collect():
         cols[r.column] = {
             "n_rows": int(r.n_rows),
             "n_nonnull": int(r.n_nonnull),
@@ -358,6 +356,20 @@ def collect_profile(spark, out_dir: str) -> dict:
             "max_value": r.max_value,
             "value_kind": r.value_kind,
         }
+    return cols
+
+
+def collect_profile(spark, out_dir: str) -> dict:
+    """A written profile (``profile --output`` layout: ``columns/``,
+    ``heavy_hitters/``, ``quantiles/`` parquet) as plain dicts — the
+    comparison form :func:`drift_report` consumes. Bounded by the
+    profile's own contracts (O(width), O(width·topk), O(width·#qs)),
+    so the collect is the documented bounded kind."""
+    import os
+
+    cols = collect_column_stats(
+        spark.read.parquet(os.path.join(out_dir, "columns"))
+    )
     hh: dict[str, list] = {}
     hh_path = os.path.join(out_dir, "heavy_hitters")
     if os.path.isdir(hh_path):
