@@ -247,3 +247,26 @@ def test_planned_join_broadcast_plans_broadcast_hash_join(spark):  # noqa: F811
     assert sorted(map(tuple, bcast.collect())) == sorted(
         map(tuple, shuffled.collect())
     )
+
+
+def test_hot_small_right_side_still_carries_explosion_evidence(spark):  # noqa: F811
+    """A right side under the broadcast threshold whose keys REPEAT
+    must not ride the cheap short-circuit: broadcast stays the physical
+    shape, but the planner escalates to the grid estimate so the
+    explosion flag carries evidence (100 rows of one key can multiply
+    the join 100x)."""
+    left = _uniform(spark, 10_000, 10)  # 1000 rows per key
+    hot_right = spark.range(100).select(
+        F.lit(7).cast("long").alias("k"), F.col("id").alias("rp")
+    )
+    plan = join_plan(left, hot_right, "k", broadcast_rows=1_000)
+    assert plan["strategy"] == "broadcast"
+    assert plan["right_max_multiplicity"] == 100
+    assert plan["explosion"] is True
+    assert plan["est_join_rows"] >= 100_000.0  # 1000 left x 100 right
+    # unique-keyed right side of the same size: short-circuit, no
+    # left scan, no explosion possible beyond the factor
+    flat_right = _uniform(spark, 100, 100).withColumnRenamed("payload", "rp")
+    plan = join_plan(left, flat_right, "k", broadcast_rows=1_000)
+    assert plan["strategy"] == "broadcast"
+    assert plan["n_left"] is None and plan["explosion"] is False

@@ -15,9 +15,16 @@ built in one scan per side.
 order, because the planner must stay much cheaper than the join it
 protects:
 
-1. Count the RIGHT side only (the candidate broadcast/replica side).
-   At or under ``broadcast_rows`` the decision is already made —
-   broadcast — and the big left side is never scanned by the planner.
+1. Count the RIGHT side only (the candidate broadcast/replica side),
+   along with its max key multiplicity — one tiny aggregation over the
+   side that must be small anyway. At or under ``broadcast_rows`` with
+   (near-)unique keys the decision is already made — broadcast, output
+   provably bounded at mult × n_left — and the big left side is never
+   scanned by the planner. A small-but-repeated-key right side
+   (mult > explosion_factor) escalates anyway: broadcast remains the
+   physical shape, but the output estimate must carry evidence (a
+   100-row side whose keys repeat 100× can still multiply the join
+   100×).
 2. Otherwise build a count-min grid over the join key on each side
    (ONE scan per side, bounded depth×width state), and derive from
    the grids alone: exact non-null row counts (the d=0 row of each
@@ -119,7 +126,18 @@ def join_plan(
     the caller gets to budget — or refuse — with the estimate in hand.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    n_right = _keyed(right, keys).count()
+    keyed_r = _keyed(right, keys)
+    n_right, mult = (
+        keyed_r.groupBy(_KEY)
+        .count()
+        .agg(
+            F.sum("count").alias("_n"),
+            F.max("count").alias("_m"),
+        )
+        .collect()[0]
+    )
+    n_right = int(n_right or 0)
+    mult = int(mult or 0)
     plan: dict = {
         "on": keys,
         "n_right": int(n_right),
@@ -128,6 +146,7 @@ def join_plan(
         "amplification": None,
         "max_key_frac_left": None,
         "max_key_frac_right": None,
+        "right_max_multiplicity": mult,
         "explosion": False,
         "thresholds": {
             "broadcast_rows": int(broadcast_rows),
@@ -135,9 +154,12 @@ def join_plan(
             "whale_frac": float(whale_frac),
         },
     }
-    if n_right <= broadcast_rows:
+    if n_right <= broadcast_rows and mult <= explosion_factor:
         # decided without ever scanning the left side — the planner's
-        # cost must stay far below the join's
+        # cost must stay far below the join's. Safe to skip the output
+        # estimate: every left row matches at most `mult` right rows,
+        # so the output is bounded at mult × n_left — no explosion
+        # beyond the factor is possible
         plan["strategy"] = "broadcast"
         return plan
 
@@ -147,9 +169,7 @@ def join_plan(
     ga = cms_state(
         _keyed(left, keys), _KEY, depth=depth, width=width
     ).persist()
-    gb = cms_state(
-        _keyed(right, keys), _KEY, depth=depth, width=width
-    ).persist()
+    gb = cms_state(keyed_r, _KEY, depth=depth, width=width).persist()
     try:
         n_left, max_l = _grid_scalars(ga)
         _, max_r = _grid_scalars(gb)
@@ -166,6 +186,12 @@ def join_plan(
     plan["max_key_frac_left"] = max_l / max(n_left, 1)
     plan["max_key_frac_right"] = max_r / max(n_right, 1)
     plan["explosion"] = est > explosion_factor * denom
+    # a small-but-REPEATED-key right side (mult > factor) reaches here
+    # so its explosion flag carries evidence — but broadcast is still
+    # the right physical shape for a side this small
+    if n_right <= broadcast_rows:
+        plan["strategy"] = "broadcast"
+        return plan
     # salting replicates the RIGHT side n_salts×, so it only pays when
     # that side is a broadcast candidate that just missed the threshold
     # (salted_join's own sizing rule); a left whale against a huge
