@@ -687,7 +687,10 @@ def main(argv: list[str] | None = None) -> None:
         "(O(width*topk), no table scan) for a SINGLE key column; exits "
         "2 when that view cannot guarantee the verdict at --min-frac "
         "(threshold below the summary's 1/(k+1) resolution, or "
-        "possible top-k truncation) — rescan with --input then",
+        "possible top-k truncation) — rescan with --input then. NOTE: "
+        "the profile excludes NULL values (their rate lives in the "
+        "column stats), so fractions are over non-null rows; a "
+        "NULL-heavy whale key needs the scan path",
     )
     ej = sub.add_parser(
         "explain-join",

@@ -559,7 +559,10 @@ def ivfpq_topk(
     tests/test_pq_residual.py). Costs one broadcast centroid join at
     encode time and one (n_query × dim)·centroid dot per probed
     centroid group at serve time — both negligible next to the code
-    gathers.
+    gathers. ``encoding='opq_residual'`` (r9) composes this with the
+    OPQ rotation — learned on the residual sample, quantizing the
+    rotated residual — and matches or beats the better single encoding
+    on both corpus structures (tests/test_pq_opq_residual.py).
 
     Plan shape: the index never shuffles and is never broadcast —
     encoding and ADC scoring are map-only Arrow passes over the
