@@ -609,30 +609,45 @@ def mg_state(
     ranked = _mg_compress(counts, keys, k, "_item").withColumn(
         "_n", F.sum("_c").over(Window.partitionBy(*keys))
     )
-    survivors = ranked.filter(
-        (F.col("_rn") <= k) & (F.col("_c") > F.col("_d"))
-    ).select(
-        *keys,
-        F.col("_item").alias("item"),
-        (F.col("_c") - F.col("_d")).alias("n_lo"),
-        F.col("_n").alias("mg_n"),
-        F.col("_d").alias("mg_delta"),
+    # survivors and the per-key sentinel in ONE pass over `ranked`
+    # (each row emits its survivor struct if it qualifies, and the
+    # rank-1 row additionally emits the sentinel — every key with any
+    # item has a rank-1 row): a survivors-UNION-sentinel formulation
+    # would reference `ranked` twice, recomputing the full exact-count
+    # aggregation once per reference on unpersisted lineage — measured
+    # at ~2× the whole mg_state cost, compounding in detect_skew
+    item_t = counts.schema["_item"].dataType
+    surv = F.when(
+        (F.col("_rn") <= k) & (F.col("_c") > F.col("_d")),
+        F.struct(
+            F.col("_item").alias("item"),
+            (F.col("_c") - F.col("_d")).alias("n_lo"),
+        ),
     )
-    sentinel = (
-        ranked.groupBy(*keys)
-        .agg(
-            F.max("_n").alias("mg_n"), F.max("_d").alias("mg_delta")
+    sent = F.when(
+        F.col("_rn") == 1,
+        F.struct(
+            F.lit(None).cast(item_t).alias("item"),
+            F.lit(0).cast("long").alias("n_lo"),
+        ),
+    )
+    return (
+        ranked.select(
+            *keys,
+            F.col("_n").alias("mg_n"),
+            F.col("_d").alias("mg_delta"),
+            F.explode(
+                F.filter(F.array(surv, sent), lambda s: s.isNotNull())
+            ).alias("_e"),
         )
         .select(
             *keys,
-            F.lit(None).cast(counts.schema["_item"].dataType).alias("item"),
-            F.lit(0).cast("long").alias("n_lo"),
+            F.col("_e.item").alias("item"),
+            F.col("_e.n_lo").alias("n_lo"),
             "mg_n",
             "mg_delta",
         )
-    )
-    return survivors.unionByName(sentinel).withColumn(
-        "mg_k", F.lit(int(k))
+        .withColumn("mg_k", F.lit(int(k)))
     )
 
 

@@ -350,12 +350,20 @@ def detect_skew(
     # hostile-name-safe references (plain F.col PARSEs names: a dotted
     # or backticked key column would misbind or break — profile.py's
     # convention), and the bucket hash takes the struct itself
+    from yelp_recommender_spark.cache import register_persist
+
     keyed = df.select(
         F.struct(*[_c(df, c).alias(c) for c in key_cols]).alias("_key")
     ).withColumn(
         "_b", F.pmod(F.xxhash64(F.col("_key")), F.lit(int(n_buckets)))
     )
-    partial = mg_state(keyed, ["_b"], "_key", k=k)
+    # the per-bucket partial is the bounded boundary (≤ buckets·(k+1)
+    # rows): mg_rollup references its input several times, and without
+    # this pin each reference would recompute the FULL table scan +
+    # exact-count aggregation upstream — measured 2.3× the guard's
+    # whole cost on a 600k-row input (session cache registry; released
+    # by clear_caches at the pipeline boundary, the engine convention)
+    partial = register_persist(mg_state(keyed, ["_b"], "_key", k=k))
     hh = mg_heavy_hitters(mg_rollup(partial, []), min_frac=min_frac)
     total = F.col("mg_n").cast("double")
     return hh.select(
