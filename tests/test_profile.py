@@ -541,3 +541,18 @@ def test_profile_diff_state_versions(spark, tmp_path):  # noqa: F811
     with pytest.raises(SystemExit) as e:
         main(["profile-diff", "--state", state, "--old", str(tmp_path)])
     assert "either" in str(e.value)
+
+
+def test_heavy_hitter_pass_scans_once(spark):  # noqa: F811
+    """r9 plan pin: the heavy-hitters pass reads the table ONCE — the
+    pre-r9 survivors-UNION-sentinel mg_state referenced its ranked
+    aggregation twice, silently doubling the scan the module docstring
+    claims is single."""
+    from yelp_recommender_spark.operators.profile import profile_table
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    hh = profile_table(cust, columns=["c_mktsegment", "c_nationkey"])[
+        "heavy_hitters"
+    ]
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
