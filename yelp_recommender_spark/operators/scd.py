@@ -74,19 +74,35 @@ def scd2_merge(
         attr_cols, "_u_", ""
     )
 
-    unchanged_cur = j.filter(~changed).select(*dim.columns)
-    closed = j.filter(changed).select(
-        *key_cols,
-        *attr_cols,
-        F.col(valid_from),
-        F.lit(batch_ts).cast("long").alias(valid_to),
-    ).select(*dim.columns)
-    reopened = j.filter(changed).select(
-        *key_cols,
-        *[F.col(f"_u_{c}").alias(c) for c in attr_cols],
-        F.lit(batch_ts).cast("long").alias(valid_from),
-        F.lit(None).cast("long").alias(valid_to),
-    ).select(*dim.columns)
+    # every current row's fate in ONE pass over the join: unchanged →
+    # itself, changed → [closed twin, reopened twin]. The former
+    # three-branch filter+union formulation consumed the join three
+    # times — and because Catalyst pushes each branch's predicate
+    # fragments below it, the exchanges stop being identical, exchange
+    # reuse never fires (verified post-execution: 0 ReusedExchange) and
+    # the current-rows scan + join recompute once per branch. The
+    # explode keeps the merge one join + one map pass — O(current +
+    # batch) in the PLAN, not just asymptotically
+    def _fate(overrides: dict) -> Column:
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in dim.columns]
+        )
+
+    closed_row = _fate({valid_to: F.lit(batch_ts).cast("long")})
+    reopened_row = _fate(
+        {
+            **{c: F.col(f"_u_{c}") for c in attr_cols},
+            valid_from: F.lit(batch_ts).cast("long"),
+            valid_to: F.lit(None).cast("long"),
+        }
+    )
+    merged_cur = j.select(
+        F.explode(
+            F.when(changed, F.array(closed_row, reopened_row)).otherwise(
+                F.array(_fate({}))
+            )
+        ).alias("_r")
+    ).select("_r.*")
     brand_new = (
         updates.join(dim.select(*key_cols).distinct(), key_cols, "left_anti")
         .select(
@@ -97,6 +113,4 @@ def scd2_merge(
         )
         .select(*dim.columns)
     )
-    return hist.unionByName(unchanged_cur).unionByName(closed).unionByName(
-        reopened
-    ).unionByName(brand_new)
+    return hist.unionByName(merged_cur).unionByName(brand_new)
