@@ -72,3 +72,42 @@ def test_scd2_merge_chains_batches(spark):  # noqa: F811
     # invariant: exactly one current row per live key
     cur = h2.filter(F.col("valid_to").isNull()).groupBy("k").count()
     assert all(r["count"] == 1 for r in cur.collect())
+
+
+def test_scd2_merge_is_one_join_one_pass(spark):  # noqa: F811
+    """r9 plan pin: the merge consumes the current-vs-updates join ONCE
+    (explode-the-fates), never once per branch — the pre-r9 three-branch
+    filter+union recomputed the join and the current-rows scan per
+    branch because per-branch predicate pushdown defeats exchange reuse.
+    Pinned on a parquet-backed dim so the scan count is the real thing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.scd import scd2_merge
+
+    dim_path = str(spark._sc._temp_dir) + "/scd_pin_dim.parquet"
+    spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.when(F.col("id") % 5 == 0, F.lit(1)).cast("long").alias("valid_to"),
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    updates = spark.range(500).select(
+        (F.col("id") * 3).alias("k"), F.lit(99.0).alias("attr")
+    )
+    out = scd2_merge(dim, updates, ["k"], ["attr"], batch_ts=7)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # dim feeds: history passthrough, the current-rows join, the
+    # brand-new anti-join's key side — three reads by design, never
+    # one per output branch (pre-fix this counted 5+)
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+    # row fates all present: history kept, changed keys closed+reopened
+    assert out.filter(F.col("valid_to") == 1).count() == 400  # history
+    closed = out.filter(F.col("valid_to") == 7)
+    reopened = out.filter(
+        (F.col("valid_from") == 7) & F.col("valid_to").isNull()
+    )
+    assert closed.count() > 0 and reopened.count() >= closed.count()
