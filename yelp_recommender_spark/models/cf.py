@@ -165,13 +165,32 @@ def combined_weight() -> F.Column:
 def symmetrize(weights: DataFrame, weight_col: str) -> DataFrame:
     """Undirected (e1,e2,w) → both directions (J7,
     ``predict_user_cf.py:175-185``). ``weight_col="mean"`` selects the
-    A12 combined metric (:func:`combined_weight`)."""
+    A12 combined metric (:func:`combined_weight`).
+
+    One pass, not fwd-UNION-rev: the union form references ``weights``
+    twice, and when it arrives as unpersisted lineage (the co-rating
+    self-join + exact-decimal Pearson — the expensive part of CF) the
+    whole weight computation would run once per direction (the r9
+    scan-audit pattern: differently-projected branches of one subtree
+    defeat exchange reuse). Each edge emits both directions from one
+    read instead."""
     w = combined_weight() if weight_col == "mean" else F.col(weight_col)
-    fwd = weights.select("e1", "e2", w.alias("w"))
-    rev = weights.select(
-        F.col("e2").alias("e1"), F.col("e1").alias("e2"), w.alias("w")
-    )
-    return fwd.union(rev)
+    return weights.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("e1").alias("e1"),
+                    F.col("e2").alias("e2"),
+                    w.alias("w"),
+                ),
+                F.struct(
+                    F.col("e2").alias("e1"),
+                    F.col("e1").alias("e2"),
+                    w.alias("w"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.*")
 
 
 def top_n_neighbors(
