@@ -95,59 +95,73 @@ def encode_business_features(
     ``categories`` is the Yelp comma-space string (split at
     ``extended_content_model.py:78``); an allowlist restricts the one-hot
     space (the reference's config category list)."""
-    cats = business.select(
-        "business_id",
-        F.explode(
-            F.split(F.trim(F.coalesce(F.col("categories"), F.lit(""))), ", ")
-        ).alias("_c"),
-    ).filter(F.col("_c") != "")
-    if categories_allow is not None:
-        cats = cats.filter(
-            F.col("_c").isin([c for c in categories_allow])
-        )
-    cat_rows = cats.select(
-        "business_id",
-        F.concat(F.lit("cat:"), F.col("_c")).alias("feature"),
-        F.lit(1.0).alias("value"),
-    )
-
+    # ONE pass over the business dim, not one branch-union per feature
+    # family: the former cat ∪ scalar-per-attr ∪ dict-per-attr shape
+    # referenced the dimension ~10 times, and differently-projected
+    # branches of one subtree never share a scan (the r9 scan-audit
+    # pattern). Every row now emits its full feature array and one
+    # explode flattens it — identical (business_id, feature, value)
+    # multiset.
     def attr(name: str) -> Column:
         return F.col("attributes").getItem(name)
 
-    scalar_rows = []
-    has_attrs = F.col("attributes").isNotNull()
-    base = business.filter(has_attrs)
-    for name, enc in (
-        [("Alcohol", _ordinal(attr("Alcohol"), ALCOHOL_VALUES))]
-        + [("NoiseLevel", _ordinal(attr("NoiseLevel"), NOISE_VALUES))]
-        + [(b, _boolean(attr(b))) for b in BOOL_ATTRS]
-    ):
-        scalar_rows.append(
-            base.select(
-                "business_id",
-                F.lit(f"attr:{name}").alias("feature"),
-                enc.alias("value"),
-            ).filter(F.col("value").isNotNull())
-        )
+    def feat(feature: Column, value: Column) -> Column:
+        return F.struct(feature.alias("feature"), value.alias("value"))
 
-    dict_rows = []
-    for name in DICT_ATTRS:
-        exploded = base.select(
-            "business_id",
-            F.explode(_dict_entries(attr(name))).alias("_k", "_v"),
-        ).filter(F.col("_v").isNotNull())
-        dict_rows.append(
-            exploded.select(
-                "business_id",
-                F.concat(F.lit(f"attr:{name}_"), F.col("_k")).alias("feature"),
-                (F.col("_v").cast("int") + 1).cast("double").alias("value"),
+    empty = F.array().cast(
+        "array<struct<feature:string,value:double>>"
+    )
+
+    cats_arr = F.filter(
+        F.split(F.trim(F.coalesce(F.col("categories"), F.lit(""))), ", "),
+        lambda c: c != "",
+    )
+    if categories_allow is not None:
+        allow = F.array(*[F.lit(c) for c in categories_allow])
+        cats_arr = F.filter(
+            cats_arr, lambda c: F.array_contains(allow, c)
+        )
+    cat_feats = F.transform(
+        cats_arr,
+        lambda c: feat(F.concat(F.lit("cat:"), c), F.lit(1.0)),
+    )
+
+    scalar_feats = F.array(
+        *[
+            feat(F.lit(f"attr:{name}"), enc)
+            for name, enc in (
+                [("Alcohol", _ordinal(attr("Alcohol"), ALCOHOL_VALUES))]
+                + [("NoiseLevel", _ordinal(attr("NoiseLevel"), NOISE_VALUES))]
+                + [(b, _boolean(attr(b))) for b in BOOL_ATTRS]
             )
-        )
+        ]
+    )
 
-    out = cat_rows
-    for df in scalar_rows + dict_rows:
-        out = out.unionByName(df)
-    return out
+    dict_feats = [
+        F.coalesce(  # NULL attributes → no entries, not a NULL concat
+            F.transform(
+                F.map_entries(_dict_entries(attr(name))),
+                lambda e: feat(
+                    F.concat(F.lit(f"attr:{name}_"), e["key"]),
+                    (e["value"].cast("int") + 1).cast("double"),
+                ),
+            ),
+            empty,
+        )
+        for name in DICT_ATTRS
+    ]
+
+    all_feats = F.filter(
+        F.concat(cat_feats, scalar_feats, *dict_feats),
+        lambda s: s["value"].isNotNull(),
+    )
+    return business.select(
+        "business_id", F.explode(all_feats).alias("_f")
+    ).select(
+        "business_id",
+        F.col("_f.feature").alias("feature"),
+        F.col("_f.value").alias("value"),
+    )
 
 
 def encode_user_features(user: DataFrame) -> DataFrame:
