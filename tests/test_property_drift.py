@@ -102,10 +102,13 @@ def test_flags_are_threshold_monotone(a, b):
     infinitely-loose thresholds flags nothing but schema/kind changes
     (which have no dial by design)."""
     strict = drift_report(a, b)
+    # range_frac multiplies a span floored at 1e-12 (degenerate
+    # min==max spans), so "loose" must clear values/1e-12 — 1e30 does;
+    # 1e12 would still flag a constant column moving by > 1
     loose = drift_report(
         a, b,
-        null_rate_delta=2.0, distinct_ratio=1e12,
-        range_frac=1e12, hh_jaccard_min=0.0, quantile_rel=1e12,
+        null_rate_delta=2.0, distinct_ratio=1e30,
+        range_frac=1e30, hh_jaccard_min=0.0, quantile_rel=1e30,
     )
     strict_flags = {
         (f["column"], f["check"]) for f in strict if f["flagged"]
