@@ -73,6 +73,15 @@ def test_cli_item_cf_lifecycle(spark, data_files):  # noqa: F811
     )
     assert rows[("u_new", "b_new")].decision == "default"
     assert all(r.stars is not None for r in rows.values())
+    # train consulted the sketch-backed planner on the co-rating
+    # self-join and persisted the verdict with the model
+    _, _, root = data_files
+    plan = json.loads(
+        spark.read.parquet(
+            f"{root}/item_cf_model/tables/cf_join_plan"
+        ).head()["plan_json"]
+    )
+    assert {"est_pairs", "explosion", "n_rows"} <= set(plan)
 
 
 def test_cli_als_lifecycle(spark, data_files):  # noqa: F811

@@ -711,6 +711,11 @@ def curate_corpus(
     n_exact = shingled.count()  # materializes the persisted boundary
     n_near_dup_rejected: int | None = None
     bk_batch: DataFrame | None = None
+    # the band-key join is the dedup stage's one explosion-risk shuffle
+    # (a batch of near-identical docs multiplies quadratically): consult
+    # the sketch-backed planner and persist the verdict in the run
+    # report, the decontam_join_plan pattern (r9 VERDICT ask #1)
+    dedup_band_plan: dict = {}
     if corpus_index_dir is not None:
         _validate_index_meta(corpus_index_dir)
         loaded = _load_standing_index(spark, corpus_index_dir)
@@ -742,6 +747,7 @@ def curate_corpus(
                 shingle_col="shingles",
                 threshold=near_dup_threshold,
                 batch_band_keys=bk_batch,
+                decision_out=dedup_band_plan,
                 **_INDEX_PARAMS,
             ).select("doc_id")
         )
@@ -756,6 +762,7 @@ def curate_corpus(
             bands=16,
             threshold=near_dup_threshold,
             fast=True,
+            decision_out=dedup_band_plan,
         )
         reps = dedup_representatives(shingled, pairs, id_col="doc_id")
         deduped = shingled.join(
@@ -1260,6 +1267,7 @@ def curate_corpus(
         "benchmark_source": benchmark_source,
         "decontam_join_plan": decontam_join_plan,
         "mixture_agg_plan": mixture_agg_plan,
+        "dedup_band_plan": dedup_band_plan,
     }
 
     # the pipeline run is its own cache boundary: every output is on disk

@@ -47,6 +47,10 @@ def corated_weights(
     context: str = "user_id",
     min_corated: int = 2,
     cap_per_context: int | None = None,
+    *,
+    plan_guard: str | None = None,
+    decision_out: dict | None = None,
+    explosion_factor: float = 4.0,
 ) -> DataFrame:
     """Pairwise similarity weights over co-rating contexts.
 
@@ -70,12 +74,51 @@ def corated_weights(
     ``cap_per_context`` (keep the context's top-rated entities,
     deterministic tie-break), the standard mitigation the reference
     approximates with its min-rating filters (``train_user_cf.py:266-269``).
-    """
+
+    ``plan_guard`` consults the sketch-backed planner
+    (:func:`~yelp_recommender_spark.operators.joinplan.self_join_size`,
+    ONE extra scan of the deduped ratings, bounded grid state) on the
+    join AS IT WILL RUN (after any ``cap_per_context`` pruning) so a
+    pathological corpus gets the explosion warning BEFORE the shuffle:
+    ``"warn"`` emits a ``UserWarning`` with the evidence, ``"raise"``
+    refuses with a ``ValueError`` naming ``cap_per_context`` as the
+    remedy. ``decision_out`` (caller dict, updated in place) records
+    the verdict either way — passing it alone enables record-only
+    planning. Default (both None/off): zero planner cost, byte-identical
+    behavior to r9."""
     r = dedup_ratings(ratings, entity, context)
     if cap_per_context:
         r = top_n_per_key(
             r, [context], "stars", cap_per_context, tiebreak=entity
         )
+    if plan_guard is not None or decision_out is not None:
+        import warnings
+
+        from yelp_recommender_spark.cache import register_persist
+        from yelp_recommender_spark.operators.joinplan import self_join_size
+
+        # the planner adds a 4th reference to r's aggregation lineage —
+        # pin it (session cache registry) so the grid build warms the
+        # cache the self-join below reuses instead of recomputing
+        r = register_persist(r)
+        verdict = self_join_size(
+            r, context, explosion_factor=explosion_factor
+        )
+        verdict["cap_per_context"] = cap_per_context
+        if decision_out is not None:
+            decision_out.update(verdict)
+        if verdict["explosion"] and plan_guard is not None:
+            msg = (
+                f"co-rating self-join on {context!r} is a multiplier: "
+                f"~{verdict['est_pairs']:.0f} pairs from "
+                f"{verdict['n_rows']} ratings (heaviest context ≤ "
+                f"{verdict['max_key_frac']:.2%} of rows) — set "
+                "cap_per_context (or LSH-prefilter with "
+                "lsh_candidate_pairs) to bound the shuffle"
+            )
+            if plan_guard == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
 
     # per-entity stats over the full vector (for cosine norms / jaccard
     # sizes); the squared-star sum uses the exact decimal accumulator so

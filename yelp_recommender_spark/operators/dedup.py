@@ -570,6 +570,8 @@ def incremental_minhash_dedup_indexed(
     threshold: float = 0.8,
     fast: bool = False,
     batch_band_keys: DataFrame | None = None,
+    decision_out: dict | None = None,
+    max_candidate_pairs: float | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_dedup` against a PRECOMPUTED corpus
     index: ``corpus_band_keys`` is the persisted (id, bk) table
@@ -582,7 +584,19 @@ def incremental_minhash_dedup_indexed(
     for its own purposes (e.g. the curate pipeline appends the
     survivors' keys to the standing index) compute them once and share:
     it must be :func:`band_key_index` over ``batch`` with the same
-    (n_hashes, bands, fast) family, and is derived here when omitted."""
+    (n_hashes, bands, fast) family, and is derived here when omitted.
+
+    ``decision_out`` / ``max_candidate_pairs``: the batch×index band
+    join is the one shuffle here that can multiply (a batch of
+    near-identical docs probing an index holding their whole duplicate
+    family); when either is set, the sketch-backed planner
+    (:func:`~yelp_recommender_spark.operators.joinplan.join_plan`)
+    estimates the candidate count BEFORE the shuffle — the verdict is
+    recorded in ``decision_out``, and an estimate above
+    ``max_candidate_pairs`` fails fast with a ``ValueError``. The
+    estimate is one-sided HIGH for the real join (its extra
+    ``corp | d2 < d1`` predicate only removes rows). Default: zero
+    planner cost."""
     from yelp_recommender_spark.operators.topk import top_n_per_key
 
     bk_batch = (
@@ -598,6 +612,30 @@ def incremental_minhash_dedup_indexed(
     ).unionByName(bk_batch.withColumn("corp", F.lit(False)))
     lhs = bk_batch.select(F.col(id_col).alias("d1"), "bk")
     rhs = partners.select(F.col(id_col).alias("d2"), "bk", "corp")
+    if decision_out is not None or max_candidate_pairs is not None:
+        from yelp_recommender_spark.operators.joinplan import join_plan
+
+        # broadcast_rows=0 forces the grid estimate: the point of the
+        # guard IS the output cardinality, not the physical shape (the
+        # join below keeps its non-equi predicate either way)
+        verdict = join_plan(lhs, rhs, "bk", broadcast_rows=0)
+        verdict["join_form"] = "band_key_batch_x_index"
+        if decision_out is not None:
+            decision_out.update(verdict)
+        if (
+            max_candidate_pairs is not None
+            and verdict["est_join_rows"] is not None
+            and verdict["est_join_rows"] > max_candidate_pairs
+        ):
+            raise ValueError(
+                "incremental-dedup band join over budget: ≥ "
+                f"{verdict['est_join_rows']:.0f} candidates estimated "
+                f"(cap {max_candidate_pairs:.0f}) for a "
+                f"{verdict['n_left']}-key batch against a "
+                f"{verdict['n_right']}-key index — the batch probes a "
+                "large duplicate family; split the batch or raise the "
+                "cap"
+            )
     candidates = (
         lhs.join(
             rhs,
@@ -631,6 +669,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     fast: bool = False,
+    decision_out: dict | None = None,
+    max_candidate_pairs: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with true Jaccard.
 
@@ -640,8 +680,21 @@ def minhash_lsh_pairs(
     same trade-off at ``/root/reference/utils/lsh.py:7-21``).
 
     Scale: the only shuffles are the band-key self-join (keys are md5
-    strings — uniformly distributed, no skew) and the verify joins on
-    doc id. Nothing collects to the driver.
+    strings — uniformly distributed for DISTINCT signatures) and the
+    verify joins on doc id. Nothing collects to the driver. The one
+    way this still explodes is a pathological corpus: thousands of
+    near-identical documents share band keys, and the candidate join
+    multiplies quadratically in the duplicate-cluster size.
+    ``decision_out`` (caller dict, updated in place) consults the
+    sketch-backed planner
+    (:func:`~yelp_recommender_spark.operators.joinplan.self_join_size`
+    over the band-key table — one pass over the already-persisted
+    signatures, bounded grid state) and records the candidate-pair
+    estimate BEFORE the shuffle; ``max_candidate_pairs`` additionally
+    makes it a budget — a ``ValueError`` fail-fast when the one-sided
+    estimate exceeds it (the cluster-cap pattern: refuse with evidence
+    rather than OOM an hour in). Default (both None): zero planner
+    cost, byte-identical behavior.
 
     The signature table is persisted before banding: it is consumed by
     both sides of the self-join, and ``lsh_band_keys`` references the
@@ -660,6 +713,25 @@ def minhash_lsh_pairs(
         id_col,
         F.explode(lsh_band_keys("_sig", bands, rows)).alias("bk"),
     )
+    if decision_out is not None or max_candidate_pairs is not None:
+        from yelp_recommender_spark.operators.joinplan import self_join_size
+
+        verdict = self_join_size(with_keys, "bk")
+        if decision_out is not None:
+            decision_out.update(verdict)
+        if (
+            max_candidate_pairs is not None
+            and verdict["est_pairs"] > max_candidate_pairs
+        ):
+            raise ValueError(
+                "LSH band-key join over budget: ≥ "
+                f"{verdict['est_pairs']:.0f} candidate pairs estimated "
+                f"(cap {max_candidate_pairs:.0f}) from "
+                f"{verdict['n_rows']} band keys — the corpus has a "
+                "duplicate cluster multiplying the join (hottest band "
+                f"key ≤ {verdict['max_key_frac']:.2%} of keys); dedup "
+                "exact duplicates first or raise the cap"
+            )
     lhs = with_keys.select(F.col(id_col).alias("d1"), "bk")
     rhs = with_keys.select(F.col(id_col).alias("d2"), "bk")
     candidates = (

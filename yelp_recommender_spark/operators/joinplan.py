@@ -60,9 +60,43 @@ from pyspark.sql import functions as F
 
 from yelp_recommender_spark.operators.sketch import cms_join_size, cms_state
 
-__all__ = ["join_plan", "planned_join"]
+__all__ = ["join_plan", "planned_join", "self_join_size"]
 
 _KEY = "_jp_key"
+
+# the planner's contract is LEFT-preserving joins (the same one
+# salted_join enforces: the right side is the replicated/broadcast
+# side, so right/full-preserving flavors would silently invert the
+# semantics under a salted or broadcast decision). Spark's aliases
+# normalize to four canonical forms.
+_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "leftouter": "left",
+    "left_outer": "left",
+    "semi": "left_semi",
+    "leftsemi": "left_semi",
+    "left_semi": "left_semi",
+    "anti": "left_anti",
+    "leftanti": "left_anti",
+    "left_anti": "left_anti",
+}
+
+
+def _norm_how(how: str) -> str:
+    """Canonical join flavor, or ``ValueError`` for anything that is
+    not left-preserving — validated UP FRONT so the error surface is
+    plan-independent (a right/full join must not succeed under a
+    broadcast decision and raise under a salted one)."""
+    canon = _HOW.get(str(how).lower())
+    if canon is None:
+        raise ValueError(
+            f"join plan supports left-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got how={how!r} — a "
+            "right- or full-preserving join would invert the planned "
+            "left/right roles; swap the sides instead"
+        )
+    return canon
 
 
 def _keyed(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -103,6 +137,7 @@ def join_plan(
     right: DataFrame,
     on: str | Sequence[str],
     *,
+    how: str = "inner",
     broadcast_rows: int = 1_000_000,
     explosion_factor: float = 4.0,
     whale_frac: float = 0.10,
@@ -121,89 +156,179 @@ def join_plan(
     underestimate beyond CMS collisions), ``amplification``, and
     ``max_key_frac_left/right`` (one-sided upper bounds).
 
+    Estimate semantics (``estimate_semantics: "inner_matches"`` in the
+    returned dict): ``est_join_rows`` is always the INNER-match count —
+    Σ_v f_left(v)·f_right(v) over non-NULL keys. ``est_output_rows``
+    adjusts it to the requested ``how``, staying one-sided (never an
+    underestimate of the non-NULL-key output):
+
+    - ``inner`` — ``est_join_rows`` itself;
+    - ``left`` — ``est_join_rows + n_left`` (matches plus every left
+      row as potentially unmatched — an upper bound);
+    - ``left_semi`` — ``min(n_left, est_join_rows)`` (each left row
+      appears at most once, and only if matched);
+    - ``left_anti`` — ``n_left`` (at most every left row survives).
+
+    NULL-key left rows are NOT in ``n_left`` or any estimate: NULL
+    never equi-matches, but ``left``/``left_anti`` PRESERVE such rows,
+    so the true output exceeds ``est_output_rows`` by exactly the
+    left side's NULL-key row count — the planner never scans for it.
+    ``explosion`` compares ``est_output_rows`` (when computed) to the
+    inputs, so a semi/anti join — whose output is capped at ``n_left``
+    — never flags.
+
     ``explosion`` is a WARNING flag orthogonal to the strategy: an
     exploding join may still have to run (decontamination does), but
     the caller gets to budget — or refuse — with the estimate in hand.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    keyed_r = _keyed(right, keys)
-    n_right, mult = (
-        keyed_r.groupBy(_KEY)
-        .count()
-        .agg(
-            F.sum("count").alias("_n"),
-            F.max("count").alias("_m"),
-        )
-        .collect()[0]
-    )
-    n_right = int(n_right or 0)
-    mult = int(mult or 0)
-    plan: dict = {
-        "on": keys,
-        "n_right": int(n_right),
-        "n_left": None,
-        "est_join_rows": None,
-        "amplification": None,
-        "max_key_frac_left": None,
-        "max_key_frac_right": None,
-        "right_max_multiplicity": mult,
-        "explosion": False,
-        "thresholds": {
-            "broadcast_rows": int(broadcast_rows),
-            "explosion_factor": float(explosion_factor),
-            "whale_frac": float(whale_frac),
-        },
-    }
-    if n_right <= broadcast_rows and mult <= explosion_factor:
-        # decided without ever scanning the left side — the planner's
-        # cost must stay far below the join's. Safe to skip the output
-        # estimate: every left row matches at most `mult` right rows,
-        # so the output is bounded at mult × n_left — no explosion
-        # beyond the factor is possible
-        plan["strategy"] = "broadcast"
-        return plan
-
-    # the grids are read three times (per-side scalars + the inner
-    # product) — persist them so each input is scanned exactly ONCE;
-    # grid size is bounded at depth×width rows, so the cache is tiny
-    ga = cms_state(
-        _keyed(left, keys), _KEY, depth=depth, width=width
-    ).persist()
-    gb = cms_state(keyed_r, _KEY, depth=depth, width=width).persist()
+    canon = _norm_how(how)
+    # step 1 aggregates keyed_r, and an escalation re-reads the same
+    # lineage for the grid build — persist across both so an expensive
+    # right lineage (a distinct over an exploded table) is computed
+    # once, keeping the module's one-scan-per-side claim true for
+    # every caller, not just those that pre-persisted
+    keyed_r = _keyed(right, keys).persist()
     try:
-        n_left, max_l = _grid_scalars(ga)
-        _, max_r = _grid_scalars(gb)
-        est = float(
-            cms_join_size(ga, gb).collect()[0]["est_join_rows"]
+        n_right, mult = (
+            keyed_r.groupBy(_KEY)
+            .count()
+            .agg(
+                F.sum("count").alias("_n"),
+                F.max("count").alias("_m"),
+            )
+            .collect()[0]
         )
-    finally:
-        ga.unpersist()
-        gb.unpersist()
-    plan["n_left"] = n_left
-    plan["est_join_rows"] = est
-    denom = max(n_left + n_right, 1)
-    plan["amplification"] = est / denom
-    plan["max_key_frac_left"] = max_l / max(n_left, 1)
-    plan["max_key_frac_right"] = max_r / max(n_right, 1)
-    plan["explosion"] = est > explosion_factor * denom
-    # a small-but-REPEATED-key right side (mult > factor) reaches here
-    # so its explosion flag carries evidence — but broadcast is still
-    # the right physical shape for a side this small
-    if n_right <= broadcast_rows:
-        plan["strategy"] = "broadcast"
+        n_right = int(n_right or 0)
+        mult = int(mult or 0)
+        plan: dict = {
+            "on": keys,
+            "how": canon,
+            "estimate_semantics": "inner_matches",
+            "n_right": int(n_right),
+            "n_left": None,
+            "est_join_rows": None,
+            "est_output_rows": None,
+            "amplification": None,
+            "max_key_frac_left": None,
+            "max_key_frac_right": None,
+            "right_max_multiplicity": mult,
+            "explosion": False,
+            "thresholds": {
+                "broadcast_rows": int(broadcast_rows),
+                "explosion_factor": float(explosion_factor),
+                "whale_frac": float(whale_frac),
+            },
+        }
+        if n_right <= broadcast_rows and mult <= explosion_factor:
+            # decided without ever scanning the left side — the
+            # planner's cost must stay far below the join's. Safe to
+            # skip the output estimate: every left row matches at most
+            # `mult` right rows, so the output is bounded at
+            # mult × n_left — no explosion beyond the factor is
+            # possible
+            plan["strategy"] = "broadcast"
+            return plan
+
+        # the grids are read three times (per-side scalars + the inner
+        # product) — persist them so each input is scanned exactly
+        # ONCE; grid size is bounded at depth×width rows, so the cache
+        # is tiny
+        ga = cms_state(
+            _keyed(left, keys), _KEY, depth=depth, width=width
+        ).persist()
+        gb = cms_state(keyed_r, _KEY, depth=depth, width=width).persist()
+        try:
+            n_left, max_l = _grid_scalars(ga)
+            _, max_r = _grid_scalars(gb)
+            est = float(
+                cms_join_size(ga, gb).collect()[0]["est_join_rows"]
+            )
+        finally:
+            ga.unpersist()
+            gb.unpersist()
+        plan["n_left"] = n_left
+        plan["est_join_rows"] = est
+        if canon == "inner":
+            out_est = est
+        elif canon == "left":
+            out_est = est + float(n_left)
+        elif canon == "left_semi":
+            out_est = float(min(float(n_left), est))
+        else:  # left_anti
+            out_est = float(n_left)
+        plan["est_output_rows"] = out_est
+        denom = max(n_left + n_right, 1)
+        plan["amplification"] = est / denom
+        plan["max_key_frac_left"] = max_l / max(n_left, 1)
+        plan["max_key_frac_right"] = max_r / max(n_right, 1)
+        plan["explosion"] = out_est > explosion_factor * denom
+        # a small-but-REPEATED-key right side (mult > factor) reaches
+        # here so its explosion flag carries evidence — but broadcast
+        # is still the right physical shape for a side this small
+        if n_right <= broadcast_rows:
+            plan["strategy"] = "broadcast"
+            return plan
+        # salting replicates the RIGHT side n_salts×, so it only pays
+        # when that side is a broadcast candidate that just missed the
+        # threshold (salted_join's own sizing rule); a left whale
+        # against a huge right side goes to the plain shuffle, where
+        # AQE's skew-join splitting is the runtime remedy
+        plan["strategy"] = (
+            "salted"
+            if plan["max_key_frac_left"] >= whale_frac
+            and n_right <= 8 * broadcast_rows
+            else "shuffle"
+        )
         return plan
-    # salting replicates the RIGHT side n_salts×, so it only pays when
-    # that side is a broadcast candidate that just missed the threshold
-    # (salted_join's own sizing rule); a left whale against a huge
-    # right side goes to the plain shuffle, where AQE's skew-join
-    # splitting is the runtime remedy
-    plan["strategy"] = (
-        "salted"
-        if plan["max_key_frac_left"] >= whale_frac
-        and n_right <= 8 * broadcast_rows
-        else "shuffle"
-    )
-    return plan
+    finally:
+        keyed_r.unpersist()
+
+
+def self_join_size(
+    df: DataFrame,
+    on: str | Sequence[str],
+    *,
+    explosion_factor: float = 4.0,
+    depth: int = 5,
+    width: int = 8192,
+) -> dict:
+    """Output-size estimate for a SELF-equi-join on ``on`` — the shape
+    of the CF co-rating join (pairs of entities sharing a context) and
+    the LSH band-key candidate join, where both sides are the SAME
+    relation: one CMS grid built in ONE scan serves both sides, and
+    its self inner product (min over depths) is a one-sided estimate
+    of Σ_v f(v)² ≥ the full self-join output.
+
+    Returns ``{n_rows, est_join_rows, est_pairs, amplification,
+    max_key_frac, explosion}``: ``est_pairs = (est_join_rows −
+    n_rows) / 2`` is the ordered-pair count after the canonical
+    ``a < b`` filter — one-sided too, since est ≥ Σ f² implies
+    (est − Σf)/2 ≥ Σ f(f−1)/2. ``explosion`` flags
+    ``est_pairs > explosion_factor × n_rows`` — the join is a
+    multiplier, not a filter — BEFORE the shuffle pays for it.
+    ``max_key_frac`` upper-bounds the heaviest key's share (the whale
+    context / hot band key)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    g = cms_state(
+        _keyed(df, keys), _KEY, depth=depth, width=width
+    ).persist()
+    try:
+        n, mx = _grid_scalars(g)
+        est = float(cms_join_size(g, g).collect()[0]["est_join_rows"])
+    finally:
+        g.unpersist()
+    est_pairs = max((est - float(n)) / 2.0, 0.0)
+    return {
+        "on": keys,
+        "n_rows": n,
+        "est_join_rows": est,
+        "est_pairs": est_pairs,
+        "amplification": est_pairs / max(n, 1),
+        "max_key_frac": mx / max(n, 1),
+        "explosion": est_pairs > explosion_factor * n,
+        "thresholds": {"explosion_factor": float(explosion_factor)},
+    }
 
 
 def planned_join(
@@ -225,10 +350,13 @@ def planned_join(
 
     Left-preserving joins only (inner/left/left_semi/left_anti) — the
     same contract as ``salted_join``, and the broadcast hint also
-    builds on the right side."""
+    builds on the right side. Validated up front, so the error surface
+    is plan-independent: a right/full join raises here whichever
+    strategy the data would have picked."""
     keys = [on] if isinstance(on, str) else list(on)
+    how = _norm_how(how)
     if plan is None:
-        plan = join_plan(left, right, keys, **plan_kw)
+        plan = join_plan(left, right, keys, how=how, **plan_kw)
     if decision_out is not None:
         decision_out.update(plan)
     strategy = plan["strategy"]
