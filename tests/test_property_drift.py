@@ -102,13 +102,15 @@ def test_flags_are_threshold_monotone(a, b):
     infinitely-loose thresholds flags nothing but schema/kind changes
     (which have no dial by design)."""
     strict = drift_report(a, b)
-    # range_frac multiplies a span floored at 1e-12 (degenerate
-    # min==max spans), so "loose" must clear values/1e-12 — 1e30 does;
-    # 1e12 would still flag a constant column moving by > 1
+    # the degenerate-span floor is strictly positive (relative to the
+    # column's magnitude, profile.py range_rel_floor), so an
+    # infinitely loose range_frac really does unflag every range
+    # finding — no magic big-number escape hatch needed
+    inf = float("inf")
     loose = drift_report(
         a, b,
-        null_rate_delta=2.0, distinct_ratio=1e30,
-        range_frac=1e30, hh_jaccard_min=0.0, quantile_rel=1e30,
+        null_rate_delta=2.0, distinct_ratio=inf,
+        range_frac=inf, hh_jaccard_min=0.0, quantile_rel=inf,
     )
     strict_flags = {
         (f["column"], f["check"]) for f in strict if f["flagged"]
@@ -121,3 +123,42 @@ def test_flags_are_threshold_monotone(a, b):
         c in ("column_added", "column_removed", "value_kind_changed")
         for _, c in loose_flags
     )
+
+
+@given(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_constant_column_zero_span_rule(v):
+    """The degenerate-span (min == max) semantics pinned in the
+    COMPARATOR, not the test (r9 VERDICT ask #4): a constant numeric
+    column never flags on sub-floor relative wobble (float-rendering
+    noise), always flags on real movement past the relative floor."""
+
+    def prof(lo, hi):
+        return {
+            "columns": {
+                "c": {
+                    "n_rows": 10, "n_nonnull": 10, "approx_distinct": 1,
+                    "min_value": str(lo), "max_value": str(hi),
+                    "value_kind": "numeric",
+                }
+            }
+        }
+
+    old = prof(v, v)
+    rng = lambda f: next(  # noqa: E731
+        x for x in drift_report(old, f) if x["check"] == "range"
+    )
+    # identical: never flags
+    assert rng(prof(v, v))["flagged"] is False
+    # render-noise-scale wobble (1e-12 relative, below the 1e-9 floor
+    # x the 0.10 default range_frac = 1e-10 relative allowance): clean
+    wobble = abs(v) * 1e-12
+    assert rng(prof(v - wobble, v + wobble))["flagged"] is False
+    # real movement (1% of magnitude, or +1 for a zero column): flags
+    step = max(abs(v) * 0.01, 1.0)
+    assert rng(prof(v, v + step))["flagged"] is True
+    assert rng(prof(v - step, v))["flagged"] is True

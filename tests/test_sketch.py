@@ -965,3 +965,79 @@ def test_skew_check_from_profile_matches_scan(spark, tmp_path):  # noqa: F811
          "--min-frac", "0.2"]
     )
     assert code == 0 and rep["n_whales"] == 0
+
+
+def test_skew_check_from_profile_complete_view_answers(spark, tmp_path):  # noqa: F811
+    """r10 (ADVICE r9 #2): the heavy-hitters view stores its own top-k
+    quota, so a list SHORTER than the quota is provably COMPLETE (the
+    MG summary held fewer survivors) and all-clear no longer refuses;
+    a list AT quota with every row clearing min_frac still does, and a
+    profile predating the stored topk stays conservative."""
+    import contextlib
+    import io
+    import json as _json
+
+    from yelp_recommender_spark.cli import main
+
+    def run(argv):
+        buf = io.StringIO()
+        code = 0
+        with contextlib.redirect_stdout(buf):
+            try:
+                main(argv)
+            except SystemExit as e:
+                code = e.code
+        return code, _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    # 5 keys x 20% each: every stored row clears min_frac=0.1, but the
+    # list (5) is under the view's quota (10) -> complete, answer
+    five = str(tmp_path / "five.parquet")
+    spark.range(10_000).select(
+        F.pmod(F.col("id"), 5).alias("user_id")
+    ).write.parquet(five)
+    prof5 = str(tmp_path / "prof5")
+    with contextlib.redirect_stdout(io.StringIO()):
+        main(["profile", "--input", five, "--output", prof5])
+    scan_code, scan = run(
+        ["skew-check", "--input", five, "--keys", "user_id",
+         "--min-frac", "0.1"]
+    )
+    prof_code, rep = run(
+        ["skew-check", "--from-profile", prof5, "--keys", "user_id",
+         "--min-frac", "0.1"]
+    )
+    assert scan_code == prof_code == 3
+    assert {w["user_id"] for w in rep["whales"]} == {
+        w["user_id"] for w in scan["whales"]
+    } == {"0", "1", "2", "3", "4"}
+
+    # same table, profile with the topk column stripped (pre-r10
+    # layout): the reader cannot rule out truncation -> refuse
+    old = str(tmp_path / "prof5_old")
+    hh_dir = f"{prof5}/heavy_hitters"
+    hh = spark.read.parquet(hh_dir)
+    import shutil
+
+    shutil.copytree(prof5, old)
+    shutil.rmtree(f"{old}/heavy_hitters")
+    hh.drop("topk").write.parquet(f"{old}/heavy_hitters")
+    code, rep = run(
+        ["skew-check", "--from-profile", old, "--keys", "user_id",
+         "--min-frac", "0.1"]
+    )
+    assert code == 2 and "truncated" in rep["err"]
+
+    # 15 keys x ~6.7% each with quota 10: stored list is AT quota and
+    # all clear min_frac=0.05 -> whales could be cut off, refuse
+    fifteen = str(tmp_path / "fifteen.parquet")
+    spark.range(15_000).select(
+        F.pmod(F.col("id"), 15).alias("user_id")
+    ).write.parquet(fifteen)
+    prof15 = str(tmp_path / "prof15")
+    with contextlib.redirect_stdout(io.StringIO()):
+        main(["profile", "--input", fifteen, "--output", prof15])
+    code, rep = run(
+        ["skew-check", "--from-profile", prof15, "--keys", "user_id",
+         "--min-frac", "0.05"]
+    )
+    assert code == 2 and "truncated" in rep["err"]

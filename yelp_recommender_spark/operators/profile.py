@@ -314,8 +314,14 @@ def profile_table(
             "mg_n",
             # the summary's k rides along so a later reader
             # (skew-check --from-profile) can verify the detection
-            # guarantee its threshold needs without rescanning
+            # guarantee its threshold needs without rescanning — and
+            # the view's own top-k cutoff, so the reader can tell a
+            # COMPLETE survivor list (fewer than topk rows stored: the
+            # summary simply held fewer survivors) from a possibly
+            # TRUNCATED one (exactly topk rows) and only refuse the
+            # latter (r9 ADVICE)
             F.lit(int(mg_k)).alias("mg_k"),
+            F.lit(int(topk)).alias("topk"),
         )
     )
 
@@ -392,6 +398,7 @@ def drift_report(
     null_rate_delta: float = 0.05,
     distinct_ratio: float = 2.0,
     range_frac: float = 0.10,
+    range_rel_floor: float = 1e-9,
     hh_jaccard_min: float = 0.5,
     quantile_rel: float = 0.5,
 ) -> list[dict]:
@@ -417,7 +424,15 @@ def drift_report(
       collapse or explosion).
     - ``range`` — a NUMERIC column's min/max moved outside the old
       span by more than ``range_frac`` × span (sensor drift, unit
-      changes).
+      changes). Degenerate-span rule (min == max — a constant
+      column): the span is floored RELATIVE to the column's
+      magnitude, ``max(hi − lo, range_rel_floor × max(|lo|, |hi|,
+      1))``, so a constant column flags on any real movement but
+      NOT on float-rendering noise (sub-``range_rel_floor``
+      relative wobble through a string round-trip) — and the floor
+      is strictly positive, so an infinitely loose ``range_frac``
+      really does unflag everything (threshold monotonicity holds
+      without a magic constant).
     - ``hh_turnover`` — Jaccard overlap of the top-k heavy-hitter
       value sets below ``hh_jaccard_min`` (the distribution's head
       changed identity).
@@ -466,7 +481,10 @@ def drift_report(
             except (TypeError, ValueError):
                 pass  # all-null side: no range to compare
             else:
-                span = max(o_hi - o_lo, 1e-12)
+                span = max(
+                    o_hi - o_lo,
+                    range_rel_floor * max(abs(o_lo), abs(o_hi), 1.0),
+                )
                 out.append(
                     {"column": col, "check": "range",
                      "old": [o_lo, o_hi], "new": [n_lo, n_hi],

@@ -350,8 +350,6 @@ def detect_skew(
     # hostile-name-safe references (plain F.col PARSEs names: a dotted
     # or backticked key column would misbind or break — profile.py's
     # convention), and the bucket hash takes the struct itself
-    from yelp_recommender_spark.cache import register_persist
-
     keyed = df.select(
         F.struct(*[_c(df, c).alias(c) for c in key_cols]).alias("_key")
     ).withColumn(
@@ -361,10 +359,21 @@ def detect_skew(
     # rows): mg_rollup references its input several times, and without
     # this pin each reference would recompute the FULL table scan +
     # exact-count aggregation upstream — measured 2.3× the guard's
-    # whole cost on a 600k-row input (session cache registry; released
-    # by clear_caches at the pipeline boundary, the engine convention)
-    partial = register_persist(mg_state(keyed, ["_b"], "_key", k=k))
-    hh = mg_heavy_hitters(mg_rollup(partial, []), min_frac=min_frac)
+    # whole cost on a 600k-row input. The pin is LOCAL, not the session
+    # registry: the rollup result is itself bounded (≤ k+2 rows), so it
+    # is materialized to the driver here and the partial unpersisted
+    # immediately — a long-lived session calling the guard repeatedly
+    # accumulates nothing (r9 ADVICE), and the returned frame re-reads
+    # driver rows instead of rescanning the table on every consumption
+    partial = mg_state(keyed, ["_b"], "_key", k=k).persist()
+    try:
+        lazy_rolled = mg_rollup(partial, [])
+        rolled = df.sparkSession.createDataFrame(
+            lazy_rolled.collect(), lazy_rolled.schema
+        )
+    finally:
+        partial.unpersist()
+    hh = mg_heavy_hitters(rolled, min_frac=min_frac)
     total = F.col("mg_n").cast("double")
     return hh.select(
         *[F.col("item").getField(c).alias(c) for c in key_cols],
