@@ -142,11 +142,28 @@ def train(spark: SparkSession, cfg: dict) -> None:
             if model == "item_cf"
             else ("user_id", "business_id")
         )
+        # the co-rating self-join is the one explosion-risk shuffle in
+        # CF training: consult the sketch-backed planner (one bounded
+        # grid pass over the deduped ratings), warn with evidence on a
+        # multiplier corpus, and persist the verdict with the model so
+        # the next run can budget (params.cap_per_context is the
+        # remedy the warning names)
+        cf_plan: dict = {}
         weights = corated_weights(
             reviews,
             entity,
             context,
             min_corated=int(p.get("min_corated", 2)),
+            cap_per_context=(
+                int(p["cap_per_context"])
+                if p.get("cap_per_context") is not None
+                else None
+            ),
+            plan_guard="warn",
+            decision_out=cf_plan,
+        )
+        tables["cf_join_plan"] = spark.createDataFrame(
+            [(json.dumps(cf_plan, sort_keys=True),)], "plan_json string"
         )
         tables["neighbors"] = top_n_neighbors(
             weights, p.get("metric", "pearson"), n=int(p.get("k_neighbors", 10))
@@ -397,8 +414,49 @@ def _nonneg_int(s: str) -> int:
     return v
 
 
+# ---------------------------------------------------------------------------
+# Exit-code contract — ONE matrix across every maintenance/monitoring
+# subcommand, so cron consumers can branch on $? without parsing JSON
+# (r9 VERDICT ask #7). Pinned by tests/test_cli_exit_codes.py.
+#
+#   0  ran clean, nothing found
+#   1  usage/config error (argparse, or a message-only SystemExit)
+#   2  check failed or cannot guarantee an answer: data-quality
+#      violations (maintain), broken standing index
+#      (maintain --check-index), skew-check --from-profile refusal
+#      (the stored summary cannot PROVE the verdict — rescan with
+#      --input)
+#   3  positive skew/explosion verdict: whales found (skew-check),
+#      join-explosion estimate (explain-join)
+#   4  profile drift flagged (profile-diff)
+# ---------------------------------------------------------------------------
+EXIT_OK = 0
+EXIT_USAGE = 1
+EXIT_CHECK_FAILED = 2
+EXIT_VERDICT = 3
+EXIT_DRIFT = 4
+EXIT_CODES = {
+    "ok": EXIT_OK,
+    "usage": EXIT_USAGE,
+    "check_failed": EXIT_CHECK_FAILED,
+    "verdict": EXIT_VERDICT,
+    "drift": EXIT_DRIFT,
+}
+
+_EXIT_EPILOG = (
+    "exit codes (uniform across the maintenance/monitoring "
+    "subcommands): 0 clean; 1 usage/config error; 2 check failed or "
+    "cannot guarantee (maintain violations, --check-index broken, "
+    "skew-check --from-profile refusal); 3 positive verdict "
+    "(skew-check whales, explain-join explosion); 4 drift "
+    "(profile-diff)"
+)
+
+
 def main(argv: list[str] | None = None) -> None:
-    ap = argparse.ArgumentParser(prog="yelp_recommender_spark")
+    ap = argparse.ArgumentParser(
+        prog="yelp_recommender_spark", epilog=_EXIT_EPILOG
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
     tr = sub.add_parser("train")
     tr.add_argument("--config", required=True)
@@ -703,7 +761,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     ej.add_argument("--left", required=True, help="left/big parquet path")
     ej.add_argument(
-        "--right", required=True, help="right/replica-side parquet path"
+        "--right", default=None, help="right/replica-side parquet path"
+    )
+    ej.add_argument(
+        "--self",
+        action="store_true",
+        dest="self_join",
+        help="estimate a SELF-equi-join of --left on --on (the CF "
+        "co-rating / LSH band-key shape): one count-min grid serves "
+        "both sides, est_pairs is the a<b pair estimate; --right must "
+        "be omitted",
     )
     ej.add_argument(
         "--on", required=True, help="comma-separated join key columns"
@@ -711,6 +778,15 @@ def main(argv: list[str] | None = None) -> None:
     ej.add_argument("--broadcast-rows", type=_pos_int, default=1_000_000)
     ej.add_argument("--explosion-factor", type=float, default=4.0)
     ej.add_argument("--whale-frac", type=float, default=0.10)
+    ej.add_argument(
+        "--how",
+        default="inner",
+        help="join flavor the estimate should describe "
+        "(inner/left/left_semi/left_anti — left-preserving only); "
+        "est_join_rows is always the inner-match count, "
+        "est_output_rows adjusts it to this flavor (semi/anti are "
+        "capped at the left row count and never flag explosion)",
+    )
     mt = sub.add_parser(
         "maintain",
         help="maintenance: table small-file compaction (+ optional "
@@ -791,7 +867,7 @@ def main(argv: list[str] | None = None) -> None:
             report = check_index(args.check_index)
             print(json.dumps(report, sort_keys=True))
             if not report["ok"]:
-                raise SystemExit(2)
+                raise SystemExit(EXIT_CHECK_FAILED)
             return
         if args.index:
             from yelp_recommender_spark.indexmaint import (
@@ -852,7 +928,7 @@ def main(argv: list[str] | None = None) -> None:
             failed = any(not r.passed for r in rows)
         print(json.dumps(report, sort_keys=True))
         if failed:
-            raise SystemExit(2)
+            raise SystemExit(EXIT_CHECK_FAILED)
         return
     if args.cmd == "skew-check":
         keys = [c.strip() for c in args.keys.split(",") if c.strip()]
@@ -878,7 +954,7 @@ def main(argv: list[str] | None = None) -> None:
                 print(
                     json.dumps({"err": "profile predates mg_k — rescan"})
                 )
-                raise SystemExit(2)
+                raise SystemExit(EXIT_CHECK_FAILED)
             rows = [r for r in hh.collect() if r.column == keys[0]]
             if not rows:
                 print(
@@ -886,7 +962,7 @@ def main(argv: list[str] | None = None) -> None:
                         {"err": f"column {keys[0]!r} not in profile"}
                     )
                 )
-                raise SystemExit(2)
+                raise SystemExit(EXIT_CHECK_FAILED)
             mg_k = int(rows[0].mg_k)
             mg_n = int(rows[0].mg_n)
             if args.min_frac < 1.0 / (mg_k + 1):
@@ -900,10 +976,21 @@ def main(argv: list[str] | None = None) -> None:
                         }
                     )
                 )
-                raise SystemExit(2)
+                raise SystemExit(EXIT_CHECK_FAILED)
             cut = args.min_frac * mg_n
             whale_rows = [r for r in rows if int(r.n_lo) >= cut]
-            if len(whale_rows) == len(rows):
+            # truncation is only POSSIBLE when the view stored exactly
+            # its top-k quota (a shorter list means the MG summary
+            # held fewer survivors — stored in full, verdict provably
+            # complete); profiles predating the stored topk can't
+            # distinguish the cases, so they stay conservative
+            topk_stored = (
+                int(rows[0].topk) if "topk" in hh.columns else None
+            )
+            truncation_possible = (
+                topk_stored is None or len(rows) >= topk_stored
+            )
+            if truncation_possible and len(whale_rows) == len(rows):
                 # every STORED item clears the threshold, so the view's
                 # top-k cutoff may sit above it — whales could be
                 # truncated away; only a rescan can prove completeness
@@ -911,12 +998,13 @@ def main(argv: list[str] | None = None) -> None:
                     json.dumps(
                         {
                             "err": "all stored heavy hitters clear "
-                            "min_frac — the top-k view may truncate "
-                            "whales; rescan with --input"
+                            "min_frac and the view is at its top-k "
+                            "quota — whales could be truncated away; "
+                            "rescan with --input"
                         }
                     )
                 )
-                raise SystemExit(2)
+                raise SystemExit(EXIT_CHECK_FAILED)
             payload = [
                 {
                     keys[0]: str(r.value),
@@ -939,7 +1027,7 @@ def main(argv: list[str] | None = None) -> None:
                 )
             )
             if payload:
-                raise SystemExit(3)
+                raise SystemExit(EXIT_VERDICT)
             return
         from yelp_recommender_spark.operators.skew import detect_skew
 
@@ -970,7 +1058,7 @@ def main(argv: list[str] | None = None) -> None:
             )
         )
         if whales:
-            raise SystemExit(3)
+            raise SystemExit(EXIT_VERDICT)
         return
     if args.cmd == "profile-diff":
         from yelp_recommender_spark.operators.profile import (
@@ -1051,24 +1139,39 @@ def main(argv: list[str] | None = None) -> None:
             )
         )
         if flagged:
-            raise SystemExit(4)
+            raise SystemExit(EXIT_DRIFT)
         return
     if args.cmd == "explain-join":
-        from yelp_recommender_spark.operators.joinplan import join_plan
+        from yelp_recommender_spark.operators.joinplan import (
+            join_plan,
+            self_join_size,
+        )
 
+        if args.self_join == (args.right is not None):
+            raise SystemExit(
+                "explain-join: pass exactly one of --right / --self"
+            )
         spark = get_spark(app_name="yelp_recommender_explain_join")
         keys = [c.strip() for c in args.on.split(",") if c.strip()]
-        plan = join_plan(
-            spark.read.parquet(args.left),
-            spark.read.parquet(args.right),
-            keys,
-            broadcast_rows=args.broadcast_rows,
-            explosion_factor=args.explosion_factor,
-            whale_frac=args.whale_frac,
-        )
+        if args.self_join:
+            plan = self_join_size(
+                spark.read.parquet(args.left),
+                keys,
+                explosion_factor=args.explosion_factor,
+            )
+        else:
+            plan = join_plan(
+                spark.read.parquet(args.left),
+                spark.read.parquet(args.right),
+                keys,
+                how=args.how,
+                broadcast_rows=args.broadcast_rows,
+                explosion_factor=args.explosion_factor,
+                whale_frac=args.whale_frac,
+            )
         print(json.dumps(plan, sort_keys=True))
         if plan["explosion"]:
-            raise SystemExit(3)
+            raise SystemExit(EXIT_VERDICT)
         return
     if args.cmd == "profile":
         from yelp_recommender_spark.operators.profile import profile_table
