@@ -447,7 +447,8 @@ _EXIT_EPILOG = (
     "exit codes (uniform across the maintenance/monitoring "
     "subcommands): 0 clean; 1 usage/config error; 2 check failed or "
     "cannot guarantee (maintain violations, --check-index broken, "
-    "skew-check --from-profile refusal); 3 positive verdict "
+    "skew-check --from-profile refusal, explain "
+    "--max-scans-per-relation violation); 3 positive verdict "
     "(skew-check whales, explain-join explosion); 4 drift "
     "(profile-diff)"
 )
@@ -605,6 +606,22 @@ def main(argv: list[str] | None = None) -> None:
     ex.add_argument(
         "--markdown", default=None,
         help="write the audit as a PLANS.md-style markdown file",
+    )
+    ex.add_argument(
+        "--executed", action="store_true",
+        help="run each query to completion first and audit the "
+        "AQE-FINAL plan (the r9 post-execution scan audit): counts "
+        "reflect what actually ran, and each query's per-relation "
+        "parquet-scan counts are printed",
+    )
+    ex.add_argument(
+        "--max-scans-per-relation", type=int, default=None,
+        metavar="N",
+        help="fail (exit 2, check-failed) if any audited query scans "
+        "one parquet relation more than N times — the recompute-"
+        "multiplier gate (a union of differently-filtered views of "
+        "one subtree defeats exchange reuse); most useful with "
+        "--executed so caches/reuse are credited",
     )
     ab = sub.add_parser(
         "ann-build",
@@ -1295,6 +1312,8 @@ def main(argv: list[str] | None = None) -> None:
             audit_line,
             formatted_plan,
             plan_node_counts,
+            run_to_completion,
+            scan_relations,
         )
         from yelp_recommender_spark.queries import QUERIES
 
@@ -1314,19 +1333,51 @@ def main(argv: list[str] | None = None) -> None:
             # build the frame ONCE: counts and --full share it (some
             # queries do eager work — stats probes, cache registration)
             df = QUERIES[args.query](spark, args.sf_dir)
-            audits = {args.query: plan_node_counts(df)}
+            if args.executed:
+                run_to_completion(df)
+            counts = plan_node_counts(df)
+            counts["scans_by_relation"] = scan_relations(df)
+            audits = {args.query: counts}
             if args.full:
                 print(formatted_plan(df))
         else:
-            audits = audit_catalog(spark, args.sf_dir)
+            audits = audit_catalog(
+                spark, args.sf_dir, executed=args.executed
+            )
         for name, counts in audits.items():
             lines.append(f"## {name}")
             lines.append(f"- {audit_line(counts)}")
             lines.append("")
             print(f"{name}: {audit_line(counts)}")
+            if args.executed:
+                rels = counts.get("scans_by_relation") or {}
+                shown = {k: rels[k] for k in sorted(rels)}
+                print(f"{name}: scans by relation: {shown or 'none'}")
         if args.markdown:
             with open(args.markdown, "w") as f:
                 f.write(_PLANS_HEADER + "\n".join(lines))
+        if args.max_scans_per_relation is not None:
+            cap = args.max_scans_per_relation
+            violations = {
+                name: bad
+                for name, counts in audits.items()
+                if (bad := {
+                    rel: n
+                    for rel, n in (counts.get("scans_by_relation") or {}).items()
+                    if n > cap
+                })
+            }
+            if violations:
+                print(
+                    "explain: recompute-multiplier gate FAILED "
+                    f"(relation scanned more than {cap}x): "
+                    f"{json.dumps(violations, sort_keys=True)}"
+                )
+                raise SystemExit(EXIT_CHECK_FAILED)
+            print(
+                f"explain: recompute-multiplier gate ok (<= {cap} "
+                "scans per relation per query)"
+            )
         return
     if args.cmd == "curate":
         from yelp_recommender_spark.curate import curate_corpus

@@ -56,11 +56,26 @@ def fit_content(
 
     Returns {"vocab", "biz_profile", "user_profile"} DataFrames; profiles
     are (id, token, w) long form.
+
+    Cache discipline (r10 executed-plan audit): ``scored`` is consumed
+    by the vocabulary cut AND each profile variant, and each returned
+    profile is consumed twice downstream (dot products + norms in
+    :func:`profile_cosines`) — without pins, every reference re-runs
+    the tokenize + TF-IDF lineage from the raw reviews (the
+    content-predict plan re-scanned the fact tables 26×). ``scored``
+    and both profiles are persisted via the session registry;
+    ``vocab`` rides inside them as a broadcast.
     """
+    from yelp_recommender_spark.cache import register_persist
+
+    # reviews is consumed three times (corpus count, business tokens,
+    # user tokens) — pin it so the upstream join (ratings ⋈ part text)
+    # runs once, not per consumer
+    reviews = register_persist(reviews)
     biz_tokens = _tokens_long(reviews, "business_id")
     n_biz = reviews.select("business_id").distinct().count()
-    scored = tfidf(
-        biz_tokens, id_col="business_id", n_docs=n_biz, min_df=min_df
+    scored = register_persist(
+        tfidf(biz_tokens, id_col="business_id", n_docs=n_biz, min_df=min_df)
     )
     vocab = top_k_vocabulary(scored, k=top_k).select("token")
 
@@ -99,7 +114,11 @@ def fit_content(
         )
     else:
         raise ValueError(f"unknown variant {variant!r}")
-    return {"vocab": vocab, "biz_profile": biz_prof, "user_profile": user_prof}
+    return {
+        "vocab": vocab,
+        "biz_profile": register_persist(biz_prof),
+        "user_profile": register_persist(user_prof),
+    }
 
 
 def profile_cosines(

@@ -229,6 +229,14 @@ def fit_extended(
         )
         biz_embedding = biz_embedding.unionByName(tfidf_rows)
 
+    # both returned tables are consumed twice downstream (dot products
+    # + norms in profile_cosines), and user_profile's lineage re-reads
+    # biz_embedding — without pins the business encode ran 4× in the
+    # executed q58 plan (r10 executed-plan audit; fit_content got the
+    # same treatment). Session cache registry, boundary-cleared.
+    from yelp_recommender_spark.cache import register_persist
+
+    biz_embedding = register_persist(biz_embedding)
     rated = reviews.select("user_id", "business_id").distinct()
     sums = rated.join(biz_embedding, "business_id").groupBy(
         "user_id", "feature"
@@ -246,7 +254,10 @@ def fit_extended(
             "feature",
             (F.col("_sum") / F.col("_n_rated")).alias("value"),
         )
-    return {"biz_embedding": biz_embedding, "user_profile": user_profile}
+    return {
+        "biz_embedding": biz_embedding,
+        "user_profile": register_persist(user_profile),
+    }
 
 
 def predict_extended(

@@ -32,10 +32,25 @@ def derive_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: orders is the smaller side here → broadcast; at true TPC-H
     proportions both are fact-sized and AQE picks sort-merge — the hint
-    is advisory, not load-bearing."""
+    is advisory, not load-bearing.
+
+    Persisted via the session cache registry, the `_docs_tokens`
+    convention: every recommender-family consumer (q50–q58 splits,
+    averages, profiles, CF, ALS) builds this exact plan, and Spark's
+    cache manager substitutes the cached relation into each occurrence
+    — so the lineitem ⋈ orders derivation runs ONCE per session instead
+    of once per lineage reference. Caught by the r10 executed-plan
+    audit: the content-predict lineage alone re-derived it 26× (26
+    parquet scans of lineitem in the AQE-final plan, 0 cache hits);
+    with the registry pin those references are memory/disk-local cache
+    reads. MEMORY_AND_DISK (persist default): ratings are fact-sized,
+    spill is the contract, same as the token table; clear_caches()
+    releases it at the pipeline boundary."""
+    from yelp_recommender_spark.cache import register_persist
+
     t = load_tables(spark, sf_dir, ["lineitem", "orders"])
     stars = ((F.col("l_quantity").cast("int") - 1) % 5 + 1).cast("double")
-    return (
+    return register_persist(
         t["lineitem"]
         .join(
             F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),

@@ -216,8 +216,16 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort_week, offset) pairs. Week arithmetic is integer epoch-µs —
     engine- and timezone-neutral.
     """
-    wk = _events_us(spark, sf_dir).select(
-        "user_id", F.expr(f"ts_us div {WEEK_US}").alias("week")
+    from yelp_recommender_spark.cache import register_persist
+
+    # wk is the classic diamond: consumed by the cohort aggregate AND
+    # as the activity side of the join. Per-branch pushdown keeps the
+    # two event scans separate in the executed plan (r10 audit) — pin
+    # the thin (user_id, week) projection so the fact is read once
+    wk = register_persist(
+        _events_us(spark, sf_dir).select(
+            "user_id", F.expr(f"ts_us div {WEEK_US}").alias("week")
+        )
     )
     cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
