@@ -5,18 +5,22 @@ curate pipeline, each measured ONE decade beyond the standing sf1
 sweep, to catch any super-linear term the first two decades hide.
 
 Opt-in (``SPARK_GRAFT_SWEEP_SF10=1``): the document decade amplifies
-sf0.1 × 100 (documents only — all three measurements read nothing
-else) into ``scale_data/sf10docs`` (~500k docs), and the composed
-pipeline extends the r5 synthetic series (20k → 200k) to 2M generated
-docs. min-of-1 by design (the VERDICT's protocol for these spots) with
-the sweep-standard stall re-measure on a trip; BASELINE.md records the
+sf0.1 × 100 (documents only — these measurements read nothing else)
+into ``scale_data/sf10docs`` (~500k docs), and the composed pipeline
+extends the r5 synthetic series (20k → 200k) to 2M generated docs.
+min-of-1 by design (the VERDICT's protocol for these spots) with the
+sweep-standard stall re-measure on a trip; BASELINE.md records the
 measured ratios.
 
-Tier note baked into the q88 measurement: at 500k docs the all-pairs
-planner routes the pair scan to the SRP-LSH tier (the exact
-broadcast-matmul tier is capped at 100k rows — a 500k² matmul is the
-quadratic this engine exists to refuse), so the third decade measures
-the PRODUCTION path, not an extrapolated exact scan.
+What the first q88 attempt found (the sweep's whole purpose): at 500k
+docs the router leaves the capped exact tier for SRP-LSH, and q88's
+catalog threshold (0.5, recall 0.95) derives (7 planes, 50 tables) —
+a candidate join over 32% of ALL pairs, ~4·10¹⁰ rows. That leg ground
+for an hour inside the candidate shuffle before being killed. The
+response is the candidate guard (``srp_candidate_estimate``): the q88
+leg now asserts the pre-shuffle REFUSAL at the catalog threshold and
+measures the decade ratio in the LSH tier's production regime (a
+selective near-dup threshold), where the guard clears it.
 """
 
 from __future__ import annotations
@@ -82,29 +86,102 @@ def test_sketch_builds_third_decade(spark):  # noqa: F811
     assert ratio < MAX_GROWTH, f"superlinear sketch build growth: {ratio}x"
 
 
+def _q88_vectors(spark, sf_dir):
+    """q88's exact vector chain (tokens → hashed TF-IDF → 64-dim dense),
+    reproduced so the pair scan can be driven with explicit knobs."""
+    from pyspark.sql import functions as F
+
+    from yelp_recommender_spark.operators.tfidf import tfidf
+    from yelp_recommender_spark.operators.vectorizer import (
+        assemble_embeddings,
+        hashed_dim,
+        hashed_sign,
+    )
+    from yelp_recommender_spark.queries.text import _docs_tokens
+
+    d = _docs_tokens(spark, sf_dir)
+    tokens_long = d.select("doc_id", F.explode("toks").alias("token"))
+    scored = tfidf(tokens_long, n_docs=d.agg(F.count(F.lit(1))))
+    long_form = (
+        scored.select(
+            "doc_id",
+            hashed_dim("token", 64).alias("dim"),
+            (hashed_sign("token") * F.col("tfidf")).alias("_w"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("_w").alias("weight"))
+    )
+    return assemble_embeddings(long_form, n_dims=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+
+
 @_OPT_IN
-def test_q88_third_decade(spark):  # noqa: F811
-    """50k → 500k docs through the full q88 chain (tokens → hashed
-    TF-IDF vectors → near-dup pairs at 0.5). The amplified copies are
-    token-disjoint, so true pair output grows ~linearly in copies; the
-    pair scan routes exact-matmul at 50k and SRP-LSH at 500k — the
-    router's production behavior IS the thing under measurement."""
+def test_q88_unbounded_contract_refused_third_decade(spark):  # noqa: F811
+    """The original third-decade finding, pinned: q88's catalog
+    operating point (threshold 0.5, recall 0.95) derives SRP params
+    (7 planes, 50 tables) whose candidate join touches 32% of ALL
+    pairs — ~4·10¹⁰ candidate rows at 500k docs. The first sweep
+    attempt GROUND for an hour inside that shuffle; the engine's
+    answer is the candidate guard, which names the blowup from
+    arithmetic before anything shuffles. This leg asserts the refusal
+    (seconds), not the grind (hours)."""
     from yelp_recommender_spark.cache import clear_caches
-    from yelp_recommender_spark.queries import QUERIES
+
+    _, sf10 = _sf_dirs()
+    clear_caches()
+    vecs = _q88_vectors(spark, sf10)
+    verdict: dict = {}
+    with pytest.raises(ValueError, match="candidate join is a multiplier"):
+        from yelp_recommender_spark.operators.ann import (
+            cosine_pairs_above_auto,
+        )
+
+        cosine_pairs_above_auto(
+            vecs, threshold=0.5, candidate_guard="raise",
+            decision_out=verdict,
+        )
+    assert verdict["tier"] == "lsh"
+    assert verdict["n_rows"] >= 400_000
+    assert verdict["est_candidates_per_doc"] > 100_000
+    clear_caches()
+    print(
+        "q88 third decade (threshold 0.5): REFUSED pre-shuffle — "
+        f"{verdict['est_candidates']:.2e} est candidates "
+        f"({verdict['est_candidates_per_doc']:.0f}/doc) at "
+        f"n={verdict['n_rows']}"
+    )
+
+
+@_OPT_IN
+def test_q88_selective_third_decade(spark):  # noqa: F811
+    """The LSH tier's PRODUCTION regime measured one decade out: the
+    same q88 vector chain with a selective near-dup threshold (0.9 →
+    derived (16, 35): 0.05% of pairs, ~270 candidates/doc at 500k —
+    the guard clears it). 50k routes exact-matmul, 500k routes SRP-LSH;
+    the router's tier switch is part of what's measured. The amplified
+    copies are token-disjoint, so true pair output stays ~linear in
+    copies."""
+    from yelp_recommender_spark.cache import clear_caches
+    from yelp_recommender_spark.operators.ann import cosine_pairs_above_auto
 
     sf1, sf10 = _sf_dirs()
 
     def run(d: str) -> float:
         clear_caches()
         start = time.perf_counter()
-        QUERIES["q88_hashed_vector_neardup"](spark, d).count()
+        cosine_pairs_above_auto(
+            _q88_vectors(spark, d), threshold=0.9
+        ).count()
         elapsed = time.perf_counter() - start
         clear_caches()
         return elapsed
 
     run("/root/testdata/sf0.1")  # warm-up
     small, big, ratio = _ratio(run, sf1, sf10)
-    print(f"q88 third decade: {small}s -> {big}s ({ratio}x)")
+    print(
+        f"q88 selective (0.9) third decade: {small}s -> {big}s ({ratio}x)"
+    )
     assert ratio < MAX_GROWTH, f"superlinear q88 growth: {ratio}x"
 
 

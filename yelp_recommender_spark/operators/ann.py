@@ -420,6 +420,51 @@ def srp_params_for_recall(
     return 1, max_tables
 
 
+def srp_candidate_estimate(
+    n_rows: int,
+    n_planes: int,
+    n_tables: int,
+    *,
+    random_cos: float = 0.0,
+) -> dict:
+    """Pre-shuffle CANDIDATE-volume estimate for the SRP self-join —
+    the LSH tier's own ``join_plan`` moment.
+
+    An OR-amplified SRP pair join enumerates every pair sharing a
+    bucket in ≥1 table. An UNRELATED pair (cos ≈ ``random_cos``; 0 for
+    isotropic data) shares a table's bucket with probability
+    ``p_rand^k`` (p_rand = 1 − arccos(random_cos)/π = ½ at 0), so the
+    expected candidate volume is ``C(n,2) · (1 − (1 − p_rand^k)^T)`` —
+    quadratic in n with a constant set ONLY by (k, T). Since (k, T) are
+    derived from (threshold, recall) and capped by the table budget, a
+    non-selective threshold pins k low and the constant LARGE: at
+    threshold 0.5 / recall 0.95 the derivation yields (7, 50), making
+    32% of ALL pairs candidates — ~4·10¹⁰ candidate rows at 500k docs
+    (~160k per doc), a shuffle that dwarfs any output bound. The first
+    sign used to be an executor grinding for an hour; this estimate is
+    arithmetic on three ints, available BEFORE the shuffle.
+
+    Real corpora are correlated (typical pairs sit above cos 0), so the
+    isotropic figure is a FLOOR: a flag from it is definitely real;
+    absence is strong but not one-sided. ``est_candidates_per_doc`` =
+    2·est/n — each candidate pair touches two docs — is the scale-free
+    dial the guard thresholds on (candidates per doc grows ∝ n at
+    fixed params: every fixed-parameter LSH pair join eventually
+    explodes, and the estimate names the n where)."""
+    n = max(int(n_rows), 0)
+    p_rand = srp_collision_prob(random_cos) ** int(n_planes)
+    frac = 1.0 - (1.0 - p_rand) ** int(n_tables)
+    est = frac * n * (n - 1) / 2.0
+    return {
+        "n_rows": n,
+        "n_planes": int(n_planes),
+        "n_tables": int(n_tables),
+        "random_pair_candidate_frac": frac,
+        "est_candidates": est,
+        "est_candidates_per_doc": 2.0 * est / max(n, 1),
+    }
+
+
 def _srp_planes(
     n_planes: int, dim: int, n_tables: int, seed: int
 ) -> np.ndarray:
@@ -538,6 +583,10 @@ def cosine_pairs_above_lsh(
     seed: int = 42,
     target_recall: float = 0.95,
     max_pairs_per_doc: int | None = None,
+    n_rows: int | None = None,
+    max_candidates_per_doc: float = 10_000.0,
+    candidate_guard: str | None = "warn",
+    decision_out: dict | None = None,
 ) -> DataFrame:
     """Beyond-broadcast near-dup pairs: SRP-LSH candidates re-scored with
     the exact array cosine, filtered at the threshold. Same output
@@ -557,10 +606,17 @@ def cosine_pairs_above_lsh(
     configuration is never silent.
 
     Scale: candidates shuffle on (table, bucket); the re-score joins the
-    vector table twice on id. No broadcast, no driver state."""
+    vector table twice on id. No broadcast, no driver state — and the
+    candidate volume is PRICED before the shuffle
+    (:func:`srp_candidate_estimate` via ``candidate_guard`` /
+    ``decision_out``, see :func:`_lsh_scored_pairs`): a non-selective
+    threshold that would make the bucket join quadratic-in-practice
+    warns or refuses with the evidence instead of grinding."""
     scored = _lsh_scored_pairs(
         df, id_col, vec_col, threshold, n_planes, n_tables, seed,
-        target_recall,
+        target_recall, n_rows=n_rows,
+        max_candidates_per_doc=max_candidates_per_doc,
+        candidate_guard=candidate_guard, decision_out=decision_out,
     )
     if max_pairs_per_doc is None:
         return scored
@@ -578,13 +634,29 @@ def _lsh_scored_pairs(
     n_tables: int | None,
     seed: int,
     target_recall: float,
+    n_rows: int | None = None,
+    max_candidates_per_doc: float = 10_000.0,
+    candidate_guard: str | None = "warn",
+    decision_out: dict | None = None,
 ) -> DataFrame:
     """The LSH tier's shared candidate + exact-rescore stage: (id1 < id2,
     cos) pairs above threshold among SRP-bucket candidates — consumed by
     both the pair contract (:func:`cosine_pairs_above_lsh`) and the
     partner contract (:func:`cosine_partners_above_auto`), so the
     recall-parameter derivation and the unrounded-threshold kernel rule
-    exist exactly once."""
+    exist exactly once.
+
+    Candidate guard (the r10 third-decade finding): before shuffling
+    anything, :func:`srp_candidate_estimate` prices the candidate join
+    from (n, k, T) alone. Over ``max_candidates_per_doc`` estimated
+    incident candidates per doc, ``candidate_guard="warn"`` (default)
+    emits a ``UserWarning`` with the evidence and the remedies,
+    ``"raise"`` refuses, ``None`` disables; ``decision_out`` (caller
+    dict, updated in place) records the estimate either way. ``n_rows``
+    forwards a count the caller already paid (the auto planners); when
+    absent and the guard needs it, ONE column-pruned count is the
+    planner's whole cost. Results are identical on every setting — the
+    guard changes what gets refused, never what gets computed."""
     if n_planes is None or n_tables is None:
         n_planes, n_tables = srp_params_for_recall(threshold, target_recall)
     expected = srp_expected_recall(threshold, n_planes, n_tables)
@@ -600,6 +672,39 @@ def _lsh_scored_pairs(
             "pairs near the threshold may be missed",
             n_planes, n_tables, expected, threshold, target_recall,
         )
+    if candidate_guard is not None or decision_out is not None:
+        if n_rows is None:
+            n_rows = df.select(id_col).count()
+        verdict = srp_candidate_estimate(n_rows, n_planes, n_tables)
+        verdict["threshold"] = float(threshold)
+        verdict["max_candidates_per_doc"] = float(max_candidates_per_doc)
+        verdict["explosion"] = (
+            verdict["est_candidates_per_doc"] > max_candidates_per_doc
+        )
+        if decision_out is not None:
+            decision_out.update(verdict)
+        if verdict["explosion"] and candidate_guard is not None:
+            msg = (
+                f"SRP-LSH candidate join is a multiplier at this "
+                f"(threshold={threshold:g}, recall={target_recall:g}) "
+                f"operating point: derived (n_planes={n_planes}, "
+                f"n_tables={n_tables}) makes "
+                f"{verdict['random_pair_candidate_frac']:.2%} of ALL "
+                f"pairs candidates — ~{verdict['est_candidates']:.2e} "
+                f"candidate rows (~{verdict['est_candidates_per_doc']:.0f}"
+                f"/doc) from {n_rows} docs, before any output bound. "
+                "Remedies: raise the threshold (selectivity is what "
+                "lets n_planes grow), pass explicit coarser "
+                "(n_planes, n_tables) and accept the logged recall, "
+                "route top-k needs through topk_auto's IVF tiers, or "
+                "process in smaller batches against a standing index "
+                "(embedding_incremental_dedup)"
+            )
+            if candidate_guard == "raise":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=3)
 
     head = df.select(vec_col).head(1)
     if not head or head[0][0] is None:
@@ -1076,6 +1181,9 @@ def cosine_pairs_above_auto(
     seed: int = 42,
     target_recall: float = 0.95,
     max_pairs_per_doc: int | None = None,
+    max_candidates_per_doc: float = 10_000.0,
+    candidate_guard: str | None = "warn",
+    decision_out: dict | None = None,
 ) -> DataFrame:
     """Cardinality-based similarity-join planner: broadcast-index matmul
     (:func:`cosine_pairs_above`, exact) while the quadratic exact scan
@@ -1102,6 +1210,8 @@ def cosine_pairs_above_auto(
         # estimate is trusted only in the safe (big → LSH) direction
         n = df.count()
     if n <= broadcast_limit:
+        if decision_out is not None:
+            decision_out.update({"tier": "exact", "n_rows": int(n)})
         return cosine_pairs_above(
             df, id_col, vec_col, threshold,
             max_pairs_per_doc=max_pairs_per_doc,
@@ -1110,10 +1220,14 @@ def cosine_pairs_above_auto(
         "cosine_pairs_above_auto: %d rows > all-pairs exact limit %d — "
         "routing to SRP-LSH", n, broadcast_limit,
     )
+    if decision_out is not None:
+        decision_out["tier"] = "lsh"
     return cosine_pairs_above_lsh(
         df, id_col, vec_col, threshold,
         n_planes=n_planes, n_tables=n_tables, seed=seed,
         target_recall=target_recall, max_pairs_per_doc=max_pairs_per_doc,
+        n_rows=int(n), max_candidates_per_doc=max_candidates_per_doc,
+        candidate_guard=candidate_guard, decision_out=decision_out,
     )
 
 
@@ -1128,6 +1242,9 @@ def cosine_partners_above_auto(
     n_tables: int | None = None,
     seed: int = 42,
     target_recall: float = 0.95,
+    max_candidates_per_doc: float = 10_000.0,
+    candidate_guard: str | None = "warn",
+    decision_out: dict | None = None,
 ) -> DataFrame:
     """The BOUNDED near-dup planner entry point (VERDICT r6 #1): each
     document's top-``k`` above-threshold partners WITH the audit columns,
