@@ -86,21 +86,27 @@ def corated_weights(
     the verdict either way — passing it alone enables record-only
     planning. Default (both None/off): zero planner cost, byte-identical
     behavior to r9."""
+    from yelp_recommender_spark.cache import register_persist
+
     r = dedup_ratings(ratings, entity, context)
     if cap_per_context:
         r = top_n_per_key(
             r, [context], "stars", cap_per_context, tiebreak=entity
         )
+    # Pin the deduped ratings through the session cache registry: the
+    # lineage below references r FOUR times (self-join sides a/b + the
+    # two per-entity stats sides), and each reference is a full
+    # re-aggregation when r arrives as raw lineage — the r10 plan audit
+    # showed the (entity, context) hash-aggregate (2 exchanges) planned
+    # 4× per corated_weights call. One materialization feeds all four
+    # (released by clear_caches() at the pipeline boundary, the
+    # derive_ratings convention).
+    r = register_persist(r)
     if plan_guard is not None or decision_out is not None:
         import warnings
 
-        from yelp_recommender_spark.cache import register_persist
         from yelp_recommender_spark.operators.joinplan import self_join_size
 
-        # the planner adds a 4th reference to r's aggregation lineage —
-        # pin it (session cache registry) so the grid build warms the
-        # cache the self-join below reuses instead of recomputing
-        r = register_persist(r)
         verdict = self_join_size(
             r, context, explosion_factor=explosion_factor
         )
@@ -122,14 +128,18 @@ def corated_weights(
 
     # per-entity stats over the full vector (for cosine norms / jaccard
     # sizes); the squared-star sum uses the exact decimal accumulator so
-    # norms are partition-order independent
-    stats = r.groupBy(entity).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sqrt(
-            F.sum((F.col("stars") * F.col("stars")).cast("decimal(27,12)")).cast(
-                "double"
-            )
-        ).alias("norm"),
+    # norms are partition-order independent. Pinned like r: the s1/s2
+    # aliases below are two lineage references, and without the pin the
+    # stats aggregate (exchange + hash-agg over r) plans twice.
+    stats = register_persist(
+        r.groupBy(entity).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sqrt(
+                F.sum(
+                    (F.col("stars") * F.col("stars")).cast("decimal(27,12)")
+                ).cast("double")
+            ).alias("norm"),
+        )
     )
 
     a = r.select(

@@ -349,6 +349,8 @@ def blocked_jaccard_pairs(
                 "excluded, 0 fully-hot documents",
                 df_cap, row.hot_shingles,
             )
+    from yelp_recommender_spark.cache import register_persist
+
     ex = docs.select(id_col, F.explode(shingle_col).alias("s"))
     hot = (
         ex.groupBy("s")
@@ -356,7 +358,14 @@ def blocked_jaccard_pairs(
         .filter(F.col("df") > df_cap)
         .select("s")
     )
-    cold = ex.join(F.broadcast(hot), "s", "left_anti")
+    # Pin the cold postings: the lineage below references cold THREE
+    # times (join sides a/b + the per-doc cold counts), and each raw
+    # reference re-runs the explode, the full hot-shingle aggregate and
+    # the anti-join (the r10 plan audit showed that chain planned 3×,
+    # the hot aggregate with it). One materialization feeds all three;
+    # released at the pipeline boundary (clear_caches), the
+    # _doc_shingles convention.
+    cold = register_persist(ex.join(F.broadcast(hot), "s", "left_anti"))
     # per-doc totals and hot counts (h = n − cold postings)
     sizes = docs.select(F.col(id_col), F.size(shingle_col).alias("n"))
     cold_counts = cold.groupBy(id_col).agg(F.count(F.lit(1)).alias("nc"))
@@ -389,26 +398,45 @@ def blocked_jaccard_pairs(
     c_ub = F.col("c") + hmin
     jac_exact = F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6)
     jac_ub = c_ub / (F.col("n1") + F.col("n2") - c_ub)
-    exact = (
-        scored.filter(hmin == 0)
-        .withColumn("jaccard", jac_exact)
+    # ONE pass over the scored pairs — the r9 scan-audit rule applied to
+    # this operator's own exact/ambiguous split (the previous
+    # exact-UNION-verified form referenced `scored` twice, re-running
+    # the pair-generation join + aggregate once per branch). Rows are
+    # kept when already-decided (tight bound, above threshold) or when
+    # both-docs-hot ambiguity leaves a rounded upper bound crossing the
+    # threshold; only the latter pick up their shingle arrays through
+    # the conditional joins below for exact verification.
+    # (Rounding the upper bound mirrors the oracle: unrounded, a pair
+    # with true Jaccard in [threshold−5e-7, threshold) — which
+    # ROUND(...,6) admits — could be pre-filtered out here.)
+    verify = (hmin > 0) & (F.round(jac_ub, 6) >= threshold)
+    flagged = scored.filter(
+        ((hmin == 0) & (jac_exact >= threshold)) | verify
+    ).withColumn("_verify", verify)
+    f1 = docs.select(
+        F.col(id_col).alias("_vid1"), F.col(shingle_col).alias("_s1")
+    )
+    f2 = docs.select(
+        F.col(id_col).alias("_vid2"), F.col(shingle_col).alias("_s2")
+    )
+    j = flagged.join(
+        f1, (F.col("d1") == F.col("_vid1")) & F.col("_verify"), "left"
+    ).join(f2, (F.col("d2") == F.col("_vid2")) & F.col("_verify"), "left")
+    inter = F.size(F.array_intersect("_s1", "_s2"))
+    vunion = F.size("_s1") + F.size("_s2") - inter
+    # same exact-Jaccard formula as jaccard_verify_pairs, including the
+    # empty-union → 0.0 convention
+    ver_jac = F.round(
+        F.when(vunion == 0, F.lit(0.0)).otherwise(inter / vunion), 6
+    )
+    return (
+        j.withColumn(
+            "jaccard",
+            F.when(F.col("_verify"), ver_jac).otherwise(jac_exact),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
-    # round the upper bound like every other comparison (and the oracle):
-    # unrounded, a pair with true Jaccard in [threshold−5e-7, threshold)
-    # — which ROUND(...,6) admits — could be pre-filtered out here
-    ambiguous = scored.filter(
-        (hmin > 0) & (F.round(jac_ub, 6) >= threshold)
-    ).select("d1", "d2")
-    verified = jaccard_verify_pairs(
-        ambiguous,
-        docs.select(id_col, shingle_col),
-        id_col=id_col,
-        feat_col=shingle_col,
-        threshold=threshold,
-    )
-    return exact.unionByName(verified)
 
 
 def simhash_band_layout(bits: int, k: int) -> list[tuple[int, int]]:
