@@ -36,14 +36,34 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 3,
+    edge_rows_per_partition: int = 250_000,
 ) -> DataFrame:
     """Rank every node appearing in ``edges`` (as source or target).
     Returns (id, rank). Deterministic up to float summation order —
     consumers comparing across engines should round (the q109 oracle
-    rounds to 1e-6; per-iteration drift is ~1e-15 relative)."""
+    rounds to 1e-6; per-iteration drift is ~1e-15 relative).
+
+    ``edge_rows_per_partition`` sizes the persisted edge layout from the
+    DATA instead of the session's shuffle-partition count: every
+    iteration re-scans the cached edges, so per-task row counts too
+    small to amortize task scheduling are paid ``iters`` times over
+    (interleaved A/B at sf0.1, 1.07M edges ×8 iterations: 4–8
+    partitions beat the 32 the session default produced in every paired
+    pass). Edge rows are three fixed-width longs, so the row target is
+    a stable byte target (~8 MB); deployments preferring larger cluster
+    partitions raise it — the count it needs comes free off the
+    out-degree aggregate the edge build reuses."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = (
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    )
+    # exact |edges| off the out-degree cache (one tiny agg over
+    # |src-nodes| rows; the expensive edges scan it triggers builds the
+    # cache the e-join below reuses, so no extra pass over the edges)
+    n_edges = (
+        out_deg.agg(F.sum("out_deg").alias("m")).collect()[0]["m"] or 0
+    )
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -63,10 +83,13 @@ def pagerank(
     # persisted edge partitions and shuffles only the rank vector in and
     # the (≤ one row per in-edge-bearing node after partial aggs)
     # contribution stream out — never the edges.
+    n_parts = int(
+        max(2, -(-n_edges // max(int(edge_rows_per_partition), 1)))
+    )
     e = (
         edges.join(out_deg, src)
         .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "out_deg")
-        .repartition("_dst" if small_ranks else "_src")
+        .repartition(n_parts, "_dst" if small_ranks else "_src")
         .persist()
     )
     teleport = 1.0 - damping
@@ -100,4 +123,5 @@ def pagerank(
         # frame must not lazily re-derive k iterations from cold edges
         ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
+    out_deg.unpersist()
     return ranks
