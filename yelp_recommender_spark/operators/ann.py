@@ -861,27 +861,32 @@ def ivf_fit_assign(
     index max_iter times: the right shape for a one-off clustering, the
     wrong one for quantizer training at 100 TB.) Persist the result to
     amortize over many query batches."""
-    feat = df.select(
-        id_col,
-        F.col(vec_col).cast("array<double>").alias("_raw"),
-    ).select(
-        id_col,
-        F.when(
-            F.aggregate("_raw", F.lit(0.0), lambda a, v: a + v * v) == 0,
-            F.col("_raw"),  # zero vector: leave as-is (cos 0 vs anything)
+    # the squared-norm fold is projected ONCE per row and the divide
+    # lambda references the resulting attribute — inlining the fold into
+    # the transform lambda (the previous shape) re-evaluated the O(dim)
+    # aggregate for EVERY element, an O(dim²)-per-row interpreted-HOF
+    # cost (the two-step projection survives CollapseProject because the
+    # norm attribute has two consumers). Same fold expression → the
+    # normalized values are bit-identical.
+    feat = (
+        df.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias("_raw"),
         )
-        .otherwise(
-            F.transform(
-                "_raw",
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate(
-                        "_raw", F.lit(0.0), lambda a, v: a + v * v
-                    )
-                ),
+        .withColumn(
+            "_n2", F.aggregate("_raw", F.lit(0.0), lambda a, v: a + v * v)
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("_n2") == 0,
+                F.col("_raw"),  # zero vector: leave as-is (cos 0 vs any)
             )
+            .otherwise(
+                F.transform("_raw", lambda x: x / F.sqrt(F.col("_n2")))
+            )
+            .alias("vec"),
         )
-        .alias("vec"),
     )
     # Deterministic pseudorandom bounded training sample: distributed
     # TakeOrdered on xxhash64(id) (id tie-break), never a full shuffle.

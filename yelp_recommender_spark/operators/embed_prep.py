@@ -36,11 +36,19 @@ def l2_normalize(
     All-zero vectors pass through as zeros (dividing by their 0-norm
     would poison downstream aggregates with NaN; zero vectors carry no
     direction and should be filtered by the caller's quality gate)."""
-    norm = vector_norm(vec_col)
-    unit = F.when(norm == 0.0, F.transform(F.col(vec_col), lambda x: x.cast("double"))).otherwise(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    )
-    return df.withColumn(out, unit)
+    # two-step projection: the norm fold lands in a temp attribute and
+    # the divide lambda references that attribute — inlining the fold
+    # into the transform lambda (the previous shape) re-evaluated the
+    # O(dim) aggregate for EVERY element, an O(dim²)-per-row
+    # interpreted-HOF cost. The temp survives CollapseProject (two
+    # consumers of a non-cheap expression); same fold expression → the
+    # unit vectors are bit-identical.
+    tmp = "_l2n_norm"
+    norm = F.col(tmp)
+    unit = F.when(
+        norm == 0.0, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") / norm))
+    return df.withColumn(tmp, vector_norm(vec_col)).withColumn(out, unit).drop(tmp)
 
 
 def pca_project(

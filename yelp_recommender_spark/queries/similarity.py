@@ -234,12 +234,25 @@ def _srp_recall_frame(
     # the same population post-join. Unbiased: probe membership is
     # independent of the SRP hyperplanes.
     probes = emb.filter(F.col("vec_id") % modulus == 0)
-    truth = cosine_pairs_above_query_side(
-        probes, emb, threshold=threshold
-    ).select("id1", "id2")
-    cand = lsh_bucket_candidates(
-        emb, n_planes=n_planes, dim=64, n_tables=n_tables
-    ).filter(F.col("id1") % modulus == 0)
+    # truth and cand are each consumed TWICE below (their count aggregate
+    # + the hits semi-join), and each raw reference re-runs the whole
+    # expensive subtree — the exact matmul pass for truth, the two SRP
+    # bucket scans + pair join + distinct for cand (the r10 plan audit
+    # showed both MapInPandas chains planned twice: 12 parquet scans).
+    # One materialization each feeds both consumers; released at the
+    # pipeline boundary by clear_caches() (the engine convention).
+    from yelp_recommender_spark.cache import register_persist
+
+    truth = register_persist(
+        cosine_pairs_above_query_side(
+            probes, emb, threshold=threshold
+        ).select("id1", "id2")
+    )
+    cand = register_persist(
+        lsh_bucket_candidates(
+            emb, n_planes=n_planes, dim=64, n_tables=n_tables
+        ).filter(F.col("id1") % modulus == 0)
+    )
     hits = truth.join(cand, ["id1", "id2"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
