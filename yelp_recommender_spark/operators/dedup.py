@@ -490,8 +490,18 @@ def simhash_hamming_pairs(
             for j, (off, w) in enumerate(layout)
         ]
     )
-    keyed = df.select(
-        F.col(id_col), F.explode(keys).alias("bk"), s.alias("_sim")
+    from yelp_recommender_spark.cache import register_persist
+
+    # pinned: the band self-join below references keyed twice (sides
+    # a/b), and each raw reference re-runs the SimHash bit computation
+    # and the band explode over the upstream token lineage (the r10
+    # plan audit showed the chain planned twice). One materialization —
+    # (id, band key, 8-byte hash) × (k+1) rows per doc — feeds both
+    # sides; released at the pipeline boundary (clear_caches).
+    keyed = register_persist(
+        df.select(
+            F.col(id_col), F.explode(keys).alias("bk"), s.alias("_sim")
+        )
     )
     a = keyed.select(
         F.col(id_col).alias("d1"), F.col("_sim").alias("_s1"), "bk"

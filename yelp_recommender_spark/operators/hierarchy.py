@@ -32,23 +32,42 @@ def ancestors(
     child: str = "child",
     parent: str = "parent",
     max_depth: int = 30,
+    edge_rows_per_partition: int = 250_000,
 ) -> DataFrame:
     """Transitive closure (node, ancestor, depth), depth ≥ 1, of a
-    child→parent edge table. Depth 1 rows are the edges themselves."""
+    child→parent edge table. Depth 1 rows are the edges themselves.
+
+    ``edge_rows_per_partition`` sizes the persisted edge layout from the
+    DATA instead of the session's shuffle-partition count — every round
+    re-probes the persisted edges, so per-task row counts too small to
+    amortize task scheduling are paid ``height`` times over (the
+    pagerank precedent: fixed-width rows make a row target a stable
+    ~8 MB byte target; a 100 TB edge set sizes to |edges|/target
+    partitions from the same rule)."""
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    e = (
+    d = (
         edges.select(
             F.col(child).alias("node"), F.col(parent).alias("anc")
         )
         .distinct()
+        .persist()
+    )
+    # exact |edges| off the distinct cache (the loop needs the distinct
+    # materialized anyway; the count is one cached-read aggregate)
+    n_edges = d.count()
+    n_parts = int(
+        max(2, -(-n_edges // max(int(edge_rows_per_partition), 1)))
+    )
+    e = (
         # partitioned on the column each round's join PROBES (the hop
         # source, aliased to "anc" in the join below) so the persisted
         # layout is actually reused — partitioning survives the alias
-        .repartition("node")
+        d.repartition(n_parts, "node")
         .persist()
     )
     closure = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    d.unpersist()
     frontier = closure
     for _ in range(max_depth - 1):
         # extend last round's paths by one hop: frontier.anc == e.node,

@@ -115,6 +115,11 @@ def q96_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
     li = t["lineitem"]
     qdec = F.col("l_quantity").cast("decimal(27,6)")
+    # Deliberately TWO map-side-partial scans of lineitem rather than
+    # persist(sp) + re-aggregation: the r10 interleaved A/B measured the
+    # single-scan form SLOWER (2.1-2.4 s → 3.4-3.9 s at sf0.1) — the
+    # (supplier, part) partial table is nearly as wide as its input, so
+    # materializing it costs more than the column-pruned second scan.
     sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qdec).alias("qty"))
     pt = li.groupBy("l_partkey").agg(F.sum(qdec).alias("total"))
     dominant = (

@@ -265,8 +265,15 @@ def q10_supplier_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     element, so Spark distributes by part rather than materializing per-id
     sets, and the ``HAVING`` prunes pairs before they leave the aggregate.
     """
+    from yelp_recommender_spark.cache import register_persist
+
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    sp = li.select("l_suppkey", "l_partkey").distinct()
+    # pinned: the self-join below references sp twice, and each raw
+    # reference re-runs the distinct over the full lineitem scan (the
+    # r10 plan audit showed 2 scans + 2 distinct aggregates); one
+    # materialization feeds both sides (released by clear_caches() at
+    # the pipeline boundary — the corated_weights convention)
+    sp = register_persist(li.select("l_suppkey", "l_partkey").distinct())
     a, b = sp.alias("a"), sp.alias("b")
     return (
         a.join(

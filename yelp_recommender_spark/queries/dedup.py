@@ -540,7 +540,17 @@ def q88_hashed_vector_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.sum("_w").alias("weight"))
     )
-    vecs = assemble_embeddings(long_form, n_dims=64).withColumnRenamed(
-        "doc_id", "vec_id"
+    from yelp_recommender_spark.cache import register_persist
+
+    # pinned: the all-pairs planner consumes vecs THREE times — the
+    # tier-decision count, the broadcast-index collect, and the
+    # query-side scan — and each raw reference re-ran the whole
+    # TF-IDF + signed-hash + assemble chain (two aggregates + two joins
+    # over the exploded token stream). One materialization (n_docs × 65
+    # doubles) feeds all three; released at the pipeline boundary.
+    vecs = register_persist(
+        assemble_embeddings(long_form, n_dims=64).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
     )
     return cosine_pairs_above_auto(vecs, threshold=0.5).orderBy("id1", "id2")
