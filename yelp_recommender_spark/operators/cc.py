@@ -99,6 +99,7 @@ def connected_components(
     id_out: str = "id",
     comp_out: str = "component",
     max_iter: int = 50,
+    edge_rows_per_partition: int = 250_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable from ``id``
@@ -107,15 +108,21 @@ def connected_components(
     default is far beyond what any input can need (a 200-node path
     converges in ~6 rounds, pinned in tests/test_cc.py).
 
+    ``edge_rows_per_partition`` sizes the LOOP's shuffle-partition count
+    from the exact edge count (already needed for the convergence
+    check) instead of the session conf: every round runs two window
+    shuffles and two distincts whose per-task row counts would
+    otherwise be too small to amortize scheduling, paid O(log² n) times
+    over (the pagerank/hierarchy rule; interleaved A/B at sf0.1 ~1.5-2×
+    on the dedup-cluster graph). The count is clamped to the session's
+    own shuffle-partition setting, so a graph big enough to use full
+    parallelism keeps it — the result is partition-count independent
+    (min-based representatives).
+
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iter`` rounds (the result would silently be wrong for any
     component not yet fully contracted)."""
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    spark = edges.sparkSession
     cur = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -124,35 +131,56 @@ def connected_components(
     )
     cur_cnt = cur.count()
     converged = cur_cnt == 0
-    for it in range(max_iter):
-        if converged:
-            break
-        new = _small_star(_large_star(cur)).localCheckpoint()
-        new_cnt = new.count()
-        if new_cnt == cur_cnt:
-            # same cardinality: equal iff nothing in new is outside cur
-            # (early-exit probe — stops at the first difference)
-            if new.exceptAll(cur).limit(1).count() == 0:
-                logger.info(
-                    "connected_components: converged in %d rounds", it + 1
-                )
-                converged = True
-        cur, cur_cnt = new, new_cnt
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            "rounds — the star contraction needs O(log² n) rounds, so "
-            "this indicates max_iter was set far below the default"
-        )
-    # star forest: each non-min node has outgoing edges to its component
-    # min only; groupBy-min is belt-and-braces against duplicate rows
-    stars = cur.groupBy("a").agg(F.min("b").alias("_comp"))
-    return nodes.join(
-        stars, nodes["id"] == stars["a"], "left"
-    ).select(
-        F.col("id").alias(id_out),
-        F.coalesce("_comp", F.col("id")).alias(comp_out),
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = min(
+        int(prev_parts),
+        max(2, -(-cur_cnt // max(int(edge_rows_per_partition), 1))),
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        nodes = (
+            edges.select(F.col(src).alias("id"))
+            .unionByName(edges.select(F.col(dst).alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        for it in range(max_iter):
+            if converged:
+                break
+            new = _small_star(_large_star(cur)).localCheckpoint()
+            new_cnt = new.count()
+            if new_cnt == cur_cnt:
+                # same cardinality: equal iff nothing in new is outside
+                # cur (early-exit probe — stops at the first difference)
+                if new.exceptAll(cur).limit(1).count() == 0:
+                    logger.info(
+                        "connected_components: converged in %d rounds",
+                        it + 1,
+                    )
+                    converged = True
+            cur, cur_cnt = new, new_cnt
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                "rounds — the star contraction needs O(log² n) rounds, so "
+                "this indicates max_iter was set far below the default"
+            )
+        # star forest: each non-min node has outgoing edges to its
+        # component min only; groupBy-min is belt-and-braces against
+        # duplicate rows
+        stars = cur.groupBy("a").agg(F.min("b").alias("_comp"))
+        # the final join stays LAZY — it executes under the caller's
+        # restored session conf, exactly as before; only the loop's
+        # checkpointed rounds (and the nodes checkpoint) ran sized
+        out = nodes.join(
+            stars, nodes["id"] == stars["a"], "left"
+        ).select(
+            F.col("id").alias(id_out),
+            F.coalesce("_comp", F.col("id")).alias(comp_out),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
 
 
 def connected_components_labelprop(
