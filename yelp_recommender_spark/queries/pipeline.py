@@ -59,10 +59,14 @@ def q59_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_counts_stream,
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
     )
 
     stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
-    out = run_to_memory(stream, "q59_hourly", output_mode="append")
+    out = run_to_memory(
+        stream, "q59_hourly", output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir),
+    )
     # stable ordering-independent output (the driver sorts by columns)
     return out.select(
         F.unix_micros("window_start").alias("window_start_us"),
@@ -114,11 +118,15 @@ def q61_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_recommender_spark.streaming.ops import (
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
         sessionize_stream,
     )
 
     stream = sessionize_stream(read_events_stream(spark, sf_dir))
-    out = run_to_memory(stream, "q61_sessions", output_mode="append")
+    out = run_to_memory(
+        stream, "q61_sessions", output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -147,12 +155,16 @@ def q62_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream,
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
     )
 
     stream = dedup_stream(read_events_stream(spark, sf_dir)).select(
         "user_id", "event_type"
     )
-    out = run_to_memory(stream, "q62_dedup", output_mode="append")
+    out = run_to_memory(
+        stream, "q62_dedup", output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir),
+    )
     return out.select("user_id", "event_type")
 
 
@@ -183,6 +195,10 @@ def q63_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = running_totals_stream(read_events_stream(spark, sf_dir))
+    # deliberately NOT backlog-sized (sized_state_partitions): this op's
+    # per-batch cost is the Python state kernel, which wants parallelism
+    # — the r10 interleaved A/B measured 2 state partitions ~2× SLOWER
+    # than the min(parallelism, 8) default on the same backlog
     out = run_to_memory(stream, "q63_totals", output_mode="update")
     # one file = one micro-batch here, so the changelog has exactly one
     # row per key; round for cross-run float stability
@@ -235,6 +251,7 @@ def q72_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
         attribution_join_stream,
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
     )
 
     stream = attribution_join_stream(
@@ -243,7 +260,10 @@ def q72_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
         convert_type="purchase",
         horizon="1 hour",
     )
-    out = run_to_memory(stream, "q72_attr", output_mode="append")
+    out = run_to_memory(
+        stream, "q72_attr", output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         "trigger_event_id",
@@ -301,6 +321,7 @@ def q116_streaming_attribution_outer(
         attribution_join_outer_stream,
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
     )
 
     stream = attribution_join_outer_stream(
@@ -310,7 +331,10 @@ def q116_streaming_attribution_outer(
         horizon="1 hour",
         watermark="2 hours",
     )
-    out = run_to_memory(stream, "q116_attr_outer", output_mode="append")
+    out = run_to_memory(
+        stream, "q116_attr_outer", output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         "convert_event_id",
@@ -342,6 +366,7 @@ def q79_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_stream,
         read_events_stream,
         run_to_memory,
+        sized_state_partitions,
     )
 
     dim = load_tables(spark, sf_dir, ["customer"])["customer"].select(
@@ -353,7 +378,10 @@ def q79_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round("value", 6).alias("value"),
     )
-    out = run_to_memory(stream, "q79_enrich", output_mode="append")
+    out = run_to_memory(
+        stream, "q79_enrich", output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir),
+    )
     return out.select("event_id", "user_id", "c_mktsegment", "value")
 
 
