@@ -101,18 +101,30 @@ def _lloyd(
     n = X.shape[0]
     k = min(k, n)
     centers = X[rng.choice(n, size=k, replace=False)].copy()
+    # hoisted: X never changes, so the ||x||² term is loop-invariant
+    # (bit-identical distances — the exact same additions happen)
+    xx = (X * X).sum(axis=1, keepdims=True)
     for _ in range(n_iter):
         # (n, k) squared distances via ||x||² − 2x·c + ||c||²
-        d = (
-            (X * X).sum(axis=1, keepdims=True)
-            - 2.0 * (X @ centers.T)
-            + (centers * centers).sum(axis=1)
-        )
+        d = xx - 2.0 * (X @ centers.T) + (centers * centers).sum(axis=1)
         assign = d.argmin(axis=1)
+        # per-cluster means via ONE stable argsort + segment slices
+        # instead of k full-length boolean masks (the previous shape ran
+        # m·n_iter·k ≈ 60k Python iterations of O(n) mask work per
+        # codebook fit — the measured hot spot of PQ training). A stable
+        # sort keeps each cluster's members in original row order, so
+        # X[seg].mean() adds the same rows in the same order as
+        # X[mask].mean() — bit-identical centers. The empty-cluster
+        # reseed consumes rng draws in increasing-j order, exactly as
+        # the masked loop did.
+        order = np.argsort(assign, kind="stable")
+        counts = np.bincount(assign, minlength=k)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        Xs = X[order]  # one gather; per-cluster segments are then views
         for j in range(k):
-            mask = assign == j
-            if mask.any():
-                centers[j] = X[mask].mean(axis=0)
+            s, e = starts[j], starts[j + 1]
+            if e > s:
+                centers[j] = Xs[s:e].mean(axis=0)
             else:
                 centers[j] = X[rng.integers(0, n)]
     return centers
