@@ -18,6 +18,16 @@ Compilation strategy — the part that matters at 100 TB:
 The report unions these tiny results — constraint evaluation cost is
 O(scans + declared key-set shuffles), never per-constraint table scans.
 
+Measured and REJECTED (r10): fusing the set-level passes into the
+row-level scan — uniqueness via a mixed distinct/plain aggregate
+(Expand) and dimension FKs via broadcast-join match markers — made the
+q115 suite consistently SLOWER (1.0-1.5 s → 1.3-1.8 s interleaved at
+sf0.1): each separate pass is a narrow column-pruned scan, while the
+fused pass reads the union of all constrained columns and Expand
+doubles the aggregate's input rows. Scan COUNT is the wrong metric
+when the scans prune to disjoint narrow columns; keep the three-pass
+shape.
+
 Constraint spec (plain dicts, serializable → suites live in config):
 
     {"type": "not_null",        "col": "l_orderkey"}

@@ -1546,21 +1546,42 @@ def q120_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count reuses the same hash key.
     """
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
-    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    ex = (
-        a.exceptAll(r)
+    # ONE scan + one shuffle (r10; was 4 scans — a and r each planned
+    # once per set operator): the grouped EXCEPT ALL / INTERSECT ALL
+    # counts are pure bag algebra over per-key multiplicities,
+    # n_except = max(m−n, 0) and n_intersect = min(m, n), which one
+    # conditional aggregate exposes exactly (integer counts — no float
+    # concerns). The explode-the-fates shape emits both report rows per
+    # key and the n > 0 filter drops exactly the keys the set operators
+    # would not have produced.
+    m, n = F.col("m"), F.col("nr")
+    agg = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("except_all").alias("op"), "l_partkey", "n")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("m"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("nr"),
+        )
     )
-    ix = (
-        a.intersectAll(r)
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("intersect_all").alias("op"), "l_partkey", "n")
+    return (
+        agg.select(
+            "l_partkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("except_all").alias("op"),
+                        (m - n).alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("intersect_all").alias("op"),
+                        F.least(m, n).alias("n"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .filter(F.col("e.n") > 0)
+        .select(F.col("e.op").alias("op"), "l_partkey", F.col("e.n").alias("n"))
     )
-    return ex.unionByName(ix)
 
 
 # --------------------------------------------------------------------------

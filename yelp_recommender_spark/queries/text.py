@@ -157,9 +157,12 @@ def q22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast scalar folded into the plan, not a separate driver
     ``count()`` action.
     """
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    n_docs = docs.agg(F.count(F.lit(1)))
-    long = _docs_tokens(spark, sf_dir).select(
+    toks = _docs_tokens(spark, sf_dir)
+    # corpus count off the CACHED token table (one row per document —
+    # _docs_tokens projects the whole documents table), not a second
+    # parquet scan of documents (r10 scan audit: 2 scans → 1)
+    n_docs = toks.agg(F.count(F.lit(1)))
+    long = toks.select(
         "doc_id", F.explode("toks").alias("token")
     )
     scored = tfidf(long, n_docs=n_docs)
