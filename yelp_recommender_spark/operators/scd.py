@@ -61,8 +61,17 @@ def scd2_merge(
     without reopening, e.g. logical deletes) is dropped: it is neither
     brand-new nor joinable to a current row. Re-activation semantics
     would need an explicit delete marker in the feed; out of scope here."""
+    from yelp_recommender_spark.cache import register_persist
+
     hist = dim.filter(F.col(valid_to).isNotNull())
     cur = dim.filter(F.col(valid_to).isNull())
+
+    # the batch is consumed twice (the current-row join and the
+    # brand-new anti-join) and is batch-sized BY CONTRACT — pin it so
+    # its feed derivation runs once (released at the pipeline boundary
+    # by clear_caches; dim is deliberately NOT pinned — it is the
+    # O(history) side this merge promises never to materialize)
+    updates = register_persist(updates)
 
     # join-presence marker column (attr nullability can't signal a match
     # — a legitimate NULL attribute would read as "no update")

@@ -514,70 +514,61 @@ def q103_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, ["customer"])["customer"]
     payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
-    def stage(pred, seq: int, op: str, cols: list):
-        return cust.filter(pred).select(
-            cols[0],
+    # one customer scan for the whole 4-stage feed (r10 scan audit: the
+    # union planned one scan per stage) — each row emits its applicable
+    # change fates through one explode; stages can overlap (a key
+    # divisible by 15 gets its seq-1 update AND its seq-2 delete), and
+    # non-matching slots explode away as NULLs. The nationkey literals
+    # cast to the table's own column type so the struct slots agree.
+    k = F.col("c_custkey")
+    nk_type = dict(cust.dtypes)["c_nationkey"]
+
+    def fate(keyc, op, seq, name, nat, bal, seg):
+        return F.struct(
+            keyc.alias("c_custkey"),
             F.lit(op).alias("op"),
             F.lit(seq).alias("seq"),
-            *cols[1:],
+            name.alias("c_name"),
+            nat.alias("c_nationkey"),
+            bal.alias("c_acctbal"),
+            seg.alias("c_mktsegment"),
         )
 
-    k = F.col("c_custkey")
-    changes = (
-        stage(
+    fates = F.array(
+        F.when(
             k % 3 == 0,
-            1,
-            "U",
-            [
-                "c_custkey",
-                F.col("c_name"),
-                F.col("c_nationkey"),
-                (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
-                F.col("c_mktsegment"),
-            ],
-        )
-        .unionByName(
-            stage(
-                k % 5 == 0,
-                2,
-                "D",
-                [
-                    "c_custkey",
-                    F.lit(None).cast("string").alias("c_name"),
-                    F.lit(None).cast("int").alias("c_nationkey"),
-                    F.lit(None).cast("double").alias("c_acctbal"),
-                    F.lit(None).cast("string").alias("c_mktsegment"),
-                ],
-            )
-        )
-        .unionByName(
-            stage(
-                k % 7 == 0,
-                3,
-                "U",
-                [
-                    (k + 200000).alias("c_custkey"),
-                    F.lit("cdc-insert").alias("c_name"),
-                    F.lit(0).alias("c_nationkey"),
-                    F.lit(1.0).alias("c_acctbal"),
-                    F.lit("CDCSEG").alias("c_mktsegment"),
-                ],
-            )
-        )
-        .unionByName(
-            stage(
-                k % 5 == 2,
-                4,
-                "U",
-                [
-                    "c_custkey",
-                    F.col("c_name"),
-                    F.col("c_nationkey"),
-                    F.col("c_acctbal"),
-                    F.lit("UPDSEG").alias("c_mktsegment"),
-                ],
-            )
-        )
+            fate(
+                k, "U", 1, F.col("c_name"), F.col("c_nationkey"),
+                F.col("c_acctbal") + 50.0, F.col("c_mktsegment"),
+            ),
+        ),
+        F.when(
+            k % 5 == 0,
+            fate(
+                k, "D", 2, F.lit(None).cast("string"),
+                F.lit(None).cast(nk_type), F.lit(None).cast("double"),
+                F.lit(None).cast("string"),
+            ),
+        ),
+        F.when(
+            k % 7 == 0,
+            fate(
+                k + 200000, "U", 3, F.lit("cdc-insert"),
+                F.lit(0).cast(nk_type), F.lit(1.0), F.lit("CDCSEG"),
+            ),
+        ),
+        F.when(
+            k % 5 == 2,
+            fate(
+                k, "U", 4, F.col("c_name"), F.col("c_nationkey"),
+                F.col("c_acctbal"), F.lit("UPDSEG"),
+            ),
+        ),
+    )
+    changes = (
+        cust.select(F.explode(fates).alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .select("_c.*")
     )
     base = cust.select("c_custkey", *payload)
     return apply_cdc(base, changes, ["c_custkey"])

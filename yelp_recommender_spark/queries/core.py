@@ -690,25 +690,42 @@ def q91_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("valid_from"),
         F.lit(None).cast("long").alias("valid_to"),
     )
-    updates = (
-        cust.filter(F.col("c_custkey") % 4 == 0)
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
-        )
-        .unionByName(
-            cust.filter(F.col("c_custkey") % 4 == 1).select(
-                "c_custkey", "c_mktsegment", "c_acctbal"
-            )
-        )
-        .unionByName(
-            cust.filter(F.col("c_custkey") % 9 == 0).select(
-                (F.col("c_custkey") + 100000).alias("c_custkey"),
+    # one customer scan for the whole batch feed (r10 scan audit: the
+    # 3-branch union planned one scan per branch) — each row emits its
+    # applicable update fates through one explode; branches can overlap
+    # (a %4==0 key divisible by 9 contributes two rows, exactly as the
+    # union did), and non-matching slots explode away as NULLs
+    k = F.col("c_custkey")
+    fates = F.array(
+        F.when(
+            k % 4 == 0,
+            F.struct(
+                k.alias("c_custkey"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            ),
+        ),
+        F.when(
+            k % 4 == 1,
+            F.struct(
+                k.alias("c_custkey"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+                F.col("c_acctbal").alias("c_acctbal"),
+            ),
+        ),
+        F.when(
+            k % 9 == 0,
+            F.struct(
+                (k + 100000).alias("c_custkey"),
                 F.lit("NEWSEG").alias("c_mktsegment"),
                 F.lit(0.0).alias("c_acctbal"),
-            )
-        )
+            ),
+        ),
+    )
+    updates = (
+        cust.select(F.explode(fates).alias("_u"))
+        .filter(F.col("_u").isNotNull())
+        .select("_u.*")
     )
     return scd2_merge(
         dim,
