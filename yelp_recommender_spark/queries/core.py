@@ -604,22 +604,33 @@ def q90_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
     old = orders.select("o_orderkey", "o_totalprice")
+    # one orders scan for the synthetic "new" snapshot (r10 scan audit:
+    # the 2-branch union planned one scan per branch) — each row emits
+    # its applicable snapshot fates through one explode; a %13 key not
+    # divisible by 11 contributes both rows, exactly as the union did
+    k = F.col("o_orderkey")
+    fates = F.array(
+        F.when(
+            k % 11 != 0,
+            F.struct(
+                k.alias("o_orderkey"),
+                F.when(k % 5 == 0, F.col("o_totalprice") + 1.0)
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            ),
+        ),
+        F.when(
+            k % 13 == 0,
+            F.struct(
+                (k + 10000000).alias("o_orderkey"),
+                F.col("o_totalprice").alias("o_totalprice"),
+            ),
+        ),
+    )
     new = (
-        orders.filter(F.col("o_orderkey") % 11 != 0)
-        .select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
-        )
-        .unionByName(
-            orders.filter(F.col("o_orderkey") % 13 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                "o_totalprice",
-            )
-        )
+        orders.select(F.explode(fates).alias("_n"))
+        .filter(F.col("_n").isNotNull())
+        .select("_n.*")
     )
     return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
 
