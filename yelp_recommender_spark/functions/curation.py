@@ -100,28 +100,42 @@ def bigram_lm_bits_per_token(
     amortize over incremental scoring runs."""
     from yelp_recommender_spark.functions.exact_agg import dsum
 
-    bg = (
-        docs.filter(F.size(toks_col) >= 2)
-        .select(doc_col, F.explode(bigram_array(toks_col)).alias("bigram"))
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    from yelp_recommender_spark.cache import register_persist
+
+    bg = docs.filter(F.size(toks_col) >= 2).select(
+        doc_col, F.explode(bigram_array(toks_col)).alias("bigram")
     )
-    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    ugc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # pinned: the bigram-count table is the trained LM's backbone and
+    # has two consumers below (the scored keyed view + the left-context
+    # re-aggregation) — vocabulary-sized, one stream aggregation instead
+    # of one per consumer (released at the pipeline boundary)
+    bgc = register_persist(
+        bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    # left-context counts RE-AGGREGATE the bigram counts (c1 = Σ c12
+    # over bigrams sharing w1 — integer counts, exactly the occurrence
+    # count) instead of a second full aggregation over the occurrence
+    # stream, and the whole LM lands in ONE vocabulary-sized score
+    # table, so the stream is joined ONCE below instead of twice (r10;
+    # the per-bigram logp values are bit-identical, so the per-document
+    # exact decimal sum is unchanged).
+    keyed = bgc.withColumn("w1", F.substring_index("bigram", " ", 1))
+    ugc = keyed.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = docs.select(F.explode(toks_col).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
-    scored = (
-        bg.join(bgc, "bigram")
-        .join(ugc, "w1")
+    lm = (
+        keyed.join(ugc, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            doc_col,
+            "bigram",
             F.log2(
                 (F.col("c12") + F.lit(0.5))
                 / (F.col("c1") + F.lit(0.5) * F.col("v"))
             ).alias("logp"),
         )
     )
+    scored = bg.join(lm, "bigram").select(doc_col, "logp")
     return scored.groupBy(doc_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-dsum("logp") / F.count(F.lit(1)), 6).alias(
