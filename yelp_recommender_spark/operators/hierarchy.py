@@ -69,35 +69,51 @@ def ancestors(
     closure = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
     d.unpersist()
     frontier = closure
-    for _ in range(max_depth - 1):
-        # extend last round's paths by one hop: frontier.anc == e.node,
-        # then BFS-dedup the frontier — collapse parallel paths to one
-        # row per (node, anc) and drop pairs the closure already holds.
-        # Without this a braided DAG's path count grows exponentially
-        # while its closure stays O(nodes·height); with it each round is
-        # bounded by |closure| and first discovery = shortest depth.
-        nxt = (
-            frontier.join(
-                e.select(
-                    F.col("node").alias("anc"),
-                    F.col("anc").alias("anc2"),
-                ),
-                "anc",
+    # the loop's OWN shuffles (per-round BFS-dedup aggregate + the
+    # anti-join against the closure) run under a shuffle-partition
+    # count sized like the edge layout instead of the session conf —
+    # per-round task counts otherwise dwarf the shrinking frontier
+    # (the connected-components rule; clamped to the session setting so
+    # a big closure keeps full parallelism). Each round's result is
+    # checkpoint-materialized inside the window; the returned union is
+    # shuffle-free, so restoring the conf afterwards is safe.
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = min(int(prev_parts), max(n_parts, 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_depth - 1):
+            # extend last round's paths by one hop: frontier.anc ==
+            # e.node, then BFS-dedup the frontier — collapse parallel
+            # paths to one row per (node, anc) and drop pairs the
+            # closure already holds. Without this a braided DAG's path
+            # count grows exponentially while its closure stays
+            # O(nodes·height); with it each round is bounded by
+            # |closure| and first discovery = shortest depth.
+            nxt = (
+                frontier.join(
+                    e.select(
+                        F.col("node").alias("anc"),
+                        F.col("anc").alias("anc2"),
+                    ),
+                    "anc",
+                )
+                .select(
+                    "node",
+                    F.col("anc2").alias("anc"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .groupBy("node", "anc")
+                .agg(F.min("depth").alias("depth"))
+                .join(closure, ["node", "anc"], "left_anti")
+                .localCheckpoint(eager=True)
             )
-            .select(
-                "node",
-                F.col("anc2").alias("anc"),
-                (F.col("depth") + 1).alias("depth"),
-            )
-            .groupBy("node", "anc")
-            .agg(F.min("depth").alias("depth"))
-            .join(closure, ["node", "anc"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        closure = closure.unionByName(nxt)
-        frontier = nxt
+            if nxt.isEmpty():
+                break
+            closure = closure.unionByName(nxt)
+            frontier = nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     e.unpersist()
     # every (node, anc) enters the closure exactly once, at its first
     # (= shortest) discovery depth — the result is already a relation
