@@ -168,6 +168,9 @@ def main() -> None:
         tag = f" [pass {rep + 1}/{REPEAT}]" if REPEAT > 1 else ""
         for name in names:
             fn = QUERIES[name]
+            # label every job with its query (guide §1.3) so the Spark
+            # UI / event logs attribute stages without changing timing
+            spark.sparkContext.setJobDescription(f"bench:{name}{tag}")
             start = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)
