@@ -369,15 +369,20 @@ def pq_topk(
     if on_exceed not in ("route", "error"):
         raise ValueError(f"pq_topk: unknown on_exceed {on_exceed!r}")
     spark = queries.sparkSession
-    if not index.select(id_col).head(1):
+    # one cardinality job serves both the empty-index contract and the
+    # flat-tier guard (was a separate head(1) probe + count — two
+    # sequential jobs per call); the head probe survives only for the
+    # guard-disabled mode, which has no count to reuse
+    n = index.count() if max_index_rows is not None else None
+    empty = (n == 0) if n is not None else not index.select(id_col).head(1)
+    if empty:
         qt = _id_type(queries, id_col).simpleString()
         nt = _id_type(index, id_col).simpleString()
         return spark.createDataFrame(
             [],
             f"query_id {qt}, neighbor_id {nt}, cos_pq double, rank int",
         )
-    if max_index_rows is not None:
-        n = index.count()
+    if n is not None:
         if n > max_index_rows:
             if on_exceed == "error" or codebooks is not None:
                 raise ValueError(

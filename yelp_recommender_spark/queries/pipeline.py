@@ -440,7 +440,11 @@ def q64_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mu = feats.groupBy("dim_idx").agg(F.avg("v").alias("mu"))
-    centered = (
+    # pinned like feats: the all-pairs planner consumes centered three
+    # times (cardinality count, index collect, query-side scan), and
+    # each raw reference re-ran the centering join + per-image
+    # collect_list over the cached features
+    centered = register_persist(
         feats.join(F.broadcast(mu), "dim_idx")
         .groupBy("vec_id")
         .agg(
