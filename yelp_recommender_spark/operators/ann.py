@@ -1007,6 +1007,17 @@ def ivf_topk(
     assigned, centers = ivf_fit_assign(
         index, id_col, vec_col, n_centroids, seed, max_iter
     )
+    # pinned via the session cache registry, same as ivfpq_topk: the
+    # fit-assign normalization + matmul pass over the full index then
+    # runs ONCE per session for a given (index, params) — Spark's
+    # CacheManager dedupes the identical canonicalized plan, so a later
+    # ivfpq_topk over the same index (the q43→q45 dial pair, or an ivf
+    # serving path upgraded to ivfpq) reads the InMemoryRelation instead
+    # of re-assigning the corpus (released by clear_caches() at the
+    # pipeline boundary — the engine-wide hygiene convention)
+    from yelp_recommender_spark.cache import register_persist
+
+    assigned = register_persist(assigned)
     return ivf_topk_indexed(
         queries, assigned, centers, k, n_probe, id_col, vec_col
     )
