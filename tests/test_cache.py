@@ -74,6 +74,27 @@ def test_probe_modulus_memoized_per_pipeline_run(spark):  # noqa: F811
     assert S._MODULUS_MEMO == {}
 
 
+def test_probes_and_truth_memoized_per_pipeline_run(spark):  # noqa: F811
+    """The dials' shared (probes, truth) frames are memoized at OBJECT
+    level (r10): CacheManager plan-dedupe cannot unify them because the
+    exact-topk kernel captures a per-call Broadcast, so without the memo
+    every dial rebuilt the ground-truth matmul. Second call returns the
+    identical objects; the boundary clear drops the memo AND the cache."""
+    from yelp_recommender_spark import cache
+    from yelp_recommender_spark.queries import similarity as S
+
+    cache.clear_caches()
+    assert S._TRUTH_MEMO == {}
+    p1, t1 = S._probes_and_truth(spark, "/root/testdata/sf0.001")
+    p2, t2 = S._probes_and_truth(spark, "/root/testdata/sf0.001")
+    assert p1 is p2 and t1 is t2
+    t1.count()
+    assert t1.storageLevel.useMemory
+    cache.clear_caches()
+    assert S._TRUTH_MEMO == {}
+    assert not t1.storageLevel.useMemory
+
+
 def test_register_cleanup_keyed_dedupe_and_unregister(spark):  # noqa: F811
     """ADVICE r6: per-call closures used to accumulate forever (the
     idempotence check only deduped stable function objects). Dedupe is
