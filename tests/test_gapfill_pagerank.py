@@ -90,11 +90,10 @@ def test_pagerank_large_graph_path_matches_broadcast_path(
     small = {
         r.id: round(r.rank, 10) for r in pr.pagerank(edges, iters=4).collect()
     }
-    # force the planner's "too large to broadcast" branch
-    monkeypatch.setattr(
-        "yelp_recommender_spark.operators.ann.estimated_size_bytes",
-        lambda df: 1 << 40,
-    )
+    # force the planner's "too large to broadcast" branch (the gate is
+    # the exact node count against the module ceiling since r10 —
+    # zeroing the ceiling routes ANY graph onto the shuffled-rank path)
+    monkeypatch.setattr(pr, "_BCAST_RANKS_CEILING_BYTES", 0)
     big = {
         r.id: round(r.rank, 10) for r in pr.pagerank(edges, iters=4).collect()
     }

@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Broadcast-path gate: ranks broadcast per iteration only while
+# |nodes| × bytes/row stays under the ceiling. 48 bytes covers the
+# (long id, double rank) row plus broadcast HashedRelation overhead;
+# 32 MB keeps the ceiling at ~700k nodes — a billion-node graph takes
+# the shuffled-rank path. Module-level so tests can force either path.
+_BYTES_PER_RANK_ROW = 48
+_BCAST_RANKS_CEILING_BYTES = 32 << 20
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -70,10 +79,22 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    from yelp_recommender_spark.operators.ann import estimated_size_bytes
-
-    nsize = estimated_size_bytes(nodes)
-    small_ranks = nsize is not None and 0 < nsize <= (32 << 20)
+    # Strategy gate on the EXACT node count — nodes is already eagerly
+    # materialized by the localCheckpoint, so count() is one cheap job
+    # over stored blocks, never a recompute. Plan-stats sizing
+    # (estimated_size_bytes) is wrong here by construction: a
+    # checkpointed frame reports its ORIGIN lineage's product estimate
+    # (the orders⋈lineitem distinct — ~1.5e14 "bytes" for a 160k-row
+    # frame at the amplified sf1), which mis-routed every bench scale
+    # onto the big-graph path (measured 2× slower at sf1: 27.8 s vs
+    # 13.3 s broadcast, interleaved min-of-2). 48 bytes/node covers the
+    # (long id, double rank) row plus broadcast HashedRelation overhead,
+    # so the 32 MB cut keeps the broadcast ceiling unchanged (~700k
+    # nodes); a billion-node graph still takes the shuffle path.
+    n_nodes = nodes.count()
+    small_ranks = (
+        n_nodes * _BYTES_PER_RANK_ROW <= _BCAST_RANKS_CEILING_BYTES
+    )
     # Edge layout follows the rank-vector strategy (ADVICE r4): with a
     # BROADCAST rank vector the join is map-side wherever e lives, so
     # partition on _dst — the contribution aggregate then reuses it and
